@@ -1,0 +1,64 @@
+"""Local stand-in for the driver's DuckDB-oracle differential check.
+
+Runs a registry entry's Spark program and its oracle SQL over the same
+parquet tables, then compares row count, column names, and values
+(column-name-sorted, row-order-insensitive) — the same contract as
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from trading212_etl_spark.sources import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\0NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.6f}"
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    spdf = spark_df.toPandas()
+    if sorted(spdf.columns) != sorted(oracle_pdf.columns):
+        errs.append(
+            f"{name}: columns differ spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return errs
+    if len(spdf) != len(oracle_pdf):
+        errs.append(f"{name}: row count spark={len(spdf)} oracle={len(oracle_pdf)}")
+    a, b = canon_frame(spdf), canon_frame(oracle_pdf)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:3]
+        diff_b = [r for r in b if r not in set(a)][:3]
+        errs.append(f"{name}: values differ; spark-only={diff_a} oracle-only={diff_b}")
+    return errs

@@ -1,0 +1,39 @@
+from pyspark.sql import functions as F
+
+from trading212_etl_spark.plans.pipeline import canonicalize_actions, flagship_pipeline
+from trading212_etl_spark.sources import load_table
+
+
+def test_canonicalize_actions(spark):
+    df = spark.createDataFrame(
+        [("1-URGENT",), ("4-NOT SPECIFIED",), ("  5-LOW  ",), ("3-MEDIUM",)],
+        ["o_orderpriority"],
+    )
+    got = [r[0] for r in df.select(canonicalize_actions("o_orderpriority")).collect()]
+    # capitalize lowercases the tail (pandas .str.capitalize semantics,
+    # trading212.py:117) — NOT initcap.
+    assert got == ["Urgent", "None", "Low", "Medium"]
+
+
+def test_flagship_pipeline_smoke(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = flagship_pipeline(orders)
+    n_of = orders.filter(F.col("o_orderstatus").isin("O", "F")).count()
+    n_p = orders.filter(F.col("o_orderstatus") == "P").count()
+    assert out.count() == n_of + n_p  # dedup is a no-op on unique orders
+    assert out.columns == [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "priority_class",
+        "order_date",
+        "split_ratio",
+    ]
+    # manual slice rows carry nulls in the missing columns (U3 semantics)
+    manual_rows = out.filter(F.col("o_orderstatus") == "P")
+    assert manual_rows.filter(F.col("o_totalprice").isNull()).count() == n_p
+    assert set(
+        r[0] for r in out.select("priority_class").distinct().collect()
+    ) <= {"Urgent", "High", "Medium", "None", "Low", None}

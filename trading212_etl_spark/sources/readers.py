@@ -1,0 +1,184 @@
+"""Schema-pinned sources.
+
+The reference ingests via schema-on-read inference — ``pd.read_csv``
+of export downloads (trading212.py:108), ``pd.json_normalize`` of REST
+JSON (trading212.py:59), and an all-strings Google-Sheets grid with
+manual header promotion (trading212.py:123-125). That inference is
+what lets mixed dtypes leak into its final union (trading212.py:127).
+
+This engine pins an explicit ``StructType`` per source instead:
+deterministic types for oracle comparison, and at 100 TB a pinned
+schema is what lets the Parquet scan prune columns (``ReadSchema``)
+and push predicates (``PushedFilters``) without sampling files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Schemas for the synthetic star-schema corpus (TESTDATA.md /
+# FIXTURES.md §B). Pinned rather than inferred so every read is
+# deterministic and column-prunable.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table as Parquet with its pinned schema."""
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv_pinned(
+    spark: SparkSession, paths: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """CSV scan with pinned schema — the engine form of the
+    reference's primary fact source ``pd.read_csv(downloadLink)``
+    (trading212.py:108, SURVEY §2.1 S6).
+
+    The reference accumulates one CSV per year window into a global
+    via repeated ``append`` (trading212.py:110, O(n^2)); here a single
+    multi-path scan produces one distributed read with no accumulation
+    state (SURVEY §1.3). Header promotion (S7, trading212.py:124-125)
+    is the reader's ``header`` option.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.schema(schema).option("header", True).csv(paths)
+
+
+def read_json_records(
+    spark: SparkSession, paths: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """JSON-records source with pinned schema — the engine form of the
+    reference's REST JSON ingests (S2-S5, trading212.py:56-60, 64-67,
+    80-83, 102).
+
+    Nested-struct flattening (``pd.json_normalize``, trading212.py:59)
+    is the caller's concern via :func:`flatten_struct`.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.schema(schema).json(paths)
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Recursively star-expand struct columns into dot-joined flat
+    columns — ``pd.json_normalize`` semantics (trading212.py:59,
+    SURVEY §2.8 F13): ``{'cash': {'free': 1}}`` → column ``cash.free``.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StructType):
+            for sub in field.dataType.fields:
+                cols.append(
+                    F.col(f"`{field.name}`.`{sub.name}`").alias(
+                        f"{field.name}{sep}{sub.name}"
+                    )
+                )
+        else:
+            cols.append(F.col(f"`{field.name}`"))
+    out = df.select(cols)
+    if any(isinstance(f.dataType, T.StructType) for f in out.schema.fields):
+        return flatten_struct(out, sep)
+    return out
