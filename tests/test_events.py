@@ -1,0 +1,33 @@
+"""Event-operator tests: batch/streaming equivalence and session
+invariants (the parts the DuckDB oracle can't check)."""
+
+from pyspark.sql import functions as F
+
+from trading212_etl_spark.operators.events import sessionize, tumbling_agg
+from trading212_etl_spark.sources import load_table
+from trading212_etl_spark.streaming.windows import run_streaming_tumbling_agg
+
+
+def test_streaming_matches_batch_tumbling(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    batch = tumbling_agg(events, "1 hour")
+    stream = run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events, 30).cache()
+    # every event lands in exactly one session
+    assert sessions.agg(F.sum("n_events")).first()[0] == events.count()
+    # sessions of one user never overlap
+    overlap = (
+        sessions.alias("a")
+        .join(sessions.alias("b"), "user_id")
+        .filter(F.col("a.session_seq") < F.col("b.session_seq"))
+        .filter(F.col("b.session_start") <= F.col("a.session_end"))
+        .count()
+    )
+    assert overlap == 0

@@ -1,0 +1,72 @@
+"""Aggregation operators (SURVEY §2.4) and the group-by battery the
+driver's star-schema corpus exercises.
+
+All hash aggregates get map-side partial aggregation for free from
+``HashAggregateExec`` (partial → shuffle on group keys → final), so a
+100 TB scan reduces to |groups| rows before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """A1 — exact all-column dedup (``drop_duplicates``,
+    trading212.py:121). Physical plan: hash aggregate on every column;
+    pandas' ``keep='first'`` order-dependence is moot for exact
+    duplicates (the kept row is identical)."""
+    return df.dropDuplicates()
+
+
+def string_agg_first_n(
+    df: DataFrame, id_col: str, order_col: str, n: int
+) -> DataFrame:
+    """A2+O2 — the reference's ','.join of the first 8 notification
+    ids (trading212.py:81). ``limit(n)`` bounds the rows, and the
+    in-cell order is made explicit with ``sort_array`` (SURVEY §7:
+    driver hashing is order-insensitive across rows, NOT within a
+    concatenated cell)."""
+    limited = df.orderBy(F.col(order_col).asc()).limit(n)
+    return limited.agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col(id_col).cast("long"))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("ids_csv")
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical group-by battery
+    (sum/avg/count over arithmetic expressions). Absent from the
+    reference (SURVEY §2.4) but required by the driver corpus.
+
+    Doubles are rounded to 2 dp for oracle value-parity (SURVEY §7).
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= ship_cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

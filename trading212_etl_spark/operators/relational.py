@@ -1,0 +1,79 @@
+"""Relational operators: projections/filters (SURVEY §2.2), set ops
+(§2.7), sorts/limits (§2.6), joins (§2.3).
+
+Everything here is a composition of native DataFrame ops — lazy,
+codegen-eligible, shuffle-aware. Scale levers are explicit parameters
+(broadcast, salting) rather than hidden policy.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_isin(df: DataFrame, col: str, values: list) -> DataFrame:
+    """P1/P2 — IN-list row selection (``isin(['Buy','Sell'])``,
+    trading212.py:120, 66-67). Catalyst pushes this into the Parquet
+    scan (PushedFilters: In(col, ...)), so at 100 TB the filter runs
+    in the reader, not after it."""
+    return df.filter(F.col(col).isin(values))
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """U1/U2 — the reference's accumulate-by-append loop
+    (trading212.py:59, 110) as a single lazy n-ary union. No O(n^2)
+    recopying: Spark unions are plan nodes, and adjacent unions
+    collapse into one physical ``Union`` operator."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def union_outer(*dfs: DataFrame) -> DataFrame:
+    """U3 — ``pd.concat(sort=False)`` outer union with schema
+    alignment (trading212.py:127): columns missing on one side
+    null-fill via ``allowMissingColumns``."""
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O1+O2 — global top-k. ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject``: each partition keeps a k-row heap and
+    only k rows per partition reach the driver-side merge — no global
+    sort shuffle at any scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """§2.3 — fact⋈dim with the dim side broadcast: the intended
+    semantics of the reference's broken account-id enrichment
+    (trading212.py:109). Broadcasting the small side removes the
+    fact-side shuffle entirely — the single most important join lever
+    at 100 TB (dims here are KBs-MBs; the fact table is the 100 TB)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: explode the build side into
+    ``n_salts`` replicas and scatter the probe side's hot keys across
+    them, so one hot key becomes ``n_salts`` shuffle partitions
+    instead of one straggler task. AQE's skew-join handles moderate
+    skew automatically; this is the explicit lever for pathological
+    keys (SURVEY §7 scale hardening).
+    """
+    salt = (F.crc32(F.col(key).cast("string")) + F.monotonically_increasing_id()) % n_salts
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    skewed_s = skewed.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_s.join(skewed_s, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -55,8 +55,784 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.3 Joins (absent in reference; the intended semantics of the broken
+# account-id enrichment at trading212.py:109, and the driver star schema)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_enrich",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """§2.3 — fact⋈dim broadcast join: the intended enrichment of
+    transactions with account metadata (trading212.py:109 assigns the
+    literal string 'get_acc_info()' — the rebuild does the real
+    lookup). Dim side broadcast ⇒ zero shuffle on the fact table."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import broadcast_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return broadcast_join(o, c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """§2.3 — TPC-H Q5-shaped star join: fact ⋈ three dims, all dims
+    broadcast, then hash aggregate. At 100 TB the only exchange is the
+    final group-by shuffle on (nation, region)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, 'has_urgent_order' AS tag
+    FROM customer WHERE c_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_order' AS tag
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_semi_anti(spark, sf_dir):
+    """§2.3 — left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    has = c.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_urgent_order").alias("tag")
+    )
+    none = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", F.lit("no_order").alias("tag"))
+    return has.unionByName(none)
+
+
+@register(
+    "join_outer_coalesce",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS lifetime_value,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    """§2.3 — left-outer join + null-coalescing aggregate (customers
+    with zero orders keep a 0.0 lifetime value)."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "lifetime_value"
+            ),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (group-by battery, rollup/cube, distinct agg)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    """§2.4 — TPC-H Q1: the canonical partial+final hash-aggregate
+    battery. Map-side combine reduces a 100 TB scan to |groups| rows
+    before the exchange."""
+    from .operators.aggregates import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"), "1998-09-02")
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_counts(spark, sf_dir):
+    """§2.4 — distinct aggregates (expand + two-phase agg) mixed with
+    plain min/max."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """§2.4 — rollup (hierarchical subtotals + grand total)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """§2.4 — cube (all grouping-set combinations)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_having_top_parts",
+    oracle="""
+    SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > 100.0
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    """§2.4 — group-by + HAVING (post-aggregation filter)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("__raw"),
+        )
+        .filter(F.col("__raw") > 100.0)
+        .drop("__raw")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """§2.4 — pivot (wide aggregation over a value domain); compiles
+    to CASE-WHEN aggregates, no extra shuffle vs plain group-by."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions (absent in reference; driver corpus)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def q_window_keep_first(spark, sf_dir):
+    """§2.5 — keyed keep-first dedup: the principled generalization of
+    drop_duplicates(keep='first') (trading212.py:121), 'first' made
+    explicit by (o_orderdate, o_orderkey) ordering."""
+    from pyspark.sql import functions as F
+
+    from .operators.windows import keep_first_by
+
+    o = _t(spark, sf_dir, "orders")
+    return keep_first_by(
+        o, ["o_custkey"], [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+)
+def q_window_topn(spark, sf_dir):
+    """§2.5 — top-N per group (rank-limit): one shuffle on the group
+    key, no collect."""
+    from pyspark.sql import functions as F
+
+    from .operators.windows import top_n_per_group
+
+    c = _t(spark, sf_dir, "customer")
+    return top_n_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], 3
+    ).select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "window_lag_lead_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+                AS BIGINT) AS price_rank,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2)
+             AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    """§2.5 — analytic battery: lag/lead/rank + running-sum frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.rank().over(wrank).cast("long").alias("price_rank"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Event-time operators (batch forms; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    """T1 — tumbling event-time windows: the declarative form of the
+    reference's driver-side 365-day chunk loop (trading212.py:89-97)."""
+    from .operators.events import tumbling_agg
+
+    return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM e
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """T1 — sliding windows (2h window, 1h slide): each event lands in
+    two buckets; Spark expands via its window expression, the oracle
+    via an explicit two-way union."""
+    from .operators.events import tumbling_agg
+
+    return tumbling_agg(_t(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@register(
+    "events_sessionize_30m",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """§2.9 — gap-based sessionization (30-min inactivity gap):
+    lag → new-session flag → running sum, one shuffle on user_id."""
+    from .operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), 30)
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           CAST(props->>'$.k' AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def q_events_json(spark, sf_dir):
+    """F13/F14 — JSON field extraction from semi-structured props
+    (get_json_object and pinned-schema from_json)."""
+    from .operators.events import json_props
+
+    return json_props(_t(spark, sf_dir, "events"))
+
+
+@register("streaming_tumbling_1h")  # rows-only: streaming, not SQL-expressible
+def q_streaming_tumbling(spark, sf_dir):
+    """§2.9 streaming — the T1 tumbling aggregate as a Structured
+    Streaming query over a file source, driven to completion with a
+    memory sink. Equivalence to the batch form is asserted in
+    tests/test_events.py."""
+    from .streaming.windows import run_streaming_tumbling_agg
+
+    return run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
+
+
+# ---------------------------------------------------------------------------
 # Flagship (SURVEY §3 EP3)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_isin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    """,
+)
+def q_filter_isin(spark, sf_dir):
+    """P1/P2 — IN-list filter (trading212.py:120, 66). The filter
+    reaches the Parquet scan as PushedFilters: In(l_returnflag, ...)."""
+    from .operators.relational import filter_isin
+
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_isin(li, "l_returnflag", ["A", "R"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+@register(
+    "predicate_equality",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+    """,
+)
+def q_predicate_equality(spark, sf_dir):
+    """P3/P4 — conjunctive equality/range predicates
+    (trading212.py:106-107)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "projection_reorder",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_shipdate, l_orderkey, l_linenumber,
+           l_quantity, l_extendedprice, l_discount, l_tax, l_partkey, l_suppkey
+    FROM lineitem
+    """,
+)
+def q_projection_reorder(spark, sf_dir):
+    """P5 — wide projection + reorder (the 19-column select at
+    trading212.py:132-133). ReadSchema prunes to exactly these cols."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_partkey", "l_suppkey",
+    )
+
+
+@register(
+    "literal_and_derived_columns",
+    oracle="""
+    SELECT o_orderkey,
+           'ACC-42' AS account_id,
+           0 AS split_ratio,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS order_date_sub
+    FROM orders
+    """,
+)
+def q_literal_and_derived(spark, sf_dir):
+    """P7/P8/P9 — literal string/int columns (trading212.py:109, 119)
+    and the Time[:10] derived date (trading212.py:118), both as
+    date_format and raw substring-of-cast."""
+    from pyspark.sql import functions as F
+
+    from .functions.dates import date_str
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lit("ACC-42").alias("account_id"),
+        F.lit(0).alias("split_ratio"),
+        date_str("o_orderdate").alias("order_date"),
+        F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("order_date_sub"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar function battery
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g') AS stripped,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'NONE'
+                ELSE o_orderpriority END AS replaced,
+           regexp_replace(o_orderpriority, '^\\s+|\\s+$', '', 'g') AS trimmed,
+           upper(substr(o_orderpriority, 1, 1)) || lower(substr(o_orderpriority, 2))
+             AS capitalized,
+           upper(o_orderpriority) AS uppered,
+           lower(o_orderpriority) AS lowered,
+           length(o_orderpriority) AS n_len,
+           o_orderpriority || '|' || o_orderstatus AS concatted,
+           CAST(o_orderkey AS VARCHAR) AS key_str
+    FROM orders
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """F1-F4, F11, F12 — the string canonicalization battery
+    (trading212.py:115-117) plus casts/concat (trading212.py:81, 93)."""
+    from pyspark.sql import functions as F
+
+    from .functions.strings import capitalize, regexp_strip_prefixes, replace_exact, strict_trim
+
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        regexp_strip_prefixes(p, ["1-", "2-", "3-", "4-", "5-"]).alias("stripped"),
+        replace_exact(p, "4-NOT SPECIFIED", "NONE").alias("replaced"),
+        strict_trim(p).alias("trimmed"),
+        capitalize(p).alias("capitalized"),
+        F.upper(p).alias("uppered"),
+        F.lower(p).alias("lowered"),
+        F.length(p).alias("n_len"),
+        F.concat_ws("|", p, F.col("o_orderstatus")).alias("concatted"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
+
+
+@register(
+    "timestamp_funcs",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT event_id,
+           ts,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           ts + INTERVAL 365 DAY AS ts_plus_365d,
+           ts + INTERVAL '8759 hours 59 seconds' AS window_end,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM e
+    WHERE ts < TIMESTAMP '2024-06-01 00:00:00'
+    """,
+)
+def q_timestamp_funcs(spark, sf_dir):
+    """F6-F10 — timestamp parse/derive battery: the 365-day /
+    8759h59s window arithmetic of the extraction loop
+    (trading212.py:86, 91) and date comparison (trading212.py:89)."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("ts") < "2024-06-01 00:00:00").select(
+        "event_id",
+        "ts",
+        # dates are emitted as strings on both sides: Spark DateType
+        # round-trips to datetime.date while DuckDB DATE fetches as
+        # datetime64 — a value-hash trap (SURVEY §7)
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts_plus_365d"),
+        F.expr("ts + INTERVAL 8759 HOURS 59 SECONDS").alias("window_end"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations / §2.4 dedup / §2.6 sort-limit
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_dedup_chunks",
+    oracle="""
+    SELECT DISTINCT * FROM (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def q_union_dedup_chunks(spark, sf_dir):
+    """U1/U2 + A1 — the reference's overlapping year-window exports
+    accumulated by append then exact-deduped (trading212.py:89-97,
+    110, 121): overlapping slices of orders unioned, then distinct."""
+    from pyspark.sql import functions as F
+
+    from .operators.aggregates import distinct_rows
+    from .operators.relational import union_all
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < "1998-01-01")
+    b = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    return distinct_rows(union_all(a, b))
+
+
+@register(
+    "union_missing_columns",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM orders WHERE o_orderstatus <> 'P'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    """,
+)
+def q_union_missing_columns(spark, sf_dir):
+    """U3 — pd.concat(sort=False) outer union with null-fill
+    (trading212.py:127): API-shaped rows vs the narrower manual table."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import union_outer
+
+    o = _t(spark, sf_dir, "orders")
+    full = o.filter(F.col("o_orderstatus") != "P").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    narrow = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    return union_outer(full, narrow)
+
+
+@register(
+    "intersect_except",
+    oracle="""
+    SELECT c_custkey AS custkey, 'both' AS side
+    FROM (SELECT c_custkey FROM customer
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    UNION ALL
+    SELECT c_custkey AS custkey, 'customer_only' AS side
+    FROM (SELECT c_custkey FROM customer
+          EXCEPT
+          SELECT o_custkey FROM orders)
+    """,
+)
+def q_intersect_except(spark, sf_dir):
+    """§2.7 — intersect / except (absent in reference; SURVEY lists
+    them as required corpus ops)."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000.0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = c.intersect(big).select(
+        F.col("c_custkey").alias("custkey"), F.lit("both").alias("side")
+    )
+    only = c.exceptAll(o.select(F.col("o_custkey").alias("c_custkey")).distinct()).select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer_only").alias("side")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_sort_limit_topk(spark, sf_dir):
+    """O1+O2 — global sort + limit (trading212.py:134, 81). Compiles
+    to TakeOrderedAndProject: per-partition k-row heaps, no global
+    sort shuffle."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import top_k
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20)
+
+
+@register(
+    "string_agg_first8",
+    oracle="""
+    SELECT string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS ids_csv
+    FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 8)
+    """,
+)
+def q_string_agg_first8(spark, sf_dir):
+    """A2+O2 — ','.join of the first 8 ids (trading212.py:81), in-cell
+    order made explicit via sort_array (SURVEY §7)."""
+    from .operators.aggregates import string_agg_first_n
+
+    c = _t(spark, sf_dir, "customer")
+    return string_agg_first_n(c, "c_custkey", "c_custkey", 8)
+
 
 @register(
     "flagship_pipeline",

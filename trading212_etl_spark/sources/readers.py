@@ -86,10 +86,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # NB: events.ts is physically TIMESTAMP(NANOS) parquet, which Spark
+    # cannot map to TimestampType (PARQUET_TYPE_ILLEGAL); it is scanned
+    # as nano-longs and converted in load_table.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -118,7 +121,22 @@ TABLES = tuple(SCHEMAS)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one corpus table as Parquet with its pinned schema."""
+    """Read one corpus table as Parquet with its pinned schema.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file — illegal for
+    Spark's TimestampType reader — so it is scanned as nano-longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to
+    microsecond TimestampType with integer division (``DIV 1000``;
+    float division would lose ulps at 1.7e18 nanos). The DuckDB oracle
+    side of any events query must mirror this with
+    ``CAST(ts AS TIMESTAMP)`` (ns → us truncation).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
