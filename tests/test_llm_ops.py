@@ -1,0 +1,94 @@
+"""Invariant tests for the LLM-pipeline ops the DuckDB oracle can't
+express (hash-dependent sketches): MinHash/LSH recall against the
+exact Jaccard verifier, SimHash sanity, LSH similarity recall vs
+brute force, multimodal decode shape (SURVEY §5.4)."""
+
+from pyspark.sql import functions as F
+
+from trading212_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from trading212_etl_spark.operators.multimodal import (
+    decode_image_meta,
+    frame_sample_stub,
+    with_binary_payload,
+)
+from trading212_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from trading212_etl_spark.sources import load_table
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    # verified LSH output must be a subset of the exact pairs (precision 1.0)
+    assert lsh <= exact
+    # banding with b=16, r=2 has P(candidate) > 0.99 for J >= 0.5
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_pairs_sane(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sk = simhash(docs)
+    assert sk.count() == docs.count()
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    pdf = pairs.toPandas()
+    # hamming bounds respected, ordered pairs only
+    assert (pdf["hamming"] <= 3).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    # identical texts (exact dups exist in the corpus) must collide at distance 0
+    dup_groups = exact_dedup(docs).filter(F.col("n_copies") > 1)
+    if dup_groups.count() > 0:
+        assert (pdf["hamming"] == 0).any()
+
+
+def test_similarity_lsh_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = cosine_topk_bruteforce(emb, queries, k=10).toPandas()
+    approx = cosine_topk_lsh(emb, queries, k=10, n_planes=4).toPandas()
+    # every query answered
+    assert set(approx["query_id"]) == set(brute["query_id"])
+    # approx scores can never exceed the exact best
+    for qid in set(brute["query_id"]):
+        b_top = brute[brute.query_id == qid].cos_sim.max()
+        a_top = approx[approx.query_id == qid].cos_sim.max()
+        assert a_top <= b_top + 1e-9
+    # bucketed candidates must be a subset of the full ranking's universe
+    hits = len(
+        set(map(tuple, approx[["query_id", "corpus_id"]].values))
+        & set(map(tuple, brute[["query_id", "corpus_id"]].values))
+    )
+    recall = hits / len(brute)
+    assert recall >= 0.5, f"multi-table LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    meta = decode_image_meta(payload).toPandas()
+    assert len(meta) == docs.count()
+    assert ((meta.width >= 64) & (meta.width < 704)).all()
+    assert ((meta.height >= 64) & (meta.height < 544)).all()
+    assert (meta.channels == 3).all()
+    # ASCII corpus: mean byte value within printable range
+    assert ((meta.mean_intensity > 32) & (meta.mean_intensity < 127)).all()
+    frames = frame_sample_stub(payload, every_n_bytes=100)
+    n_expected = docs.select(
+        F.sum(F.ceil(F.length("text") / 100.0).cast("long"))
+    ).first()[0]
+    assert frames.count() == n_expected

@@ -1,3 +1,21 @@
-from . import aggregates, relational, windows
+from . import (
+    aggregates,
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    textual,
+    windows,
+)
 
-__all__ = ["aggregates", "relational", "windows"]
+__all__ = [
+    "aggregates",
+    "dedup",
+    "events",
+    "multimodal",
+    "relational",
+    "similarity",
+    "textual",
+    "windows",
+]

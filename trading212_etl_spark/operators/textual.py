@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM training-data pipelines over the
+``documents`` table: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+None of this exists in the reference (its only string work is the
+4-step Action canonicalization, trading212.py:115-117); these are the
+north-star extensions (BASELINE.json) built the same way — pure
+Catalyst expressions, no Python in the row path, so a 100 TB corpus
+scan stays inside whole-stage codegen.
+
+Portability note: everything here must hash-match a DuckDB oracle, so
+all hashing uses md5/sha2 (identical across engines) — never
+xxhash64/hash() (engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the regex shape GPT-2-style tokenizers use as their split
+# pass. Identical regex runs on the DuckDB side.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "los", "de", "y", "que", "una"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+}
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens +
+    char/avg-length stats. One projection, zero shuffles — at 100 TB
+    this runs at parquet-scan speed."""
+    toks = tokens("text")
+    ws = F.split(F.col("text"), "\\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(ws).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (length / stopword / symbol ratios) —
+    the C4/Gopher-style filter shape.
+
+    The composite score is computed in integer **basis points**
+    (0-10000), never in weighted floating point: decimal weights ×
+    dyadic token ratios produce exact-decimal ``.xxxx5`` values where
+    Spark's BigDecimal HALF_UP round and DuckDB's double-multiply
+    round disagree by one ulp. Integer arithmetic (and floor of
+    small-denominator rationals, which double division computes
+    exactly enough to floor safely) is bit-identical on both engines.
+
+    Components: 3000·min(mean_token_len/10, 1) + 4000·min(4·stop_ratio, 1)
+    + 2000·[10 ≤ n_tokens ≤ 1000] + 1000·(1 - min(10·symbol_ratio, 1)).
+    """
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    n_chars1 = F.greatest(F.length("text"), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9\\s]"), 0))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    comp_len = F.when(sum_len >= 10 * n_tok1, F.lit(3000).cast("long")).otherwise(
+        F.floor(F.lit(300) * sum_len / n_tok1)
+    )
+    comp_stop = F.when(4 * n_stop >= n_tok1, F.lit(4000).cast("long")).otherwise(
+        F.floor(F.lit(16000) * n_stop / n_tok1)
+    )
+    comp_len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(2000)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    comp_sym = F.lit(1000).cast("long") - F.when(
+        10 * n_sym >= n_chars1, F.lit(1000).cast("long")
+    ).otherwise(F.floor(F.lit(10000) * n_sym / n_chars1))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tok1, 4).alias("stopword_ratio"),
+        F.round(n_sym.cast("double") / n_chars1, 4).alias("symbol_ratio"),
+        (comp_len + comp_stop + comp_len_ok + comp_sym).alias("quality_bp"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts per language,
+    deterministic argmax (priority order en→de→es→fr on ties).
+
+    The classic fastText/CLD replacement shape for when a model can't
+    run in the engine: cheap, vectorized, JVM-side.
+    """
+    toks = tokens("text")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when(s_en >= F.greatest(s_de, s_es, s_fr), "en")
+        .when(s_de >= F.greatest(s_es, s_fr), "de")
+        .when(s_es >= s_fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_es.alias("score_es"),
+        s_fr.alias("score_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_len: int = 5) -> DataFrame:
+    """Document fingerprinting: full-content sha256 + a winnowing-style
+    rolling fingerprint (min md5 over word ``shingle_len``-grams).
+
+    The min-shingle-hash is a 1-permutation MinHash: equal texts get
+    equal fingerprints, near-equal texts get equal fingerprints with
+    probability = Jaccard similarity — the cheap first pass before
+    pairwise dedup.
+    """
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - shingle_len + 1, F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, shingle_len), " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.array_min(F.transform(shingles, F.md5)).alias("winnow_fp"),
+    )

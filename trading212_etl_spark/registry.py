@@ -529,6 +529,327 @@ def q_streaming_tumbling(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal — SURVEY §7 step 6
+# ---------------------------------------------------------------------------
+
+# BPE-ish tokenizer regex, shared verbatim with the DuckDB side
+_TOKS = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
+# distinct word-3-gram shingle set (DuckDB list comprehension)
+_SHINGLES = (
+    "list_distinct([array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') "
+    "for i in range(1, greatest(len(toks)-2, 1)+1)])"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact content dedup via sha256 digest group-by: the shuffle
+    carries 64-byte digests, not documents (the 100 TB form of
+    trading212.py:121's all-column drop_duplicates)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM t),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 4) AS jaccard
+    FROM c
+    WHERE round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 4) >= 0.5
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (J ≥ 0.5): explode-join on
+    shingles — work bounded by shingle co-occurrence, not |docs|^2.
+    This is also the verifier behind the MinHash LSH path."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are engine-specific
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(32) + LSH(16 bands × 2 rows) near-dup pairs, verified
+    with exact Jaccard ≥ 0.5. The scale path: signatures are a linear
+    scan, banding is 16 hash-groupBys, no cross join. Recall vs the
+    exact pairs is asserted in tests/test_llm_ops.py."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=32, bands=16
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 sketch is engine-specific
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash(48-bit) near-dup pairs at Hamming ≤ 3 via pigeonhole
+    banding (4 bands of 12 bits): one hash-aggregate for sketches,
+    one equi-join on band bits for candidates."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_words,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS avg_token_len
+    FROM t
+    """,
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) — pure projection,
+    parquet-scan speed at any scale."""
+    from .operators.textual import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             regexp_extract_all(text, '[^a-z0-9\\s]') AS syms
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             greatest(len(toks), 1) AS n_tok1,
+             greatest(length(text), 1) AS n_chars1,
+             len(list_filter(toks, t -> list_contains(
+               ['the','a','and','of','to','in','is'], t))) AS n_stop,
+             len(syms) AS n_sym,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tok1, 4) AS stopword_ratio,
+           round(CAST(n_sym AS DOUBLE) / n_chars1, 4) AS symbol_ratio,
+           CAST(
+             (CASE WHEN sum_len >= 10 * n_tok1 THEN 1000 * 3
+                   ELSE CAST(floor(300 * sum_len / n_tok1) AS BIGINT) END)
+             + (CASE WHEN 4 * n_stop >= n_tok1 THEN 4000
+                     ELSE CAST(floor(16000 * n_stop / n_tok1) AS BIGINT) END)
+             + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 2000 ELSE 0 END)
+             + (1000 - CASE WHEN 10 * n_sym >= n_chars1 THEN 1000
+                            ELSE CAST(floor(10000 * n_sym / n_chars1) AS BIGINT) END)
+           AS BIGINT) AS quality_bp
+    FROM m
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Gopher/C4-style heuristic quality scoring as pure arithmetic
+    (no exp/log — libm differs across engines, +*/ do not)."""
+    from .operators.textual import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','a','and','of','to','in','is'], t))) AS INTEGER) AS score_en,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['der','die','das','und','ist','ein'], t))) AS INTEGER) AS score_de,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['el','los','de','y','que','una'], t))) AS INTEGER) AS score_es,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['le','la','et','les','des','un'], t))) AS INTEGER) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID with deterministic argmax."""
+    from .operators.textual import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, text,
+             [array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+4], ' ')
+              for i in range(1, greatest(len(toks)-4, 1)+1)] AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           sha256(text) AS content_sha256,
+           list_min(list_transform(shingles, s -> md5(s))) AS winnow_fp
+    FROM s
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Content sha256 + winnowing-style rolling fingerprint (min md5
+    over word 5-grams = 1-permutation MinHash)."""
+    from .operators.textual import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), shingle_len=5)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS c_emb
+          FROM embeddings),
+    s AS (SELECT query_id, corpus_id,
+                 round(list_cosine_similarity(q_emb, c_emb), 4) AS cos_sim
+          FROM q, c WHERE corpus_id <> query_id)
+    SELECT query_id, corpus_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rn
+          FROM s)
+    WHERE rn <= 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 8 query vectors: broadcast
+    queries × one corpus scan, zero corpus shuffle; final top-k is
+    rank-limited per query."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register("similarity_topk_lsh")  # rows-only: bucket boundaries are sketch-dependent
+def q_similarity_lsh(spark, sf_dir):
+    """Random-hyperplane LSH top-k: equi-join on sign-bit bucket
+    replaces the cross join. Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=4)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact form; LSH bucketing is
+    the scale path)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Vector-column scalar battery: L2 norm via higher-order
+    functions (zip_with/aggregate), JVM-side."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm(F.col("embedding").cast("array<double>")), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "multimodal_image_meta",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_bytes,
+           CAST(64 + (n % 640) AS INTEGER) AS width,
+           CAST(64 + ((n * 31) % 480) AS INTEGER) AS height,
+           3 AS channels,
+           CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1),
+                i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / n
+             AS mean_intensity
+    FROM b
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → Arrow-batched
+    mapInPandas decode (STUB kernel, deterministic fake dims + true
+    byte mean) → typed metadata. The oracle replays the fake-decode
+    arithmetic; corpus text is ASCII so char codes == bytes."""
+    from .operators.multimodal import decode_image_meta, with_binary_payload
+
+    return decode_image_meta(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+@register("multimodal_frame_sample")  # rows-only: 1->N mapInPandas shape
+def q_multimodal_frames(spark, sf_dir):
+    """STUB frame sampler: one row per 100 payload bytes — the 1→N
+    row-explosion shape of video frame sampling."""
+    from .operators.multimodal import frame_sample_stub, with_binary_payload
+
+    return frame_sample_stub(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
 # Flagship (SURVEY §3 EP3)
 # ---------------------------------------------------------------------------
 
