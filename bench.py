@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full physical
+execution, zero collect/serialize overhead on the driver), which is
+what a cluster job would look like — write-terminated, not
+collect-terminated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trading212_etl_spark.registry import QUERIES, pin_oracle_confs  # noqa: E402
+from trading212_etl_spark.session import get_session  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward
+# the shuffle/join/UDF-heavy paths where scale design shows up.
+HEADLINE = [
+    "flagship_pipeline",          # canonicalize -> filter -> distinct -> union -> sort
+    "agg_pricing_summary",        # TPC-H Q1 hash-aggregate battery
+    "join_multiway_star",         # fact x 3 broadcast dims + group-by
+    "join_outer_coalesce",        # left-outer + aggregate
+    "window_lag_lead_running",    # analytic window battery
+    "window_topn_per_group",      # rank-limit
+    "union_dedup_chunks",         # union + all-column distinct
+    "events_tumbling_1h",         # event-time tumbling aggregate
+    "events_sessionize_30m",      # gap sessionization
+    "dedup_exact",                # sha256 digest group-by
+    "dedup_minhash_lsh",          # MinHash+LSH near-dup (scale path)
+    "dedup_simhash",              # SimHash banding
+    "text_quality_score",         # text heuristics, pure projection
+    "text_token_stats",           # tokenizer battery
+    "similarity_topk_bruteforce", # broadcast query x corpus scan
+    "embedding_norms",            # higher-order vector functions
+    "multimodal_image_meta",      # Arrow mapInPandas decode
+    "sort_limit_topk",            # TakeOrderedAndProject
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="bench")
+    pin_oracle_confs(spark)
+
+    # Warm-up: JVM/codegen/parquet-footer caches on the smallest SF so
+    # timings measure the queries, not session spin-up.
+    QUERIES["agg_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    # sf from the dir name (sf0.1 -> 0.1); fall back to the string
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf: float | str = float(base.removeprefix("sf"))
+    except ValueError:
+        sf = base
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
 from .textual import tokens
 
 
@@ -42,13 +43,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingle set of a document."""
-    toks = tokens(text_col)
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set over a **materialized** token
+    column.
+
+    ``toks`` must be a plain column reference, never the tokenizer
+    expression itself: Catalyst does not common-subexpression-eliminate
+    inside higher-order-function lambdas, so an inlined
+    ``regexp_extract_all`` would re-run once per shingle position per
+    row (measured 17x slower at sf0.1). Callers materialize tokens
+    behind a projection boundary first (see ``_shingle_sets``).
+    """
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def _shingle_sets(docs: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, shingles) with the tokenizer materialized as its own
+    projection so every downstream reference is a cheap attribute."""
+    return (
+        fan_out(docs)
+        .select(F.col(id_col).alias("id"), tokens("text").alias("__toks"))
+        .select("id", word_shingles(F.col("__toks"), n).alias("shingles"))
     )
 
 
@@ -67,9 +86,7 @@ def jaccard_pairs(
     by millions of docs) is the scale hazard; LSH (minhash_lsh_pairs)
     is the production path, with this as its verifier.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles("text", n).alias("shingles")
-    ).withColumn("set_size", F.size("shingles"))
+    sh = _shingle_sets(docs, n, id_col).withColumn("set_size", F.size("shingles"))
     exploded = sh.select("id", "set_size", F.explode("shingles").alias("shingle"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
@@ -127,13 +144,13 @@ def minhash_lsh_pairs(
       3. per-bucket pair expansion (buckets are tiny by construction;
          a hot bucket means a degenerate shingle set and is capped
          upstream by distinct-shingling);
-      4. verify candidates with exact Jaccard via a shingle join on
-         ONLY the candidate ids (semi-join pushdown).
+      4. verify candidates with exact Jaccard computed per candidate
+         pair (array_intersect on the two shingle sets) — the candidate
+         subtree is referenced exactly once, so Spark computes
+         signatures and banding a single time.
     """
     rows = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles("text", shingle_n).alias("shingles")
-    )
+    sh = _shingle_sets(docs, shingle_n, id_col)
     sig = sh.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
     banded = sig.select(
         "id",
@@ -172,17 +189,16 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    cand_ids = cand.select(F.col("doc_a").alias("id")).union(
-        cand.select("doc_b")
-    ).distinct()
-    verified = jaccard_pairs(
-        docs.join(cand_ids, docs[id_col] == cand_ids.id, "left_semi"),
-        threshold,
-        shingle_n,
-        id_col,
+    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    # intersect verified exact pairs with the LSH candidate set
-    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +210,7 @@ def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFr
     hashes (+1/-1). Computed as ``n_bits`` conditional sums inside ONE
     hash aggregate — a single shuffle on doc id carrying token hashes,
     no Python. ``n_bits`` ≤ 62 keeps the sketch in a signed long."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens("text")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = tok.groupBy("id").agg(

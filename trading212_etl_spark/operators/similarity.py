@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -55,7 +57,7 @@ def cosine_topk_bruteforce(
     """
     from pyspark.sql import Window
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
     )
@@ -148,7 +150,7 @@ def cosine_topk_lsh(
         ).select("*", "tb.tbl", "tb.bkt").drop("tb")
 
     c = with_buckets(
-        corpus.select(
+        fan_out(corpus).select(
             F.col("vec_id").alias("corpus_id"),
             F.col("embedding").cast("array<double>").alias("c_emb"),
         ),

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
 # symbol — the regex shape GPT-2-style tokenizers use as their split
 # pass. Identical regex runs on the DuckDB side.
@@ -36,13 +38,22 @@ def tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)
 
 
+def _with_tokens(docs: DataFrame, *keep: str) -> DataFrame:
+    """Project (keep..., __toks) so the regex tokenizer is evaluated
+    exactly once per row. Referencing ``tokens("text")`` repeatedly in
+    one projection (or inside a higher-order lambda) re-runs the regex
+    per reference — Catalyst CSE stops at lambda boundaries and
+    CollapseProject only keeps a boundary that already exists."""
+    return fan_out(docs).select(*keep, tokens("text").alias("__toks"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace words + BPE-ish regex tokens +
     char/avg-length stats. One projection, zero shuffles — at 100 TB
     this runs at parquet-scan speed."""
-    toks = tokens("text")
+    toks = F.col("__toks")
     ws = F.split(F.col("text"), "\\s+")
-    return docs.select(
+    return _with_tokens(docs, "doc_id", "text").select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         F.size(ws).alias("n_words"),
@@ -72,7 +83,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     Components: 3000·min(mean_token_len/10, 1) + 4000·min(4·stop_ratio, 1)
     + 2000·[10 ≤ n_tokens ≤ 1000] + 1000·(1 - min(10·symbol_ratio, 1)).
     """
-    toks = tokens("text")
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_tok1 = F.greatest(n_tok, F.lit(1))
     n_chars1 = F.greatest(F.length("text"), F.lit(1))
@@ -93,7 +104,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     comp_sym = F.lit(1000).cast("long") - F.when(
         10 * n_sym >= n_chars1, F.lit(1000).cast("long")
     ).otherwise(F.floor(F.lit(10000) * n_sym / n_chars1))
-    return docs.select(
+    return _with_tokens(docs, "doc_id", "text").select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(n_stop.cast("double") / n_tok1, 4).alias("stopword_ratio"),
@@ -109,7 +120,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     The classic fastText/CLD replacement shape for when a model can't
     run in the engine: cheap, vectorized, JVM-side.
     """
-    toks = tokens("text")
+    toks = F.col("__toks")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
         for lang, words in STOPWORDS.items()
@@ -121,7 +132,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(s_es >= s_fr, "es")
         .otherwise("fr")
     )
-    return docs.select(
+    return _with_tokens(docs, "doc_id", "lang").select(
         "doc_id",
         "lang",
         s_en.alias("score_en"),
@@ -141,14 +152,22 @@ def fingerprint(docs: DataFrame, shingle_len: int = 5) -> DataFrame:
     probability = Jaccard similarity — the cheap first pass before
     pairwise dedup.
     """
-    toks = tokens("text")
+    toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - shingle_len + 1, F.lit(1)))
     shingles = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, shingle_len), " ")
     )
-    return docs.select(
-        "doc_id",
-        F.sha2(F.col("text"), 256).alias("content_sha256"),
-        F.array_min(F.transform(shingles, F.md5)).alias("winnow_fp"),
+    return (
+        _with_tokens(docs, "doc_id", "text")
+        .select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("content_sha256"),
+            shingles.alias("__shingles"),
+        )
+        .select(
+            "doc_id",
+            "content_sha256",
+            F.array_min(F.transform(F.col("__shingles"), F.md5)).alias("winnow_fp"),
+        )
     )

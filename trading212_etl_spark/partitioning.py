@@ -1,0 +1,69 @@
+"""Partitioning helpers: the scale levers SURVEY §7 step 7 calls for.
+
+Two distinct hazards at the two ends of the scale spectrum:
+
+- **Under-split input** (bench/local): a small parquet file arrives as
+  ONE split, so a CPU-heavy operator (regex shingling, MinHash, Arrow
+  decode) serializes on one core while 31 idle. ``fan_out`` widens the
+  plan to cluster parallelism — and is a guarded no-op at 100 TB,
+  where the scan already yields thousands of splits.
+- **Skewed shuffle keys** (cluster): one hot key turns a shuffle stage
+  into a single straggler task. ``with_salt``/``unsalt_agg`` implement
+  two-phase salted aggregation; AQE's skew-join splitting (enabled in
+  session.py) covers the join case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure ``df`` has at least cluster-parallelism partitions before
+    CPU-bound per-row work.
+
+    The round-robin repartition shuffle moves each row once — trivially
+    amortized when downstream does regex/hash/codec work per row. If
+    the input is already split at least that wide (the 100 TB case:
+    ``maxPartitionBytes``-sized parquet splits), this returns ``df``
+    unchanged — no shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def with_salt(df: DataFrame, n_buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Attach a uniform salt column in [0, n_buckets). Deterministic
+    per row is NOT required (salt only spreads rows); monotonically_
+    increasing_id avoids an RNG so re-runs of a stage stay stable."""
+    return df.withColumn(
+        col_name, (F.monotonically_increasing_id() % n_buckets).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}. Phase 1 aggregates on (keys + salt) —
+    spreading a hot key over ``n_buckets`` tasks — phase 2 re-combines
+    per key (sum/count combine via sum; min/max via themselves).
+    Associative-only by construction; avg = sum/count downstream.
+    """
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salted = with_salt(df, n_buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[first[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[recombine[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    )
