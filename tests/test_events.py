@@ -17,6 +17,38 @@ def test_streaming_matches_batch_tumbling(spark, sf_dir):
     assert b == s
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from trading212_etl_spark.streaming.windows import run_streaming_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in events.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    stream = {tuple(r) for r in run_streaming_dedup(spark, sf_dir).collect()}
+    assert batch == stream
+
+
+def test_streaming_stateful_matches_batch_agg(spark, sf_dir):
+    from trading212_etl_spark.streaming.windows import run_streaming_user_stats
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    stream = {tuple(r) for r in run_streaming_user_stats(spark, sf_dir).collect()}
+    assert batch == stream
+
+
 def test_sessionize_invariants(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     sessions = sessionize(events, 30).cache()

@@ -1,5 +1,6 @@
 from . import (
     aggregates,
+    asof,
     dedup,
     events,
     multimodal,
@@ -11,6 +12,7 @@ from . import (
 
 __all__ = [
     "aggregates",
+    "asof",
     "dedup",
     "events",
     "multimodal",

@@ -64,6 +64,32 @@ def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows via the native ``F.session_window`` expression
+    (the same operator Structured Streaming uses for stateful
+    sessionization, here in its batch form).
+
+    Merge semantics: each event opens ``[ts, ts+gap)``; overlapping
+    windows merge, so a gap of *exactly* ``gap`` starts a new session
+    (strict ``<`` overlap). The oracle's lag-based rewrite must use
+    ``>=`` on the gap to match. Window end = last event + gap.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def json_props(events: DataFrame) -> DataFrame:
     """F13/F14 — JSON field extraction from the semi-structured
     ``props`` column (the reference navigates REST JSON dicts in

@@ -55,6 +55,145 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.1 Sources / sinks: CSV scan (S6/S7), JSON records + flatten
+# (S2-S5, F13), partitioned Parquet sink (S8 + §7 scale layout).
+# Each query materializes the non-parquet format into .scratch/ first —
+# the engine's own writers produce the files its readers are tested on.
+# ---------------------------------------------------------------------------
+
+def _scratch(sf_dir: str, name: str) -> str:
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return f"/root/repo/.scratch/{name}_{base}"
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS total
+    FROM orders
+    """,
+)
+def q_source_csv(spark, sf_dir):
+    """S6/S7 — the reference's primary fact source is CSV-over-HTTP
+    read with inferred types and header promotion (pd.read_csv,
+    trading212.py:108; Sheets grid header at trading212.py:124-125).
+    Engine form: header CSV written once, scanned back with a pinned
+    schema — no inference, one distributed multi-file read instead of
+    per-chunk appends."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .sources.readers import read_csv_pinned
+
+    path = _scratch(sf_dir, "csv_orders")
+    (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    return read_csv_pinned(spark, path, schema)
+
+
+@register(
+    "source_json_flatten",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS "account.status",
+           round(o_totalprice, 2) AS "account.total"
+    FROM orders
+    """,
+)
+def q_source_json(spark, sf_dir):
+    """S2-S5/F13 — REST-JSON-records source with nested structs,
+    flattened to dot-joined columns (pd.json_normalize semantics,
+    trading212.py:59): nested account records written as JSON lines,
+    read back with a pinned nested schema, star-expanded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .sources.readers import flatten_struct, read_json_records
+
+    path = _scratch(sf_dir, "json_accounts")
+    (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.round("o_totalprice", 2).alias("total"),
+            ).alias("account"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "account",
+                T.StructType(
+                    [
+                        T.StructField("status", T.StringType()),
+                        T.StructField("total", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return flatten_struct(read_json_records(spark, path, schema))
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_partitioned(spark, sf_dir):
+    """S8 + §7 — hive-partitioned Parquet sink, then a pruned read:
+    orders written partitionBy(o_orderstatus) — the principled form of
+    the reference's manual 365-day chunking (trading212.py:86-97) —
+    and read back with a partition filter, so the scan touches only
+    the o_orderstatus=F directory (PartitionFilters in the plan, 1/3
+    of the data ever read)."""
+    from pyspark.sql import functions as F
+
+    from .sources.writers import write_parquet
+
+    path = _scratch(sf_dir, "parquet_orders_by_status")
+    write_parquet(
+        _t(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.3 Joins (absent in reference; the intended semantics of the broken
 # account-id enrichment at trading212.py:109, and the driver star schema)
 # ---------------------------------------------------------------------------
@@ -173,6 +312,90 @@ def q_join_outer(spark, sf_dir):
             ),
             F.count("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+@register(
+    "join_asof_backward",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice,
+           o.o_orderdate AS last_orderdate
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """§2.3 extension — backward as-of join (merge_asof / ASOF JOIN):
+    each event gains the latest order of that user at or before the
+    event time. Built as tagged-union + keyed window — one shuffle, no
+    range-join blowup (operators/asof.py). DuckDB ASOF leaves ties on
+    (key, ts) unspecified, so the oracle pre-dedupes to the max
+    orderkey — the same row Spark's right_order tiebreak selects."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join(
+        e, o, "ts", "o_orderdate", "user_id", "o_custkey",
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_order="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_shipped_90d,
+           round(coalesce(sum(l.l_extendedprice), 0.0), 2) AS value_shipped_90d
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_range_interval(spark, sf_dir):
+    """§2.3 extension — interval range join: lineitems shipped within
+    90 days of their order's date. The equi-key conjunct keeps it a
+    hash join (the range is a residual filter), never a nested-loop
+    cross product."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import interval_range_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = interval_range_join(
+        o,
+        li,
+        on=li.l_orderkey == o.o_orderkey,
+        lower=li.l_shipdate >= o.o_orderdate,
+        upper=li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        how="left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_orderkey").alias("n_shipped_90d"),
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias(
+            "value_shipped_90d"
+        ),
     )
 
 
@@ -515,6 +738,62 @@ def q_events_json(spark, sf_dir):
     from .operators.events import json_props
 
     return json_props(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_events_session_window(spark, sf_dir):
+    """§2.9 — native session_window sessionization (the operator
+    Structured Streaming runs stateful; batch form here). Note the
+    merge boundary: a gap of exactly 30 min starts a NEW session
+    (strict window overlap), hence the oracle's >= on the gap —
+    vs events_sessionize_30m whose lag-based rule uses >."""
+    from .operators.events import session_window_agg
+
+    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@register("streaming_dedup_exactly_once")  # rows-only: stateful streaming
+def q_streaming_dedup(spark, sf_dir):
+    """§2.9 streaming — watermark-bounded dropDuplicatesWithinWatermark
+    ingest (the principled T2, trading212.py:100-111 + 121). Equality
+    with batch distinct counts asserted in tests/test_events.py."""
+    from .streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+@register("streaming_stateful_user_stats")  # rows-only: arbitrary state op
+def q_streaming_user_stats(spark, sf_dir):
+    """§2.9 streaming — custom stateful operator via
+    applyInPandasWithState: per-user running (count, max). Batch
+    equivalence asserted in tests/test_events.py."""
+    from .streaming.windows import run_streaming_user_stats
+
+    return run_streaming_user_stats(spark, sf_dir)
 
 
 @register("streaming_tumbling_1h")  # rows-only: streaming, not SQL-expressible
@@ -1022,6 +1301,222 @@ def q_timestamp_funcs(spark, sf_dir):
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("h"),
         F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS abs_diff,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """§2.8 — math scalar battery (absent in reference; SURVEY lists
+    it as required corpus). Restricted to operations with bit-identical
+    cross-engine semantics: +-*/, abs/floor/ceil/sqrt/pow/mod/sign —
+    no exp/ln whose libm rounding differs between JVMs and DuckDB."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (SELECT l_orderkey, l_linenumber,
+                      range(1, CAST(l_linenumber AS BIGINT) + 1) AS a
+               FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CAST(len(a) AS INTEGER) AS n_elems,
+           a[-1] AS last_elem,
+           list_contains(a, 3) AS has_three,
+           array_to_string(list_reverse_sort(a), ',') AS desc_csv,
+           CAST(list_aggregate(a, 'max') AS BIGINT) AS a_max,
+           CAST(list_sum(a) AS BIGINT) AS a_sum
+    FROM t
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """§2.8 — array function battery over generated sequences:
+    size/element_at/contains/sort/aggregate, all higher-order
+    JVM-side expressions (ArrayType is the embedding/multimodal
+    substrate, SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.col("__a")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sequence(F.lit(1).cast("long"), F.col("l_linenumber").cast("long")).alias(
+                "__a"
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(a).alias("n_elems"),
+            F.element_at(a, -1).alias("last_elem"),
+            F.array_contains(a, 3).alias("has_three"),
+            F.array_join(F.sort_array(a, asc=False), ",").alias("desc_csv"),
+            F.array_max(a).alias("a_max"),
+            F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "a_sum"
+            ),
+        )
+    )
+
+
+@register(
+    "null_conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_totalprice > 200000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS price_bucket,
+           (o_orderstatus = 'O') AS is_open,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS finished_price,
+           coalesce(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, -1.0)
+             AS finished_or_default
+    FROM orders
+    """,
+)
+def q_null_conditional(spark, sf_dir):
+    """§2.8 — null-handling + conditional battery: coalesce/nullif/
+    CASE chains/boolean projection (the engine form of the scattered
+    if/else record logic at trading212.py:65-69, 106-107)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    finished = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_norm"),
+        F.when(F.col("o_totalprice") > 200000.0, "high")
+        .when(F.col("o_totalprice") > 100000.0, "mid")
+        .otherwise("low")
+        .alias("price_bucket"),
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+        finished.alias("finished_price"),
+        F.coalesce(finished, F.lit(-1.0)).alias("finished_or_default"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """§2.4 — explicit GROUPING SETS with grouping_id disambiguation,
+    via the SQL surface (spark.sql over a temp view): the general form
+    of rollup/cube, one Expand + one aggregate exchange."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                 AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           round(var_samp(l_discount), 6) AS disc_var,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS price_median,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stat_aggs(spark, sf_dir):
+    """§2.4 — statistical aggregate battery: stddev/variance/corr/
+    covar + exact interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). Exact percentile sorts within groups —
+    at 100 TB swap in approx_percentile (t-digest, mergeable sketch)."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("price_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("price_p90"),
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT round(max(o.o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_subquery_correlated(spark, sf_dir):
+    """§2.3/§3 — correlated scalar subquery + EXISTS via the SQL
+    surface; Catalyst decorrelates both into aggregates + joins
+    (RewriteCorrelatedScalarSubquery — SURVEY §4 'for free' list)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT round(max(o.o_totalprice), 2) FROM v_orders_sq o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM v_customer_sq c
+        WHERE EXISTS (SELECT 1 FROM v_orders_sq o
+                      WHERE o.o_custkey = c.c_custkey)
+        """
     )
 
 

@@ -53,6 +53,125 @@ def streaming_tumbling_agg(
     )
 
 
+def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over the corpus events parquet, ts converted
+    from nanos exactly as the batch reader does (sources/readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(events_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest: watermark-bounded dedup on the
+    event id — the principled replacement for the reference's
+    poll-loop ingestion + full-table drop_duplicates (T2,
+    trading212.py:100-111, 121).
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and
+    evicts ids older than the watermark, so state is bounded by the
+    dedup horizon instead of growing with the stream. Returns per-type
+    counts of the deduplicated stream (equals batch distinct counts —
+    asserted in tests/test_events.py).
+    """
+    dedup = _events_stream(spark, events_dir).withWatermark(
+        "ts", "2 hours"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    name = "stream_dedup_out"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, max value) — the arbitrary-state
+    API for semantics watermark+window aggregation cannot express
+    (the engine's extension point for e.g. CEP or online features).
+
+    State is one (count, max) pair per user — O(|users|), not
+    O(|events|). The update function is closure-local so it pickles by
+    value (workers cannot import this package). Batch equivalence
+    (groupBy user agg count/max) is asserted in tests/test_events.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    stats = (
+        _events_stream(spark, events_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "stream_user_stats_out"
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # one batch (availableNow-style full read) -> one row per user; a
+    # multi-batch run would emit one row per (user, batch) with the
+    # running totals, so keep the last per user for generality
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession, events_dir: str, duration: str = "1 hour"
 ) -> DataFrame:
