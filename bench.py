@@ -29,17 +29,21 @@ HEADLINE = [
     "agg_pricing_summary",        # TPC-H Q1 hash-aggregate battery
     "join_multiway_star",         # fact x 3 broadcast dims + group-by
     "join_outer_coalesce",        # left-outer + aggregate
+    "join_asof_backward",         # as-of join: union + keyed window
+    "join_range_interval",        # equi-anchored interval join
     "window_lag_lead_running",    # analytic window battery
     "window_topn_per_group",      # rank-limit
     "union_dedup_chunks",         # union + all-column distinct
     "events_tumbling_1h",         # event-time tumbling aggregate
     "events_sessionize_30m",      # gap sessionization
+    "events_session_window",      # native session_window
     "dedup_exact",                # sha256 digest group-by
     "dedup_minhash_lsh",          # MinHash+LSH near-dup (scale path)
     "dedup_simhash",              # SimHash banding
     "text_quality_score",         # text heuristics, pure projection
     "text_token_stats",           # tokenizer battery
     "similarity_topk_bruteforce", # broadcast query x corpus scan
+    "similarity_topk_ivf",        # IVF cell-probe ANN
     "embedding_norms",            # higher-order vector functions
     "multimodal_image_meta",      # Arrow mapInPandas decode
     "sort_limit_topk",            # TakeOrderedAndProject

@@ -19,6 +19,7 @@ from trading212_etl_spark.operators.multimodal import (
 )
 from trading212_etl_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from trading212_etl_spark.sources import load_table
@@ -75,6 +76,25 @@ def test_similarity_lsh_recall(spark, sf_dir):
     )
     recall = hits / len(brute)
     assert recall >= 0.5, f"multi-table LSH recall too low: {recall}"
+
+
+def test_similarity_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = cosine_topk_bruteforce(emb, queries, k=10).toPandas()
+    approx = cosine_topk_ivf(emb, queries, k=10, n_centroids=8, n_probe=3).toPandas()
+    assert set(approx["query_id"]) == set(brute["query_id"])
+    for qid in set(brute["query_id"]):
+        assert (
+            approx[approx.query_id == qid].cos_sim.max()
+            <= brute[brute.query_id == qid].cos_sim.max() + 1e-9
+        )
+    hits = len(
+        set(map(tuple, approx[["query_id", "corpus_id"]].values))
+        & set(map(tuple, brute[["query_id", "corpus_id"]].values))
+    )
+    recall = hits / len(brute)
+    assert recall >= 0.7, f"IVF n_probe=3/8 recall too low: {recall}"
 
 
 def test_multimodal_decode_shapes(spark, sf_dir):

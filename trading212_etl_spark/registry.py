@@ -639,6 +639,120 @@ def q_window_lag_lead(spark, sf_dir):
     )
 
 
+@register(
+    "window_analytic_battery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cdist,
+           first_value(o_orderkey) OVER w AS top_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_analytic_battery(spark, sf_dir):
+    """§2.5 — second window battery: dense_rank/ntile/percent_rank/
+    cume_dist/first_value/nth_value. One exchange on the partition key
+    serves every function (same window spec ⇒ shared sort)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events)
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                            AND CURRENT ROW), 2)
+             AS value_1h,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+             AS n_1h
+    FROM e
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """§2.5 — event-time RANGE frame (sliding 1-hour lookback per
+    event): the per-event rolling aggregate shape. Spark's RANGE frame
+    needs a numeric ordering column, so ts is ordered as epoch
+    seconds with a 3600-second frame — identical semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "explode_unnest",
+    oracle="""
+    WITH t AS (SELECT l_orderkey, l_linenumber,
+                      unnest(range(1, CAST(least(l_linenumber, 3) AS BIGINT) + 1))
+                        AS elem
+               FROM lineitem WHERE l_linenumber >= 2)
+    SELECT l_orderkey, l_linenumber,
+           CAST(elem - 1 AS INTEGER) AS pos,
+           elem
+    FROM t
+    """,
+)
+def q_explode_unnest(spark, sf_dir):
+    """§2.8/U — posexplode (LATERAL VIEW / unnest-with-ordinality):
+    the 1→N row generator every shingling/frame-sampling operator is
+    built on, here in its bare oracle-checkable form."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.posexplode(
+            F.sequence(
+                F.lit(1).cast("long"),
+                F.least(F.col("l_linenumber"), F.lit(3)).cast("long"),
+            )
+        ).alias("pos", "elem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.9 Event-time operators (batch forms; streaming twins in streaming/)
 # ---------------------------------------------------------------------------
@@ -1046,6 +1160,23 @@ def q_similarity_lsh(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=4)
+
+
+@register("similarity_topk_ivf")  # rows-only: cells are seed-dependent
+def q_similarity_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k: corpus partitioned into
+    centroid cells, queries probe their 3 nearest of 8 cells. At scale
+    the corpus is written partitionBy(cell) so a probe prunes to
+    n_probe partitions. Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, n_centroids=8, n_probe=3
+    )
 
 
 @register(
