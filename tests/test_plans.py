@@ -80,6 +80,51 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     )
 
 
+def test_bucketed_join_shuffles_nothing(spark):
+    """Both sides bucketed on the join key ⇒ the join reads buckets
+    co-located and the plan contains NO shuffle exchange at all (the
+    final aggregate reuses the bucket partitioning too). Broadcast is
+    disabled so the test exercises the bucketed fact-fact path — at
+    test scale Catalyst would otherwise (correctly) just broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, "sink_bucketed_colocated_join")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "Bucketed: true" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_approx_sketches_within_bounds(spark):
+    """HLL++ rsd=2% and t-digest percentiles must land near the exact
+    answers (the invariant that makes them usable at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in registry.QUERIES["agg_approx_sketches"](spark, SF).collect()
+    }
+    from trading212_etl_spark.sources import load_table
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["n_orders_approx"] - e["n_orders"]) <= max(3, 0.05 * e["n_orders"])
+        assert abs(a["median_approx"] - e["median"]) <= 0.05 * e["median"]
+        assert abs(a["p90_approx"] - e["p90"]) <= 0.05 * e["p90"]
+
+
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
     exchange keyed on the join key, and no join operator at all."""

@@ -206,29 +206,49 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFrame:
-    """SimHash sketch per document: sign of the per-bit sum of token
-    hashes (+1/-1). Computed as ``n_bits`` conditional sums inside ONE
-    hash aggregate — a single shuffle on doc id carrying token hashes,
-    no Python. ``n_bits`` ≤ 62 keeps the sketch in a signed long."""
+    """SimHash sketch per document: bit i of the sketch is set iff a
+    majority of token hashes have bit i set (sign of the ±1 bit sum).
+
+    Computed with **packed bit-counting**: per token, bits are spread
+    into 16-bit lanes of ``n_bits/4`` longs; one ``sum`` per packed
+    long counts 4 bits at once, so the hash aggregate carries
+    ``n_bits/4 + 1`` buffers instead of ``n_bits`` — 4x less aggregate
+    state and codegen. Lane-overflow bound: documents must have
+    < 32768 tokens (chunk longer docs upstream). One shuffle on doc
+    id, no Python anywhere."""
+    assert n_bits % 4 == 0, "n_bits must pack into 4-lane longs"
+    n_groups = n_bits // 4
     tok = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens("text")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(n_bits)
+
+    def packed(g: int) -> Column:
+        # 4 bits (4g..4g+3) of h, one per 16-bit lane
+        lanes = [
+            F.shiftleft(
+                F.shiftright(F.col("h"), 4 * g + j).bitwiseAND(F.lit(1)).cast("long"),
+                16 * j,
+            )
+            for j in range(4)
         ]
+        out = lanes[0]
+        for lane in lanes[1:]:
+            out = out + lane
+        return out
+
+    counts = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(packed(g)).alias(f"p{g}") for g in range(n_groups)],
     )
-    sketch = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(2 ** i).cast("long")
-        sketch = bit if sketch is None else sketch + bit
-    return bit_sums.select(F.col("id").alias(id_col), sketch.alias("simhash"))
+    sketch = F.lit(0).cast("long")
+    for g in range(n_groups):
+        for j in range(4):
+            bit_count = F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            # majority rule: 2c - n > 0, identical to sum(+1/-1) > 0
+            sketch = sketch + F.when(
+                bit_count * 2 > F.col("n"), F.lit(2 ** (4 * g + j)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col("id").alias(id_col), sketch.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -316,6 +316,80 @@ def q_join_outer(spark, sf_dir):
 
 
 @register(
+    "sink_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(count(l.l_linenumber) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS lines_value
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_sink_bucketed_join(spark, sf_dir):
+    """S8/§7 — bucketed tables + co-located join: both sides written
+    bucketBy(8, join key) so the fact-fact join needs NO shuffle at
+    read time (plan shows SortMergeJoin with zero Exchange below it —
+    asserted in tests/test_plans.py). At 100 TB this is THE lever for
+    repeated fact-fact joins: pay the shuffle once at write time."""
+    from pyspark.sql import functions as F
+
+    from .sources.writers import write_parquet
+
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_lineitem = f"bucketed_orders_{base}", f"bucketed_lineitem_{base}"
+    # drop stale tables AND their locations: the in-memory catalog of a
+    # fresh session doesn't know about last session's warehouse dirs,
+    # and saveAsTable refuses to reuse an existing location
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lineitem):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_parquet(
+        _t(spark, sf_dir, "orders"),
+        "",
+        bucket_by=(8, ["o_orderkey"]),
+        table_name=t_orders,
+    )
+    write_parquet(
+        _t(spark, sf_dir, "lineitem"),
+        "",
+        bucket_by=(8, ["l_orderkey"]),
+        table_name=t_lineitem,
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("l_linenumber").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("lines_value"),
+        )
+    )
+
+
+@register("agg_approx_sketches")  # rows-only: HLL/t-digest are engine-specific
+def q_agg_approx_sketches(spark, sf_dir):
+    """§2.4 — mergeable-sketch aggregates, the 100 TB substitutes for
+    exact distinct/percentile: approx_count_distinct (HyperLogLog++)
+    and approx_percentile (t-digest class). Error bounds vs the exact
+    values are asserted in tests/test_plans.py — no oracle because
+    sketch estimates are engine-specific by construction."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_orders_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+    )
+
+
+@register(
     "join_asof_backward",
     oracle="""
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
