@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",                # sha256 digest group-by
     "dedup_minhash_lsh",          # MinHash+LSH near-dup (scale path)
     "dedup_simhash",              # SimHash banding
+    "pipeline_curate_corpus",     # full curation chain (north star)
     "text_quality_score",         # text heuristics, pure projection
     "text_token_stats",           # tokenizer battery
     "similarity_topk_bruteforce", # broadcast query x corpus scan

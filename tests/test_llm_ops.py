@@ -13,8 +13,10 @@ from trading212_etl_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from trading212_etl_spark.operators.multimodal import (
+    audio_features_stub,
     decode_image_meta,
     frame_sample_stub,
+    resize_stub,
     with_binary_payload,
 )
 from trading212_etl_spark.operators.similarity import (
@@ -112,3 +114,17 @@ def test_multimodal_decode_shapes(spark, sf_dir):
         F.sum(F.ceil(F.length("text") / 100.0).cast("long"))
     ).first()[0]
     assert frames.count() == n_expected
+
+
+def test_multimodal_resize_and_audio_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payload = with_binary_payload(docs)
+    resized = resize_stub(payload, target_w=64, target_h=48).toPandas()
+    assert len(resized) == docs.count()
+    assert (resized["width"] == 64).all() and (resized["height"] == 48).all()
+    assert all(len(img) == 64 * 48 * 3 for img in resized["image"])
+    feats = audio_features_stub(payload, n_mels=16).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(v) == 16 for v in feats["features"])
+    # ASCII corpus: bucketed byte means stay in printable range
+    assert all(32 < x < 127 for v in feats["features"] for x in v)

@@ -201,6 +201,20 @@ def minhash_lsh_pairs(
     )
 
 
+def remove_near_dups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalize a near-dup pair set into a keep/drop decision:
+    drop every doc that appears as the *higher* id of any pair (keep
+    the lowest id of each connected component's star; full transitive
+    closure would need iterative connected components — documented
+    simplification, same rule on the oracle side).
+
+    Anti-join on the drop set: one broadcast-able exchange."""
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

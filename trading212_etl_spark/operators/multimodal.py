@@ -91,6 +91,84 @@ def decode_image_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+def resize_stub(binary_df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """STUB image resize: binary in → binary out with target-dim
+    metadata (a real deployment swaps the kernel body for
+    PIL ``Image.resize``; here the payload is deterministically
+    truncated/cycled to w*h*3 bytes so downstream schema and sizing
+    logic are real). The 1→1 binary-to-binary mapInPandas shape —
+    the template for any re-encode kernel."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h * 3
+
+        def fake_resize(payload: bytes) -> bytes:
+            # STUB kernel — deterministic fake: cycle payload bytes to
+            # the target buffer size (real: decode + resample + encode)
+            if not payload:
+                return bytes(n_out)
+            reps = n_out // len(payload) + 1
+            return (payload * reps)[:n_out]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "image": [fake_resize(p) for p in pdf["payload"]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return binary_df.mapInPandas(resize, out_schema)
+
+
+def audio_features_stub(binary_df: DataFrame, n_mels: int = 16) -> DataFrame:
+    """STUB audio feature extraction: binary in → fixed-width float
+    feature vector out (a real deployment computes a log-mel
+    spectrogram via librosa/torchaudio; here bucketed byte means stand
+    in, deterministically). The binary→vector mapInPandas shape — the
+    template for any embedding/featurization kernel, output ready for
+    the similarity operators (ArrayType(FloatType))."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_mels(payload: bytes) -> list[float]:
+            # STUB kernel — deterministic fake: per-bucket byte means
+            if not payload:
+                return [0.0] * n_mels
+            step = max(len(payload) // n_mels, 1)
+            return [
+                float(sum(payload[i * step:(i + 1) * step]) / max(len(payload[i * step:(i + 1) * step]), 1))
+                for i in range(n_mels)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "features": [fake_mels(p) for p in pdf["payload"]],
+                    "n_frames": [max(len(p) // n_mels, 1) for p in pdf["payload"]],
+                }
+            )
+
+    return binary_df.mapInPandas(featurize, out_schema)
+
+
 def frame_sample_stub(binary_df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """STUB frame sampler: emits one 'frame' row per ``every_n_bytes``
     of payload (a real video pipeline emits one row per sampled frame

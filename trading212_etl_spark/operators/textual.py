@@ -68,27 +68,23 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality scoring (length / stopword / symbol ratios) —
-    the C4/Gopher-style filter shape.
-
-    The composite score is computed in integer **basis points**
-    (0-10000), never in weighted floating point: decimal weights ×
-    dyadic token ratios produce exact-decimal ``.xxxx5`` values where
-    Spark's BigDecimal HALF_UP round and DuckDB's double-multiply
-    round disagree by one ulp. Integer arithmetic (and floor of
-    small-denominator rationals, which double division computes
-    exactly enough to floor safely) is bit-identical on both engines.
+def quality_bp_col(toks: Column, text: Column) -> Column:
+    """Composite quality score in integer **basis points** (0-10000)
+    over a materialized token column — never weighted floating point:
+    decimal weights × dyadic token ratios produce exact-decimal
+    ``.xxxx5`` values where Spark's BigDecimal HALF_UP round and
+    DuckDB's double-multiply round disagree by one ulp. Integer
+    arithmetic (and floor of small-denominator rationals) is
+    bit-identical on both engines.
 
     Components: 3000·min(mean_token_len/10, 1) + 4000·min(4·stop_ratio, 1)
     + 2000·[10 ≤ n_tokens ≤ 1000] + 1000·(1 - min(10·symbol_ratio, 1)).
     """
-    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_tok1 = F.greatest(n_tok, F.lit(1))
-    n_chars1 = F.greatest(F.length("text"), F.lit(1))
+    n_chars1 = F.greatest(F.length(text), F.lit(1))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9\\s]"), 0))
+    n_sym = F.size(F.regexp_extract_all(text, F.lit("[^a-z0-9\\s]"), 0))
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -104,18 +100,46 @@ def quality_score(docs: DataFrame) -> DataFrame:
     comp_sym = F.lit(1000).cast("long") - F.when(
         10 * n_sym >= n_chars1, F.lit(1000).cast("long")
     ).otherwise(F.floor(F.lit(10000) * n_sym / n_chars1))
+    return comp_len + comp_stop + comp_len_ok + comp_sym
+
+
+def lang_pred_col(toks: Column) -> Column:
+    """Deterministic stopword-profile argmax (priority en→de→es→fr on
+    ties) over a materialized token column."""
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    return (
+        F.when(s_en >= F.greatest(s_de, s_es, s_fr), "en")
+        .when(s_de >= F.greatest(s_es, s_fr), "de")
+        .when(s_es >= s_fr, "es")
+        .otherwise("fr")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (length / stopword / symbol ratios) —
+    the C4/Gopher-style filter shape. See :func:`quality_bp_col` for
+    the cross-engine-exact integer formulation."""
+    toks = F.col("__toks")
+    n_tok1 = F.greatest(F.size(toks), F.lit(1))
+    n_chars1 = F.greatest(F.length("text"), F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    n_sym = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9\\s]"), 0))
     return _with_tokens(docs, "doc_id", "text").select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         F.round(n_stop.cast("double") / n_tok1, 4).alias("stopword_ratio"),
         F.round(n_sym.cast("double") / n_chars1, 4).alias("symbol_ratio"),
-        (comp_len + comp_stop + comp_len_ok + comp_sym).alias("quality_bp"),
+        quality_bp_col(toks, F.col("text")).alias("quality_bp"),
     )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: stopword-profile hit counts per language,
-    deterministic argmax (priority order en→de→es→fr on ties).
+    deterministic argmax (see :func:`lang_pred_col`).
 
     The classic fastText/CLD replacement shape for when a model can't
     run in the engine: cheap, vectorized, JVM-side.
@@ -125,21 +149,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
         for lang, words in STOPWORDS.items()
     }
-    s_en, s_de, s_es, s_fr = scores["en"], scores["de"], scores["es"], scores["fr"]
-    pred = (
-        F.when(s_en >= F.greatest(s_de, s_es, s_fr), "en")
-        .when(s_de >= F.greatest(s_es, s_fr), "de")
-        .when(s_es >= s_fr, "es")
-        .otherwise("fr")
-    )
     return _with_tokens(docs, "doc_id", "lang").select(
         "doc_id",
         "lang",
-        s_en.alias("score_en"),
-        s_de.alias("score_de"),
-        s_es.alias("score_es"),
-        s_fr.alias("score_fr"),
-        pred.alias("lang_pred"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        scores["fr"].alias("score_fr"),
+        lang_pred_col(toks).alias("lang_pred"),
     )
 
 

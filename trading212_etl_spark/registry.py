@@ -1324,6 +1324,27 @@ def q_multimodal_meta(spark, sf_dir):
     return decode_image_meta(with_binary_payload(_t(spark, sf_dir, "documents")))
 
 
+@register("multimodal_resize")  # rows-only: binary->binary stub kernel
+def q_multimodal_resize(spark, sf_dir):
+    """STUB resize: binary→binary mapInPandas re-encode shape with
+    typed target dims. Byte-size invariants in tests/test_llm_ops.py."""
+    from .operators.multimodal import resize_stub, with_binary_payload
+
+    return resize_stub(
+        with_binary_payload(_t(spark, sf_dir, "documents")), 64, 48
+    )
+
+
+@register("multimodal_audio_features")  # rows-only: binary->vector stub kernel
+def q_multimodal_audio(spark, sf_dir):
+    """STUB audio featurization: binary→float-vector mapInPandas shape
+    (output schema matches the similarity operators' embedding
+    contract). Vector-shape invariants in tests/test_llm_ops.py."""
+    from .operators.multimodal import audio_features_stub, with_binary_payload
+
+    return audio_features_stub(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
 @register("multimodal_frame_sample")  # rows-only: 1->N mapInPandas shape
 def q_multimodal_frames(spark, sf_dir):
     """STUB frame sampler: one row per 100 payload bytes — the 1→N
@@ -1331,6 +1352,79 @@ def q_multimodal_frames(spark, sf_dir):
     from .operators.multimodal import frame_sample_stub, with_binary_payload
 
     return frame_sample_stub(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, {_TOKS} AS toks,
+             regexp_extract_all(text, '[^a-z0-9\\s]') AS syms
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, lang, toks,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             greatest(len(toks), 1) AS n_tok1,
+             greatest(length(text), 1) AS n_chars1,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','and','of','to','in','is'], x))) AS n_stop,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','ein'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(
+               ['el','los','de','y','que','una'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(
+               ['le','la','et','les','des','un'], x))) AS s_fr,
+             len(syms) AS n_sym,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, text, lang, toks, n_tokens,
+             CAST(
+               (CASE WHEN sum_len >= 10 * n_tok1 THEN 3000
+                     ELSE CAST(floor(300 * sum_len / n_tok1) AS BIGINT) END)
+               + (CASE WHEN 4 * n_stop >= n_tok1 THEN 4000
+                       ELSE CAST(floor(16000 * n_stop / n_tok1) AS BIGINT) END)
+               + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 2000 ELSE 0 END)
+               + (1000 - CASE WHEN 10 * n_sym >= n_chars1 THEN 1000
+                              ELSE CAST(floor(10000 * n_sym / n_chars1) AS BIGINT)
+                         END)
+             AS BIGINT) AS quality_bp,
+             CASE WHEN n_stop >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM m
+    ),
+    kept AS (SELECT * FROM scored
+             WHERE quality_bp >= 5200 AND lang_pred IN ('en')),
+    canon_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+    canonical AS (SELECT k.* FROM kept k JOIN canon_ids USING (doc_id)),
+    sh AS (SELECT doc_id AS id, {_SHINGLES} AS shingles FROM canonical),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+          FROM sh),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id),
+    drops AS (SELECT DISTINCT doc_b AS doc_id FROM c
+              WHERE round(CAST(n_common AS DOUBLE)
+                          / (size_a + size_b - n_common), 4) >= 0.5)
+    SELECT doc_id, lang, lang_pred, quality_bp, n_tokens
+    FROM canonical WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def q_pipeline_curate(spark, sf_dir):
+    """North-star composition — the full training-data curation chain
+    (quality filter → language filter → exact dedup → near-dup
+    removal) as ONE oracle-checked plan: the documents-table analog of
+    the reference's flagship transactions pipeline (SURVEY §3 EP3)."""
+    from .plans.curate import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
