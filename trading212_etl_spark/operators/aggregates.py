@@ -39,6 +39,44 @@ def string_agg_first_n(
     )
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profiling summary: (column, n_nonnull, n_distinct,
+    min_str, max_str) per profiled column — the data-quality first
+    pass of any ingest (the reference eyeballed its Google Sheet,
+    SURVEY §5).
+
+    ONE aggregate pass computes 4·|cols| measures into a single row
+    (map-side partial combine ⇒ a 100 TB profile moves |cols| numbers
+    per task), then pivots to rows via an inline explode — never one
+    scan per column."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__n_{c}").alias("n_nonnull"),
+                        F.col(f"__d_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_str"),
+                        F.col(f"__max_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.column", "p.n_nonnull", "p.n_distinct", "p.min_str", "p.max_str")
+
+
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the canonical group-by battery
     (sum/avg/count over arithmetic expressions). Absent from the

@@ -633,6 +633,191 @@ def q_agg_pivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape — selective dims broadcast into the fact scan,
+    aggregate, top-10 (TakeOrderedAndProject). Fully deterministic
+    ordering (revenue, date, key) so LIMIT picks identical rows on
+    both engines."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-03-15 00:00:00"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-03-15 00:00:00"
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150.0
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape — aggregate-HAVING subquery as a semi-join
+    (Catalyst rewrites IN-subquery to left-semi; at scale the inner
+    aggregate's output is small enough to broadcast into the fact)."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150.0)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(l_quantity) AS BIGINT) AS n,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark, sf_dir):
+    """§7 scale tooling — two-phase salted aggregation: identical
+    result to a plain group-by (the oracle), but the hot key's rows
+    spread over 16 salt buckets in phase 1, so one skewed key can
+    never produce a straggler task. l_returnflag (3 values over 600k
+    rows) IS a skewed key at scale."""
+    from pyspark.sql import functions as F
+
+    from .partitioning import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column, count(o_orderkey) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(o_totalprice),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile_columns(spark, sf_dir):
+    """Data-quality profiling — per-column nonnull/distinct/min/max in
+    ONE aggregate pass + inline pivot-to-rows (the oracle's 4-scan
+    UNION ALL is the naive formulation this operator avoids)."""
+    from .operators.aggregates import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+@register(
+    "streaming_foreachbatch_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_foreachbatch(spark, sf_dir):
+    """§2.9 streaming — foreachBatch micro-batch parquet ingestion
+    (the principled T2 ingest loop): stream → idempotent per-batch-id
+    parquet → read back. The oracle aggregates the ORIGINAL events, so
+    a hash match proves the ingest is lossless and duplicate-free."""
+    from pyspark.sql import functions as F
+
+    from .streaming.windows import run_foreachbatch_ingest
+
+    out_dir = _scratch(sf_dir, "ingested_events")
+    ingested = run_foreachbatch_ingest(spark, sf_dir, out_dir)
+    return ingested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
     "window_keep_first",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice

@@ -172,6 +172,36 @@ def run_streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def run_foreachbatch_ingest(
+    spark: SparkSession, events_dir: str, out_dir: str
+) -> DataFrame:
+    """Micro-batch ingestion via ``foreachBatch``: each batch lands as
+    parquet under ``out_dir`` — the engine form of the reference's
+    poll-for-CSV-then-append ingest loop (T2, trading212.py:100-111),
+    with the checkpoint/batch-id giving the exactly-once bookkeeping
+    the reference's full-table dedup crudely approximated.
+
+    Returns the re-read of the ingested parquet, so downstream logic
+    (and the DuckDB oracle) can verify the ingest was lossless.
+    """
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = _events_stream(spark, events_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per batch-id: re-running a failed batch overwrites
+        # its own directory, never duplicates rows
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = stream.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession, events_dir: str, duration: str = "1 hour"
 ) -> DataFrame:
