@@ -23,6 +23,8 @@ from trading212_etl_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
 )
 from trading212_etl_spark.sources import load_table
 
@@ -78,6 +80,22 @@ def test_similarity_lsh_recall(spark, sf_dir):
     )
     recall = hits / len(brute)
     assert recall >= 0.5, f"multi-table LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert exact, "corpus should contain near-dup embeddings at 0.4"
+    assert lsh <= exact, "every LSH pair is exactly scored -> subset"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"8-table LSH recall too low: {recall}"
 
 
 def test_similarity_ivf_recall(spark, sf_dir):

@@ -297,6 +297,61 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 100 TB path for
+    :func:`embedding_near_dup_pairs`: candidate pairs must co-bucket
+    in at least one hyperplane table (equi-join on (table, bucket)),
+    then exact cosine filters. Never a cross join; precision is exact
+    (every emitted pair is scored), recall is the multi-table OR curve
+    (tests assert subset-of-exact + recall floor)."""
+    tables =[_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    v = fan_out(corpus).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
+    )
+    banded = v.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("emb"), planes).alias("bkt"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", "tb.tbl", "tb.bkt")
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "tbl", "bkt"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "tbl", "bkt"
+    )
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_dp).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, threshold: float = 0.95, round_dp: int = 4, max_id: int | None = None
 ) -> DataFrame:

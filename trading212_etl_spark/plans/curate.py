@@ -58,7 +58,12 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    canonical = kept.join(canonical_ids, "doc_id", "left_semi")
+    # materialize the surviving docs once: the near-dup stage consumes
+    # canonical three times (both shingle-join sides + the final
+    # anti-join), and without a checkpoint each consumer re-runs
+    # tokenize+score+dedup (measured 2x wall on the full pipeline).
+    # At cluster scale this is where you'd persist to memory/disk.
+    canonical = kept.join(canonical_ids, "doc_id", "left_semi").localCheckpoint()
     pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n)
     return remove_near_dups(canonical, pairs).select(
         "doc_id", "lang", "lang_pred", "quality_bp", "n_tokens"

@@ -718,6 +718,44 @@ def q_tpch_q18(spark, sf_dir):
 
 
 @register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape — conditional aggregation over a fact⋈dim join
+    with a LIKE predicate; the date filter prunes at the scan, part
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-02-01 00:00:00")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.00) * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle="""
     SELECT l_returnflag,
@@ -1455,6 +1493,18 @@ def q_embedding_near_dup(spark, sf_dir):
     from .operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("embedding_near_dup_lsh")  # rows-only: buckets are sketch-dependent
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the scale path for
+    embedding_near_dup (co-bucket candidates, exact cosine filter).
+    Subset-of-exact + recall floor asserted in tests/test_llm_ops.py."""
+    from .operators.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 @register(
