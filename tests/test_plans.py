@@ -125,6 +125,35 @@ def test_approx_sketches_within_bounds(spark):
         assert abs(a["p90_approx"] - e["p90"]) <= 0.05 * e["p90"]
 
 
+# Queries where a nested-loop join IS the intended plan: brute-force
+# similarity broadcasts the tiny query set against the corpus scan
+# (O(n*q) by contract), and the exact near-dup op is the test-scale
+# verifier whose scale path is the LSH variant.
+NESTED_LOOP_BY_DESIGN = {"similarity_topk_bruteforce", "embedding_near_dup"}
+
+
+def test_no_accidental_nested_loops_or_python(spark):
+    """Audit EVERY batch registry entry: no CartesianProduct, no
+    BroadcastNestedLoopJoin outside the allowlist, and no row-at-a-time
+    Python (BatchEvalPython) anywhere — Arrow mapInPandas is the only
+    sanctioned Python entry point."""
+    offenders = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name.startswith("streaming"):  # streaming harnesses execute eagerly
+            continue
+        p = plan(spark, name)
+        flags = [
+            m
+            for m in ("CartesianProduct", "BatchEvalPython")
+            if m in p
+        ]
+        if "BroadcastNestedLoopJoin" in p and name not in NESTED_LOOP_BY_DESIGN:
+            flags.append("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"inefficient plans: {offenders}"
+
+
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
     exchange keyed on the join key, and no join operator at all."""

@@ -201,6 +201,63 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node,
+    component) where component = the minimum doc id reachable — the
+    transitive-closure grouping that turns pairwise near-dups into
+    dedup clusters (pick one survivor per component).
+
+    Iterative min-label propagation (the GraphX/Pregel CC algorithm as
+    plain DataFrame joins): each round every node takes the min of its
+    own label and its neighbors'; converges in O(graph diameter)
+    rounds. Each round is one shuffle join; ``localCheckpoint``
+    truncates lineage so round N's plan doesn't embed rounds 1..N-1
+    (the classic iterative-algorithm blowup). Driver-side convergence
+    check per round — an intentional action, as in any fixpoint loop.
+
+    Only nodes that appear in a pair are labeled (isolated docs are
+    their own trivial component and never enter the graph).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                labels.node,
+                F.least(
+                    labels.label, F.coalesce(F.col("nlabel"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def remove_near_dups(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1276,6 +1276,47 @@ def q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
 
 
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM t),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM c
+      WHERE round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 4) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_connected_components(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    exact Jaccard pair graph (J ≥ 0.5), labels = min reachable doc id.
+    Spark side is iterative min-label propagation (Pregel CC as
+    DataFrame joins, lineage-checkpointed per round); the oracle is a
+    recursive-CTE transitive closure — O(V·E), test-scale only, which
+    is exactly why the iterative form exists."""
+    from .operators.dedup import connected_components, jaccard_pairs
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return connected_components(pairs)
+
+
 @register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are engine-specific
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(32) + LSH(16 bands × 2 rows) near-dup pairs, verified
