@@ -1841,6 +1841,120 @@ def q_string_funcs(spark, sf_dir):
 
 
 @register(
+    "string_funcs_extended",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 1) AS prio_num,
+           regexp_extract(o_orderpriority, '^([0-9])-(.*)$', 2) AS prio_word,
+           string_split(o_orderpriority, '-')[1] AS first_part,
+           CAST(len(string_split(o_orderpriority, '-')) AS INTEGER) AS n_parts,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+           rpad(o_orderstatus, 3, '.') AS status_padded,
+           repeat(o_orderstatus, 3) AS status_x3,
+           CAST(strpos(o_orderpriority, '-') AS INTEGER) AS dash_pos,
+           replace(o_orderpriority, '-', '_') AS underscored,
+           left(o_orderpriority, 3) AS first3,
+           right(o_orderpriority, 3) AS last3,
+           reverse(o_orderstatus) AS status_rev,
+           translate(o_orderpriority, '-E', '_e') AS translated
+    FROM orders
+    """,
+)
+def q_string_funcs_extended(spark, sf_dir):
+    """§2.8 — string battery 2: capture-group regexp_extract, split,
+    pad/repeat/position/replace/left/right/reverse/translate — the
+    rest of the canonicalization toolbox (all Catalyst, all pushed
+    into one projection)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    s = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract(p, r"^([0-9])-(.*)$", 1).alias("prio_num"),
+        F.regexp_extract(p, r"^([0-9])-(.*)$", 2).alias("prio_word"),
+        F.split(p, "-").getItem(0).alias("first_part"),
+        F.size(F.split(p, "-")).alias("n_parts"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad(s, 3, ".").alias("status_padded"),
+        F.repeat(s, 3).alias("status_x3"),
+        F.instr(p, "-").alias("dash_pos"),
+        F.replace(p, F.lit("-"), F.lit("_")).alias("underscored"),
+        F.substring(p, 1, 3).alias("first3"),
+        p.substr(F.length(p) - 2, F.lit(3)).alias("last3"),
+        F.reverse(s).alias("status_rev"),
+        F.translate(p, "-E", "_e").alias("translated"),
+    )
+
+
+@register(
+    "agg_argmax_battery",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price,
+           CAST(count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS BIGINT)
+             AS n_big,
+           bool_or(o_totalprice > 400000.0) AS any_huge,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """§2.4 — argmax/argmin + conditional/boolean aggregates:
+    max_by/min_by (single-pass argmax — the two-pass self-join
+    formulation this replaces is a classic anti-pattern), count_if,
+    bool_or/bool_and."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_val,
+           o_orderpriority AS prio_val,
+           2 AS m_size,
+           'priority,status' AS keys_csv,
+           (o_orderstatus IS NOT NULL) AS has_status
+    FROM orders
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """§2.8 — MapType battery: create_map / element_at / map_keys /
+    map_contains_key (the properties-bag pattern for semi-structured
+    event attributes, SURVEY §1.3). Output projected to scalars — map
+    cell encodings differ across engines, the lookups' results don't."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("prio_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.map_contains_key(m, "status").alias("has_status"),
+    )
+
+
+@register(
     "timestamp_funcs",
     oracle="""
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
