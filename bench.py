@@ -37,6 +37,8 @@ HEADLINE = [
     "events_tumbling_1h",         # event-time tumbling aggregate
     "events_sessionize_30m",      # gap sessionization
     "events_session_window",      # native session_window
+    "events_funnel",              # ordered funnel, one shuffle
+    "events_retention_cohorts",   # cohort retention triangle
     "dedup_exact",                # sha256 digest group-by
     "dedup_minhash_lsh",          # MinHash+LSH near-dup (scale path)
     "dedup_simhash",              # SimHash banding

@@ -90,6 +90,69 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered funnel analysis: per user, the furthest step reached,
+    where step k counts only if it first occurs at or after the user's
+    qualifying occurrence of step k-1 (classic product-analytics
+    funnel).
+
+    Plan shape: ONE shuffle regardless of step count — per user,
+    collect the sorted timestamp list of each step type in a single
+    aggregate, then resolve the step ordering in a projection with
+    array higher-order functions (element_at of the filtered list).
+    The alternative self-join-per-step formulation shuffles the full
+    event table k-1 times.
+    """
+    agged = events.groupBy("user_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"__l{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    prev = F.element_at(F.col("__l0"), 1)
+    reached = F.when(prev.isNotNull(), 1).otherwise(0)
+    for i in range(1, len(steps)):
+        # earliest occurrence of step i at/after the prior step's time;
+        # a null prev nulls the comparison, so the filter empties and
+        # the funnel stays stopped — no special-casing needed
+        prev_cap = prev
+        nxt = F.element_at(
+            F.filter(F.col(f"__l{i}"), lambda t: t >= prev_cap), 1
+        )
+        reached = reached + F.when(nxt.isNotNull(), 1).otherwise(0)
+        prev = nxt
+    return agged.select("user_id", reached.alias("steps_reached")).filter(
+        F.col("steps_reached") > 0
+    )
+
+
+def retention_cohorts(events: DataFrame, bucket: str = "week") -> DataFrame:
+    """Cohort retention: users grouped by first-activity bucket
+    (cohort), counted per subsequent activity bucket offset — the
+    standard growth-analytics triangle.
+
+    Two aggregates, both shuffling only (user, bucket)-level rows:
+    first-activity per user (one groupBy), then distinct users per
+    (cohort, offset)."""
+    b = F.date_trunc(bucket, F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc(bucket, F.min("ts")).alias("cohort")
+    )
+    active = events.select("user_id", b.alias("bucket")).distinct()
+    joined = active.join(firsts, "user_id")
+    offset = F.floor(
+        (F.unix_timestamp("bucket") - F.unix_timestamp("cohort"))
+        / (7 * 86400 if bucket == "week" else 86400)
+    ).cast("int")
+    return (
+        joined.select("user_id", "cohort", offset.alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def json_props(events: DataFrame) -> DataFrame:
     """F13/F14 — JSON field extraction from the semi-structured
     ``props`` column (the reference navigates REST JSON dicts in

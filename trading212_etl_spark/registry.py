@@ -1207,6 +1207,94 @@ def q_streaming_user_stats(spark, sf_dir):
     return run_streaming_user_stats(spark, sf_dir)
 
 
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    a AS (SELECT user_id,
+            list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS l0,
+            list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l1,
+            list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+          FROM e GROUP BY user_id),
+    r0 AS (SELECT user_id, l1, l2, l0[1] AS t0 FROM a),
+    r1 AS (SELECT user_id, l2, t0, list_filter(l1, x -> x >= t0)[1] AS t1 FROM r0),
+    r2 AS (SELECT user_id, t0, t1, list_filter(l2, x -> x >= t1)[1] AS t2 FROM r1)
+    SELECT user_id,
+           CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS steps_reached
+    FROM r2
+    WHERE t0 IS NOT NULL
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Event analytics — ordered funnel (signup → view → purchase):
+    one shuffle for any step count (per-step sorted ts lists in one
+    aggregate, ordering resolved with array functions). The oracle
+    replays the identical list algebra in DuckDB."""
+    from .operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["signup", "view", "purchase"])
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    firsts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket FROM e)
+    SELECT f.cohort,
+           CAST(floor((epoch(a.bucket) - epoch(f.cohort)) / 604800.0) AS INTEGER)
+             AS offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Event analytics — weekly cohort retention triangle: cohort =
+    first-activity week, offset = weeks since cohort, n = distinct
+    active users. Two (user, bucket)-level shuffles total."""
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "week")
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, name AS measure, value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 round(l_extendedprice, 2) AS price,
+                 round(l_discount, 4) AS discount,
+                 round(l_tax, 4) AS tax
+          FROM lineitem)
+    UNPIVOT (value FOR name IN (price, discount, tax))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """§2.4 inverse — unpivot/melt (wide → long), the companion of
+    agg_pivot: pure row expansion in the projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 4).alias("discount"),
+        F.round("l_tax", 4).alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
 @register("streaming_tumbling_1h")  # rows-only: streaming, not SQL-expressible
 def q_streaming_tumbling(spark, sf_dir):
     """§2.9 streaming — the T1 tumbling aggregate as a Structured
