@@ -15,6 +15,53 @@ def test_canonicalize_actions(spark):
     assert got == ["Urgent", "None", "Low", "Medium"]
 
 
+def test_reference_domain_exact_semantics(spark):
+    """The reference's OWN domain strings through the exact T-chain
+    (trading212.py:115-121): prefix strip is anywhere-in-string and
+    list-sequential ('Stop Limit sell' loses both words), the Dividend
+    mapping is whole-cell only, capitalize lowercases the tail, and
+    the Buy/Sell filter then drops the Div row (the dead-code mapping,
+    SURVEY §2.11)."""
+    from trading212_etl_spark.functions.strings import (
+        capitalize,
+        regexp_strip_prefixes,
+        replace_exact,
+        strict_trim,
+    )
+
+    rows = [
+        ("Market buy",),
+        ("Limit sell",),
+        ("Stop Limit sell",),       # both prefixes stripped sequentially
+        ("  Market sell \t",),      # strict trim: tabs too
+        ("Dividend (Ordinary)",),   # whole-cell -> Div, then filtered out
+        ("My Dividend (Ordinary) x",),  # substring NOT replaced, filtered out
+        ("Deposit",),               # filtered out
+        ("Market buy",),            # exact duplicate -> deduped
+    ]
+    df = spark.createDataFrame(rows, ["Action"])
+    canon = df.withColumn(
+        "Action",
+        capitalize(
+            strict_trim(
+                replace_exact(
+                    regexp_strip_prefixes("Action", ["Market ", "Limit ", "Stop "]),
+                    "Dividend (Ordinary)",
+                    "Div",
+                )
+            )
+        ),
+    )
+    got = sorted(
+        r[0]
+        for r in canon.filter(F.col("Action").isin("Buy", "Sell"))
+        .dropDuplicates()
+        .collect()
+    )
+    # all three sell variants canonicalize to 'Sell'; dedup collapses them
+    assert got == ["Buy", "Sell"]
+
+
 def test_flagship_pipeline_smoke(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     out = flagship_pipeline(orders)
