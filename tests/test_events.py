@@ -49,6 +49,27 @@ def test_streaming_stateful_matches_batch_agg(spark, sf_dir):
     assert batch == stream
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    from trading212_etl_spark.streaming.windows import run_stream_static_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    batch = {
+        tuple(r)
+        for r in events.join(dim, "user_id", "left")
+        .select("event_type", F.col("n_orders").isNotNull().alias("has_orders"))
+        .groupBy("event_type", "has_orders")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    stream = {tuple(r) for r in run_stream_static_join(spark, sf_dir).collect()}
+    assert batch == stream
+
+
 def test_sessionize_invariants(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     sessions = sessionize(events, 30).cache()

@@ -1187,6 +1187,16 @@ def q_events_session_window(spark, sf_dir):
     return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+@register("streaming_stream_static_join")  # rows-only: streaming harness
+def q_streaming_stream_static(spark, sf_dir):
+    """§2.9 streaming — stream-static dimension join (the streaming
+    form of the trading212.py:109 account enrichment): static side
+    re-planned per micro-batch. Batch equivalence in tests."""
+    from .streaming.windows import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
 @register("streaming_dedup_exactly_once")  # rows-only: stateful streaming
 def q_streaming_dedup(spark, sf_dir):
     """§2.9 streaming — watermark-bounded dropDuplicatesWithinWatermark

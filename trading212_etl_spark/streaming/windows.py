@@ -202,6 +202,45 @@ def run_foreachbatch_ingest(
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
+def run_stream_static_join(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (orders aggregated to per-customer order counts), then
+    aggregated — the standard streaming-enrichment shape. The static
+    side is re-planned per micro-batch, so a dim refresh is picked up
+    without restarting the query; at scale the static side should be
+    broadcast-sized or pre-bucketed.
+
+    Returns per-(event_type, has_orders) counts; batch equivalence is
+    asserted in tests/test_events.py.
+    """
+    from ..sources import load_table
+
+    static_dim = (
+        load_table(spark, events_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    stream = _events_stream(spark, events_dir)
+    joined = stream.join(static_dim, "user_id", "left").select(
+        "event_type", F.col("n_orders").isNotNull().alias("has_orders")
+    )
+    agg = joined.groupBy("event_type", "has_orders").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = "stream_static_join_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession, events_dir: str, duration: str = "1 hour"
 ) -> DataFrame:
