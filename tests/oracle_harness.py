@@ -8,6 +8,7 @@ CORRECTNESS_r{N}.json.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 import duckdb
@@ -32,8 +33,14 @@ def _canon_cell(v):
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return f"{v:.6f}"
-    if isinstance(v, (pd.Timestamp,)):
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return v.isoformat()
+    if isinstance(v, _dt.date):
+        # Spark DateType arrives as datetime.date while fetchdf()
+        # coerces DuckDB DATE to midnight datetime64 — canonicalize
+        # both to the same instant. (The strict date-vs-timestamp
+        # check lives in the driver sim, which fetches raw tuples.)
+        return _dt.datetime.combine(v, _dt.time()).isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)

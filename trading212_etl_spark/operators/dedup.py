@@ -19,8 +19,6 @@ Design for 100 TB (the scale framing for all of these):
 
 from __future__ import annotations
 
-from itertools import combinations
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -87,7 +85,14 @@ def jaccard_pairs(
     is the production path, with this as its verifier.
     """
     sh = _shingle_sets(docs, n, id_col).withColumn("set_size", F.size("shingles"))
-    exploded = sh.select("id", "set_size", F.explode("shingles").alias("shingle"))
+    # join on xxhash64(shingle), not the shingle string: the exploded
+    # shuffle carries 8-byte keys instead of arbitrary-length text and
+    # the equi-join compares longs. A 64-bit collision would need two
+    # distinct shingles hashing alike within one corpus (~2^-64 x
+    # pairs); the verified-pair contract is unchanged.
+    exploded = sh.select(
+        "id", "set_size", F.explode("shingles").alias("__s")
+    ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, "shingle")
@@ -150,29 +155,34 @@ def minhash_lsh_pairs(
          signatures and banding a single time.
     """
     rows = num_hashes // bands
-    sh = _shingle_sets(docs, shingle_n, id_col)
-    sig = sh.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    # the shingle sets feed THREE consumers with different downstream
+    # shuffle keys (the exploded signature scan + both verify-join
+    # sides), so exchange reuse can't kick in — materialize once
+    # instead of tokenizing+shingling the corpus three times (measured
+    # 3.6x wall on the full op). At cluster scale: persist/checkpoint.
+    sh = _shingle_sets(docs, shingle_n, id_col).localCheckpoint()
+    # signature via explode + K min-aggregates instead of K interpreted
+    # array passes: min(xxhash64(shingle, k)) over the exploded shingle
+    # rows is whole-stage-codegen'd aggregation (K buffers), where the
+    # transform/array_min form re-walks each array K times in the
+    # interpreted higher-order evaluator. Same mins, same signature.
+    # The expressions are built as SQL strings: the Py4J round-trips of
+    # a K-deep Column-builder loop cost ~2 s of driver time per query.
+    ex = sh.select("id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.expr(f"min(xxhash64(s, {k}))").alias(f"h{k}") for k in range(num_hashes)]
+    )
+    band_structs = ", ".join(
+        "struct({i} as band_idx, md5(concat_ws(',', {cols})) as band_hash)".format(
+            i=i,
+            cols=", ".join(
+                f"cast(h{i * rows + r} as string)" for r in range(rows)
+            ),
+        )
+        for i in range(bands)
+    )
     banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", i * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
     buckets = (
         banded.groupBy("band_idx", "band_hash")
@@ -293,33 +303,31 @@ def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFr
         F.col(id_col).alias("id"), F.explode(tokens("text")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
 
-    def packed(g: int) -> Column:
+    # Both the packed-lane spread and the 48-term sketch assembly are
+    # built as single SQL strings: the equivalent Column-builder loops
+    # make ~500 Py4J round-trips (~2 s of driver wall per query) for
+    # the identical expression tree.
+    def packed_sql(g: int) -> str:
         # 4 bits (4g..4g+3) of h, one per 16-bit lane
-        lanes = [
-            F.shiftleft(
-                F.shiftright(F.col("h"), 4 * g + j).bitwiseAND(F.lit(1)).cast("long"),
-                16 * j,
-            )
+        return " + ".join(
+            f"shiftleft(cast(shiftright(h, {4 * g + j}) & 1 as bigint), {16 * j})"
             for j in range(4)
-        ]
-        out = lanes[0]
-        for lane in lanes[1:]:
-            out = out + lane
-        return out
+        )
 
     counts = tok.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(packed(g)).alias(f"p{g}") for g in range(n_groups)],
+        *[F.expr(f"sum({packed_sql(g)})").alias(f"p{g}") for g in range(n_groups)],
     )
-    sketch = F.lit(0).cast("long")
-    for g in range(n_groups):
-        for j in range(4):
-            bit_count = F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            # majority rule: 2c - n > 0, identical to sum(+1/-1) > 0
-            sketch = sketch + F.when(
-                bit_count * 2 > F.col("n"), F.lit(2 ** (4 * g + j)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-    return counts.select(F.col("id").alias(id_col), sketch.alias("simhash"))
+    # majority rule per bit: 2c - n > 0, identical to sum(+1/-1) > 0
+    sketch_sql = " + ".join(
+        f"(case when (shiftright(p{g}, {16 * j}) & 65535) * 2 > n"
+        f" then {1 << (4 * g + j)}L else 0L end)"
+        for g in range(n_groups)
+        for j in range(4)
+    )
+    return counts.select(
+        F.col("id").alias(id_col), F.expr(sketch_sql).alias("simhash")
+    )
 
 
 def simhash_near_pairs(

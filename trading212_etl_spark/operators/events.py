@@ -148,7 +148,11 @@ def retention_cohorts(events: DataFrame, bucket: str = "week") -> DataFrame:
     ).cast("int")
     return (
         joined.select("user_id", "cohort", offset.alias("offset"))
-        .groupBy("cohort", "offset")
+        # DATE, not the timestamp date_trunc returns: DuckDB's
+        # date_trunc('week'/'day') yields DATE, and the driver's value
+        # canonicalization distinguishes '2024-01-01' from
+        # '2024-01-01 00:00:00' even though pandas coerces both
+        .groupBy(F.col("cohort").cast("date").alias("cohort"), "offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
 

@@ -94,10 +94,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0."""
+    """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0.
+
+    Each plane is one ``F.lit(list)`` array literal — a single Literal
+    node (and a single Py4J call) instead of ``dim`` stacked ``lit``s;
+    an element-wise Column build of the constant costs ~dim round
+    trips per plane of pure driver time."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        d = dot(emb, F.array(*[F.lit(float(x)) for x in p]))
+        d = dot(emb, F.lit([float(x) for x in p]))
         bucket = bucket + F.when(d > 0, F.lit(2 ** i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -225,11 +230,10 @@ def cosine_topk_ivf(
 
     cents = _data_centroids(corpus, n_centroids)
     # dots[i] per centroid, materialized once per row (projection
-    # boundary — same CSE rule as the tokenizer, see operators/textual)
+    # boundary — same CSE rule as the tokenizer, see operators/textual);
+    # each centroid is one array-literal node (see lsh_bucket)
     def cent_dots(emb: Column) -> Column:
-        return F.array(
-            *[dot(emb, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
-        )
+        return F.array(*[dot(emb, F.lit(list(c))) for c in cents])
 
     c = (
         fan_out(corpus)
@@ -311,13 +315,17 @@ def embedding_near_dup_pairs_lsh(
     then exact cosine filters. Never a cross join; precision is exact
     (every emitted pair is scored), recall is the multi-table OR curve
     (tests assert subset-of-exact + recall floor)."""
-    tables =[_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    # materialized once (three consumers: banding + both embedding
+    # lookups); candidates travel as BARE ID PAIRS — banding rows and
+    # the candidate distinct must never carry the vectors, or the
+    # shuffle moves |candidates| x 2 embeddings (~500 MB at 2k vectors,
+    # catastrophic at corpus scale) instead of two longs per row.
     v = fan_out(corpus).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).localCheckpoint()
     banded = v.select(
         "vec_id",
-        "emb",
         F.explode(
             F.array(
                 *[
@@ -329,21 +337,21 @@ def embedding_near_dup_pairs_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "emb", "tb.tbl", "tb.bkt")
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "tbl", "bkt"
-    )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "tbl", "bkt"
-    )
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
     cand = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    ea = v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     return (
-        cand.select(
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_dp).alias("cos_sim"),
