@@ -59,10 +59,12 @@ def main() -> None:
     pin_oracle_confs(spark)
 
     # Warm-up: JVM/codegen/parquet-footer caches on the smallest SF so
-    # timings measure the queries, not session spin-up.
-    QUERIES["agg_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # timings measure the queries, not session spin-up. The flagship
+    # runs first in the timed loop, so warm its own code paths too.
+    for warm in ("agg_pricing_summary", "flagship_pipeline"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -59,14 +59,23 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
-def _shingle_sets(docs: DataFrame, n: int, id_col: str) -> DataFrame:
+def _shingle_sets(
+    docs: DataFrame, n: int, id_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """(id, shingles) with the tokenizer materialized as its own
-    projection so every downstream reference is a cheap attribute."""
-    return (
-        fan_out(docs)
-        .select(F.col(id_col).alias("id"), tokens("text").alias("__toks"))
-        .select("id", word_shingles(F.col("__toks"), n).alias("shingles"))
-    )
+    projection so every downstream reference is a cheap attribute.
+    Pass ``tokens_col`` when the caller already materialized the token
+    array (e.g. the curation pipeline's scoring pass) to skip a
+    redundant regex tokenization of the corpus."""
+    if tokens_col is not None:
+        base = docs.select(
+            F.col(id_col).alias("id"), F.col(tokens_col).alias("__toks")
+        )
+    else:
+        base = fan_out(docs).select(
+            F.col(id_col).alias("id"), tokens("text").alias("__toks")
+        )
+    return base.select("id", word_shingles(F.col("__toks"), n).alias("shingles"))
 
 
 def jaccard_pairs(
@@ -74,6 +83,7 @@ def jaccard_pairs(
     threshold: float,
     n: int = 3,
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, J ≥ threshold).
 
@@ -84,7 +94,9 @@ def jaccard_pairs(
     by millions of docs) is the scale hazard; LSH (minhash_lsh_pairs)
     is the production path, with this as its verifier.
     """
-    sh = _shingle_sets(docs, n, id_col).withColumn("set_size", F.size("shingles"))
+    sh = _shingle_sets(docs, n, id_col, tokens_col).withColumn(
+        "set_size", F.size("shingles")
+    )
     # join on xxhash64(shingle), not the shingle string: the exploded
     # shuffle carries 8-byte keys instead of arbitrary-length text and
     # the equi-join compares longs. A 64-bit collision would need two

@@ -50,21 +50,23 @@ def curate_corpus(
         quality_bp_col(toks, F.col("text")).alias("quality_bp"),
         lang_pred_col(toks).alias("lang_pred"),
     )
+    # materialize the scored survivors once: BOTH sides of the exact
+    # dedup (the digest group-by and the semi-join probe) and, through
+    # canonical, the near-dup stage would otherwise each re-run
+    # tokenize+score over the corpus (measured 2x wall on the full
+    # pipeline). At cluster scale this is where you'd persist.
     kept = scored.filter(
         (F.col("quality_bp") >= min_quality_bp) & F.col("lang_pred").isin(*langs)
-    )
+    ).localCheckpoint()
     canonical_ids = (
         kept.groupBy(F.sha2("text", 256).alias("__h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # materialize the surviving docs once: the near-dup stage consumes
-    # canonical three times (both shingle-join sides + the final
-    # anti-join), and without a checkpoint each consumer re-runs
-    # tokenize+score+dedup (measured 2x wall on the full pipeline).
-    # At cluster scale this is where you'd persist to memory/disk.
     canonical = kept.join(canonical_ids, "doc_id", "left_semi").localCheckpoint()
-    pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n)
+    # the scoring pass already materialized the token arrays — reuse
+    # them for shingling instead of re-running the regex tokenizer
+    pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n, tokens_col="__toks")
     return remove_near_dups(canonical, pairs).select(
         "doc_id", "lang", "lang_pred", "quality_bp", "n_tokens"
     )
