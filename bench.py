@@ -58,10 +58,11 @@ def main() -> None:
     spark = get_session(app_name="bench")
     pin_oracle_confs(spark)
 
-    # Warm-up: JVM/codegen/parquet-footer caches on the smallest SF so
-    # timings measure the queries, not session spin-up. The flagship
-    # runs first in the timed loop, so warm its own code paths too.
-    for warm in ("agg_pricing_summary", "flagship_pipeline"):
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed loop measures steady-state query execution, not one-off
+    # JVM/codegen compilation and parquet-footer caching (measured ~2x
+    # inflation on first execution of codegen-heavy plans).
+    for warm in HEADLINE:
         QUERIES[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()

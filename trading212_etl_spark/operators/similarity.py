@@ -229,11 +229,22 @@ def cosine_topk_ivf(
     from pyspark.sql import Window
 
     cents = _data_centroids(corpus, n_centroids)
+
     # dots[i] per centroid, materialized once per row (projection
-    # boundary — same CSE rule as the tokenizer, see operators/textual);
-    # each centroid is one array-literal node (see lsh_bucket)
-    def cent_dots(emb: Column) -> Column:
-        return F.array(*[dot(emb, F.lit(list(c))) for c in cents])
+    # boundary — same CSE rule as the tokenizer, see operators/textual).
+    # The whole n_centroids x dim expression is ONE parsed SQL string:
+    # the Column-builder form (nested zip_with/aggregate lambdas per
+    # centroid) costs ~1 s of driver-side Py4J round trips per query
+    # for the identical expression tree.
+    def cent_dots(emb_sql: str) -> Column:
+        dots = ", ".join(
+            "aggregate(zip_with({e}, array({lits}), (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)".format(
+                e=emb_sql, lits=", ".join(f"{float(x)!r}D" for x in c)
+            )
+            for c in cents
+        )
+        return F.expr(f"array({dots})")
 
     c = (
         fan_out(corpus)
@@ -241,7 +252,7 @@ def cosine_topk_ivf(
             F.col("vec_id").alias("corpus_id"),
             F.col("embedding").cast("array<double>").alias("c_emb"),
         )
-        .withColumn("__dots", cent_dots(F.col("c_emb")))
+        .withColumn("__dots", cent_dots("c_emb"))
         .withColumn(
             "cell",
             F.array_position(F.col("__dots"), F.array_max("__dots")).cast("int"),
@@ -255,7 +266,7 @@ def cosine_topk_ivf(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("q_emb"),
         )
-        .withColumn("__dots", cent_dots(F.col("q_emb")))
+        .withColumn("__dots", cent_dots("q_emb"))
         .withColumn(
             "__cell_l",
             F.explode(
@@ -281,6 +292,9 @@ def cosine_topk_ivf(
         .withColumn("cell", F.col("__cell_l").cast("int"))
         .drop("__dots", "__cell_l")
     )
+    # no distinct needed: each corpus vector is assigned to exactly ONE
+    # cell (argmax), so a (query, corpus) pair meets at most once even
+    # though a query probes n_probe cells — unlike multi-table LSH.
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
@@ -289,7 +303,6 @@ def cosine_topk_ivf(
             "corpus_id",
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_dp).alias("cos_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("corpus_id").asc()

@@ -19,7 +19,7 @@ Scale shape, stage by stage:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import jaccard_pairs, remove_near_dups
@@ -50,20 +50,24 @@ def curate_corpus(
         quality_bp_col(toks, F.col("text")).alias("quality_bp"),
         lang_pred_col(toks).alias("lang_pred"),
     )
-    # materialize the scored survivors once: BOTH sides of the exact
-    # dedup (the digest group-by and the semi-join probe) and, through
-    # canonical, the near-dup stage would otherwise each re-run
-    # tokenize+score over the corpus (measured 2x wall on the full
-    # pipeline). At cluster scale this is where you'd persist.
     kept = scored.filter(
         (F.col("quality_bp") >= min_quality_bp) & F.col("lang_pred").isin(*langs)
-    ).localCheckpoint()
-    canonical_ids = (
-        kept.groupBy(F.sha2("text", 256).alias("__h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
     )
-    canonical = kept.join(canonical_ids, "doc_id", "left_semi").localCheckpoint()
+    # exact dedup as keep-first-by-digest: ONE shuffle (partition by
+    # sha256, min doc_id wins) instead of the groupBy-digest +
+    # semi-join-back form, which costs a second exchange plus a
+    # materialization of the filtered corpus for its two consumers.
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    canonical = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # materialized once: the near-dup stage consumes canonical
+        # three times (both shingle-join sides + the final anti-join);
+        # without this each consumer re-runs tokenize+score+dedup
+        # (measured 2x wall). At cluster scale: persist/checkpoint.
+        .localCheckpoint()
+    )
     # the scoring pass already materialized the token arrays — reuse
     # them for shingling instead of re-running the regex tokenizer
     pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n, tokens_col="__toks")
