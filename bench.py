@@ -45,6 +45,8 @@ HEADLINE = [
     "pipeline_curate_corpus",     # full curation chain (north star)
     "text_quality_score",         # text heuristics, pure projection
     "text_token_stats",           # tokenizer battery
+    "sample_pack_sequences",      # per-shard running-sum packing
+    "sample_hash_split",          # deterministic split, pure projection
     "similarity_topk_bruteforce", # broadcast query x corpus scan
     "similarity_topk_ivf",        # IVF cell-probe ANN
     "embedding_norms",            # higher-order vector functions

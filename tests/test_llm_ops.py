@@ -146,3 +146,81 @@ def test_multimodal_resize_and_audio_shapes(spark, sf_dir):
     assert all(len(v) == 16 for v in feats["features"])
     # ASCII corpus: bucketed byte means stay in printable range
     assert all(32 < x < 127 for v in feats["features"] for x in v)
+
+
+def test_hash_split_partition_and_determinism(spark, sf_dir):
+    from trading212_etl_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    # exactly one split per row, assignment is a pure function of the key
+    assert out.count() == n
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    again = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from trading212_etl_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5}, "doc_id"
+    )
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(kept) == {"en", "de"}          # strata without a rate dropped
+    assert kept["en"] == full["en"]           # rate 1.0 keeps everything
+    assert 0 < kept["de"] < full["de"]        # rate 0.5 is a strict subsample
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from trading212_etl_spark.operators.sampling import pack_sequences
+
+    budget = 512
+    out = pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=budget
+    ).cache()
+    # offsets are consistent: within (source, pack) the first doc's
+    # offset lies in [pack_id*budget, (pack_id+1)*budget) — packs only
+    # open at a crossing — and offsets never decrease along doc order
+    first = out.groupBy("source", "pack_id").agg(
+        F.min("pack_offset").alias("first_off")
+    )
+    bad = first.filter(
+        (F.col("first_off") < F.col("pack_id") * budget)
+        | (F.col("first_off") >= (F.col("pack_id") + 1) * budget)
+    )
+    assert bad.count() == 0
+    # every doc's offset equals the sum of earlier docs' tokens
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    recomputed = out.withColumn(
+        "expect", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).filter(F.col("expect") != F.col("pack_offset"))
+    assert recomputed.count() == 0
+
+
+def test_domain_mixture_plan_realizes_weights(spark, sf_dir):
+    from trading212_etl_spark.operators.sampling import domain_mixture_plan
+
+    weights = {"en": 0.7, "de": 0.2, "fr": 0.1}
+    plan = {r["domain"]: r for r in domain_mixture_plan(
+        load_table(spark, sf_dir, "documents"), weights
+    ).collect()}
+    assert set(plan) == set(weights)
+    # one binding domain is taken (almost) in full; taken tokens match
+    # the target mixture within rounding
+    assert any(abs(r["rate"] - 1.0) < 1e-6 for r in plan.values())
+    total = sum(r["tokens_take"] for r in plan.values())
+    for d, w in weights.items():
+        assert abs(plan[d]["tokens_take"] / total - w) < 0.01
+        assert plan[d]["tokens_take"] <= plan[d]["tokens_avail"]

@@ -1,0 +1,173 @@
+"""Deterministic sampling, splitting, packing, and mixture planning —
+the selection layer of an LLM training-data pipeline.
+
+Nothing like this exists in the reference (its only row selection is
+the Buy/Sell IN-filter, trading212.py:120); these are north-star
+extensions (BASELINE.json) with one shared design rule:
+
+**All selection is content/key-hashed, never RNG.** ``df.sample`` and
+``sampleBy`` draw from a per-task RNG, so a retried task (guaranteed
+at 100 TB) or a re-run yields a different dataset — catastrophic for
+training reproducibility and for exactly-once semantics. Hashing the
+stable key instead makes every decision a pure projection: stable
+under retries, re-runs, repartitioning, and engine versions, and
+cheap enough to stay at parquet-scan speed. md5 (not xxhash64) so the
+DuckDB oracle reproduces decisions bit-for-bit (SURVEY §5.4 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textual import tokens
+
+
+def _hash_frac(key: Column, chars: int = 4) -> Column:
+    """Uniform-ish [0, 1) fraction from the first ``chars`` hex chars
+    of md5(key) — 4 chars = 16-bit resolution, plenty for split/sample
+    rates. Lowercase hex on both Spark and DuckDB, so lexicographic
+    threshold comparisons agree across engines too."""
+    return F.substring(F.md5(key.cast("string")), 1, chars)
+
+
+def _rate_threshold(rate: float, chars: int = 4) -> str:
+    """Hex threshold t such that P(md5-prefix < t) == rate (at
+    16-bit resolution)."""
+    return format(int(rate * (16 ** chars)), f"0{chars}x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly
+    one named split with probability ~= its weight, decided solely by
+    md5(key). Pure projection — zero shuffle at any scale, and a
+    document keeps its split across re-runs and dataset versions
+    (critical: no eval-set leakage when the corpus is regenerated).
+
+    ``splits`` maps name -> weight; weights must sum to 1.
+    """
+    total = sum(splits.values())
+    assert abs(total - 1.0) < 1e-9, "split weights must sum to 1"
+    frac = _hash_frac(F.col(key_col))
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = frac < _rate_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    md5(key) falls under its stratum's rate. The reproducible
+    production form of ``df.sampleBy`` (which is RNG-per-task and not
+    stable under retries). Strata absent from ``rates`` are dropped.
+
+    Pure filter — pushes to the scan, no shuffle, no state.
+    """
+    frac = _hash_frac(F.col(key_col))
+    cond: Column = F.lit(False)
+    for stratum, rate in rates.items():
+        keep = (
+            F.lit(True) if rate >= 1.0 else frac < _rate_threshold(rate)
+        )
+        cond = cond | ((F.col(stratum_col) == stratum) & keep)
+    return df.filter(cond)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context-window
+    filling): within each ``part_col`` shard, documents are laid out
+    in ``id_col`` order and a new pack starts whenever the running
+    token count crosses the budget. Returns (id, part, n_tokens,
+    pack_id, pack_offset) where ``pack_offset`` is the token position
+    at which the doc starts in its shard's layout.
+
+    Scale shape: the running sum windows over ``part_col`` — packing
+    is per-shard by design (a global pack order would serialize the
+    corpus through one partition; sharded packing is what training
+    loaders do anyway, one pack stream per reader). One shuffle on the
+    shard key, then a linear in-partition scan.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(part_col),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("pack_offset") / F.lit(budget))
+        )
+    )
+
+
+def domain_mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compute the per-domain sampling plan that realizes a target
+    mixture (e.g. 70% en / 20% de / 10% fr by tokens) while using as
+    much data as possible: the binding domain (smallest
+    available/target ratio) is taken in full and every other domain is
+    downsampled to match. Returns per domain: available tokens, target
+    weight, sampling rate, and the token count the plan takes.
+
+    Plan shape: one groupBy(domain) token count (map-side partial agg
+    → tiny shuffle), then an all-rows window min to find the binding
+    domain — the window input is |domains| rows, so the single-
+    partition window is trivially safe. The emitted rates feed
+    :func:`stratified_sample` for the actual (shuffle-free) selection
+    pass.
+    """
+    domains = list(weights)
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    counts = (
+        docs.filter(F.col(domain_col).isin(domains))
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("tokens_avail"))
+        .withColumn("weight", wmap[F.col("domain")])
+    )
+    scale = F.min(F.col("tokens_avail") / F.col("weight")).over(
+        Window.partitionBy()
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("weight") * scale / F.col("tokens_avail")
+    )
+    return counts.withColumn("rate", F.round(rate, 4)).withColumn(
+        "tokens_take",
+        F.floor(F.col("rate") * F.col("tokens_avail")).cast("long"),
+    )

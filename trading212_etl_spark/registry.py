@@ -2472,3 +2472,120 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import flagship_pipeline
 
     return flagship_pipeline(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic selection layer (north-star extensions): hash-based
+# split / stratified sampling / sequence packing / mixture planning.
+# All decisions are md5-of-key, never RNG — stable under task retries
+# and re-runs (operators/sampling.py docstring), and bit-reproducible
+# by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on
+    md5(doc_id): a pure projection (zero shuffle at 100 TB) whose
+    assignment survives re-runs, retries, and corpus regeneration —
+    the anti-leakage property RNG splits don't have."""
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lang = 'en')
+       OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+       OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum downsampling (keep all en, half de,
+    quarter es/fr; drop zh) — the reproducible form of sampleBy. Pure
+    filter, pushes to the scan."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "lang", {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.25}, "doc_id"
+    )
+
+
+@register(
+    "sample_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS pack_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, pack_offset,
+           CAST(floor(pack_offset / 4096.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def q_sample_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (context-window filling): running
+    token count per source shard, new pack every 4096 tokens. One
+    shuffle on the shard key; packing is per-shard by design — a
+    global pack order would serialize the corpus through one
+    partition."""
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=4096)
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang AS domain,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS tokens_avail,
+             CAST(CASE lang WHEN 'en' THEN 0.7 WHEN 'de' THEN 0.2
+                            WHEN 'fr' THEN 0.1 END AS DOUBLE) AS weight
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+      GROUP BY lang
+    ),
+    m AS (SELECT *, min(tokens_avail / weight) OVER () AS scale FROM c)
+    SELECT domain, tokens_avail, weight,
+           round(least(1.0, weight * scale / tokens_avail), 4) AS rate,
+           CAST(floor(round(least(1.0, weight * scale / tokens_avail), 4)
+                      * tokens_avail) AS BIGINT) AS tokens_take
+    FROM m
+    """,
+)
+def q_sample_domain_mixture(spark, sf_dir):
+    """Domain mixture planning: per-domain sampling rates realizing a
+    70/20/10 en/de/fr token mixture while taking the binding domain in
+    full. Tiny agg + |domains|-row window; rates feed
+    stratified_sample for the shuffle-free selection pass."""
+    from .operators.sampling import domain_mixture_plan
+
+    return domain_mixture_plan(
+        _t(spark, sf_dir, "documents"), {"en": 0.7, "de": 0.2, "fr": 0.1}
+    )
