@@ -84,3 +84,38 @@ def test_sessionize_invariants(spark, sf_dir):
         .count()
     )
     assert overlap == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from trading212_etl_spark.streaming.windows import run_stream_stream_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = {
+        tuple(r)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .collect()
+    }
+    stream = {tuple(r) for r in run_stream_stream_join(spark, sf_dir).collect()}
+    assert batch == stream
+    assert len(stream) > 0

@@ -1197,6 +1197,17 @@ def q_streaming_stream_static(spark, sf_dir):
     return run_stream_static_join(spark, sf_dir)
 
 
+@register("streaming_stream_stream_join")  # rows-only: streaming harness
+def q_streaming_stream_stream(spark, sf_dir):
+    """§2.9 streaming — watermarked stream-stream attribution join
+    (clicks ⋈ purchases within 1 hour per user): time-bounded join
+    condition on both ends so click state evicts at watermark +
+    horizon. Batch equivalence in tests/test_events.py."""
+    from .streaming.windows import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
 @register("streaming_dedup_exactly_once")  # rows-only: stateful streaming
 def q_streaming_dedup(spark, sf_dir):
     """§2.9 streaming — watermark-bounded dropDuplicatesWithinWatermark

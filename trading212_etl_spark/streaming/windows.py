@@ -241,6 +241,77 @@ def run_stream_static_join(spark: SparkSession, events_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    the click(s) by the same user within the preceding ``horizon`` —
+    the canonical event-attribution shape.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends (purchase.ts in [click.ts, click.ts + horizon]),
+    so the state store can evict: a buffered click older than
+    (watermark + horizon) can never match a future purchase and is
+    dropped. Without the time bound the state grows with the stream —
+    the stream-stream equivalent of the reference's unbounded
+    accumulator table (gf, trading212.py:7).
+    """
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def run_stream_stream_join(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drive the attribution join over the corpus events (clicks ⋈
+    purchases within 1 hour per user) and return per-user attributed
+    purchase counts. Batch equivalence asserted in tests/test_events.py."""
+    ev = _events_stream(spark, events_dir)
+    joined = stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    name = "stream_stream_join_out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+    )
+
+
 def run_streaming_tumbling_agg(
     spark: SparkSession, events_dir: str, duration: str = "1 hour"
 ) -> DataFrame:
