@@ -61,7 +61,9 @@ def curate_corpus(
     canonical = (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        # text is only needed up to the digest — shingling reads the
+        # token arrays; dropping it shrinks the materialized survivors
+        .drop("__rn", "text")
         # materialized once: the near-dup stage consumes canonical
         # three times (both shingle-join sides + the final anti-join);
         # without this each consumer re-runs tokenize+score+dedup
