@@ -2600,3 +2600,123 @@ def q_sample_domain_mixture(spark, sf_dir):
     return domain_mixture_plan(
         _t(spark, sf_dir, "documents"), {"en": 0.7, "de": 0.2, "fr": 0.1}
     )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape — the 6-way star: lineitem is the only large
+    input, every dim (customer, orders-filtered, supplier, nation,
+    region) broadcasts into its scan, so the single shuffle is the
+    final n_name aggregate. The s_nationkey = c_nationkey equi-arm
+    rides the same broadcast join — no extra exchange."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue by customer: returnflag
+    filter pushed to the lineitem scan, quarter-filtered orders and the
+    customer/nation dims broadcast, top-20 via TakeOrderedAndProject
+    (deterministic tie-break on custkey)."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-04-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    # revenue summed in DECIMAL: the double product quantizes to 6 dp
+    # identically on both engines and decimal addition is exact, so the
+    # sum is independent of partition/accumulation order — a plain
+    # double sum here lands within 1e-9 of a .xx5 rounding boundary and
+    # flips the 2-dp round between engines (SURVEY §7 float hazard)
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
