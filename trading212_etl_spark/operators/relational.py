@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,35 @@ def salted_join(
     )
     out = big_s.join(skewed_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """MERGE / upsert without a table format: apply ``changes`` onto
+    ``base``, keeping per key the row with the highest ``version_col``
+    (changes win ties — they are the later write). The principled form
+    of the reference's union-with-manual-sheet (trading212.py:127),
+    which simply stacked conflicting records.
+
+    Plan shape: union + one keyed window (single shuffle on the merge
+    keys) — the same shape Delta/Iceberg MERGE lowers to when the
+    target isn't clustered. At 100 TB: bucket both sides by the keys to
+    make the exchange a no-op, and prune base partitions by the change
+    set's key range before the union.
+    """
+    tagged_base = base.withColumn("__src", F.lit(0))
+    tagged_changes = changes.withColumn("__src", F.lit(1))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(version_col).desc(), F.col("__src").desc())
+    )
+    return (
+        tagged_base.unionByName(tagged_changes)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -2720,3 +2720,49 @@ def q_tpch_q10(spark, sf_dir):
             F.round("c_acctbal", 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (SELECT *, CAST(1 AS BIGINT) AS version FROM orders),
+    chg AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             CAST(round(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)), 2)
+                  AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority, CAST(2 AS BIGINT) AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL BY NAME SELECT * FROM chg),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY version DESC) AS rn FROM u)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority, version
+    FROM r WHERE rn = 1
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE/upsert via union + keyed keep-latest window (the
+    principled trading212.py:127 union-with-manual-records): a change
+    batch (10% price bump, status 'U', higher version) overwrites its
+    keys, untouched keys pass through. One shuffle on the merge key."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.withColumn("version", F.lit(1).cast("long"))
+    changes = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        # price bump quantized through DECIMAL so the 2-dp round is
+        # boundary-stable across engines (same hazard as tpch_q10)
+        .withColumn(
+            "o_totalprice",
+            F.round((F.col("o_totalprice") * 1.1).cast("decimal(18,6)"), 2).cast(
+                "double"
+            ),
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("version", F.lit(2).cast("long"))
+    )
+    return merge_upsert(base, changes, ["o_orderkey"], "version")
