@@ -161,3 +161,36 @@ def test_asof_join_single_exchange_on_key(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert j not in p
     assert "Window" in p
+
+
+def test_q5_all_dims_broadcast_single_agg_exchange(spark):
+    """TPC-H Q5: five dims broadcast into the lineitem scan; the only
+    shuffle is the final n_name aggregate."""
+    p = plan(spark, "tpch_q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+
+
+def test_merge_upsert_single_shuffle_on_key(spark):
+    """MERGE lowers to union + one keyed window: exactly one hash
+    exchange on the merge key, no join nodes, and WindowGroupLimit
+    pre-filters to rank 1 on the map side before the shuffle."""
+    p = plan(spark, "merge_upsert_orders")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "WindowGroupLimit" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
+def test_hash_split_is_pure_projection(spark):
+    """The deterministic split adds zero exchanges — it must stay a
+    scan + project so it costs nothing at 100 TB."""
+    p = plan(spark, "sample_hash_split")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    p = plan(spark, "sample_pack_sequences")
+    assert "Window" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
