@@ -28,6 +28,8 @@ HEADLINE = [
     "flagship_pipeline",          # canonicalize -> filter -> distinct -> union -> sort
     "agg_pricing_summary",        # TPC-H Q1 hash-aggregate battery
     "join_multiway_star",         # fact x 3 broadcast dims + group-by
+    "tpch_q5_local_supplier_volume",  # 6-way star, one agg shuffle
+    "merge_upsert_orders",        # union + keyed keep-latest window
     "join_outer_coalesce",        # left-outer + aggregate
     "join_asof_backward",         # as-of join: union + keyed window
     "join_range_interval",        # equi-anchored interval join
