@@ -1609,13 +1609,49 @@ def q_similarity_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=4)
 
 
-@register("similarity_topk_ivf")  # rows-only: cells are seed-dependent
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, emb AS cemb
+              FROM v ORDER BY vec_id LIMIT 8),
+    cd AS (SELECT v.vec_id, c.cid, list_dot_product(v.emb, c.cemb) AS d
+           FROM v CROSS JOIN cents c),
+    -- cell assignment: argmax dot, FIRST max wins (Spark array_position)
+    assign AS (SELECT vec_id, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d DESC, cid ASC) AS rn
+                FROM cd) WHERE rn = 1),
+    -- probes: top-3 dots; Spark reverses an asc struct sort, so ties
+    -- break to the HIGHER centroid idx
+    probes AS (SELECT vec_id AS query_id, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d DESC, cid DESC) AS rn
+                FROM cd WHERE vec_id < 8) WHERE rn <= 3),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS corpus_id,
+             round(list_cosine_similarity(qv.emb, cv.emb), 4) AS cos_sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v cv ON cv.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, corpus_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
 def q_similarity_ivf(spark, sf_dir):
     """IVF (inverted-file) approximate top-k: corpus partitioned into
     centroid cells, queries probe their 3 nearest of 8 cells. At scale
     the corpus is written partitionBy(cell) so a probe prunes to
-    n_probe partitions. Recall vs brute force asserted in
-    tests/test_llm_ops.py."""
+    n_probe partitions. Centroids are deterministic (first 8 corpus
+    vectors), so unlike the seeded-hyperplane LSH variants this op is
+    fully oracle-checkable; recall vs brute force additionally
+    asserted in tests/test_llm_ops.py."""
     from pyspark.sql import functions as F
 
     from .operators.similarity import cosine_topk_ivf
