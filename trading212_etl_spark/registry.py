@@ -1596,10 +1596,40 @@ def q_similarity_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
-@register("similarity_topk_lsh")  # rows-only: bucket boundaries are sketch-dependent
+
+def _lsh_oracle_banded(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL fragment: (vec_id, tbl, bkt) banding of view ``v``
+    (vec_id, emb) under the engine's exact seeded hyperplanes, inlined
+    as double literals — the planes are deterministic (fixed numpy
+    seed per table), so the sketch is oracle-reproducible; only the
+    float sign test at a dot product of exactly ~0 could diverge, and
+    gaussian-plane dots sit O(1) away from 0."""
+    from .operators.similarity import _hyperplanes
+
+    branches = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + t)
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(emb, [{lits}]) > 0 THEN {w} ELSE 0 END)".format(
+                lits=", ".join(repr(float(x)) for x in p), w=2 ** i
+            )
+            for i, p in enumerate(planes)
+        )
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket} AS bkt FROM v"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=None,  # installed below — built from the seeded planes
+)
 def q_similarity_lsh(spark, sf_dir):
     """Random-hyperplane LSH top-k: equi-join on sign-bit bucket
-    replaces the cross join. Recall vs brute force asserted in
+    replaces the cross join. The seeded planes are inlined into the
+    DuckDB oracle as literals, so the whole sketch is oracle-checked;
+    recall vs brute force additionally asserted in
     tests/test_llm_ops.py."""
     from pyspark.sql import functions as F
 
@@ -1607,6 +1637,29 @@ def q_similarity_lsh(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=10, n_planes=4)
+
+
+ORACLES["similarity_topk_lsh"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    banded AS ({_lsh_oracle_banded()}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM banded q JOIN banded c ON q.tbl = c.tbl AND q.bkt = c.bkt
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.corpus_id,
+             round(list_cosine_similarity(qv.emb, cv.emb), 4) AS cos_sim
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.corpus_id
+    )
+    SELECT query_id, corpus_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """
 
 
 @register(
@@ -1681,16 +1734,37 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("embedding_near_dup_lsh")  # rows-only: buckets are sketch-dependent
+@register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # installed below — built from the seeded planes
+)
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup pairs — the scale path for
     embedding_near_dup (co-bucket candidates, exact cosine filter).
-    Subset-of-exact + recall floor asserted in tests/test_llm_ops.py."""
+    Oracle-checked via inlined seeded planes; subset-of-exact + recall
+    floor additionally asserted in tests/test_llm_ops.py."""
     from .operators.similarity import embedding_near_dup_pairs_lsh
 
     return embedding_near_dup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+ORACLES["embedding_near_dup_lsh"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    banded AS ({_lsh_oracle_banded()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bkt = b.bkt
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           round(list_cosine_similarity(va.emb, vb.emb), 4) AS cos_sim
+    FROM cand
+    JOIN v va ON va.vec_id = cand.vec_a
+    JOIN v vb ON vb.vec_id = cand.vec_b
+    WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= 0.4
+    """
 
 
 @register(
