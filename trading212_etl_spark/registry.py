@@ -2876,3 +2876,53 @@ def q_merge_upsert(spark, sf_dir):
         .withColumn("version", F.lit(2).cast("long"))
     )
     return merge_upsert(base, changes, ["o_orderkey"], "version")
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT * FROM b1 UNION ALL BY NAME SELECT * FROM b2
+    """,
+)
+def q_source_schema_evolution(spark, sf_dir):
+    """Schema drift across ingest batches — the 100 TB reality the
+    reference met as mixed CSV/Sheets dtypes (trading212.py:127): an
+    early batch lands without a column a later batch adds. The engine
+    reads the whole directory with mergeSchema, so old files surface
+    the new column as NULL — the distributed form of
+    unionByName(allowMissingColumns=True), resolved at scan time from
+    parquet footers instead of a driver-side union."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "parquet_schema_evolution")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=1")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/batch=2")
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+        .select("o_orderkey", "o_orderstatus", "total")
+    )
