@@ -224,3 +224,16 @@ def test_domain_mixture_plan_realizes_weights(spark, sf_dir):
     for d, w in weights.items():
         assert abs(plan[d]["tokens_take"] / total - w) < 0.01
         assert plan[d]["tokens_take"] <= plan[d]["tokens_avail"]
+
+
+def test_jaccard_max_df_is_lower_bound(spark, sf_dir):
+    """Capped stop-shingle runs must emit a subset of the exact pairs
+    (J under-counted, never over-counted), and a generous cap must
+    change nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, 0.5).select("doc_a", "doc_b")
+    capped = jaccard_pairs(docs, 0.5, max_df=10).select("doc_a", "doc_b")
+    assert capped.exceptAll(exact).count() == 0
+    huge_cap = jaccard_pairs(docs, 0.5, max_df=10**9).select("doc_a", "doc_b")
+    assert huge_cap.exceptAll(exact).count() == 0
+    assert exact.exceptAll(huge_cap).count() == 0

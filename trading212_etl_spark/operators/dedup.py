@@ -84,6 +84,7 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, J ≥ threshold).
 
@@ -93,6 +94,15 @@ def jaccard_pairs(
     ever meet — no cross product. Stop-shingle skew (a shingle shared
     by millions of docs) is the scale hazard; LSH (minhash_lsh_pairs)
     is the production path, with this as its verifier.
+
+    ``max_df`` (opt-in) drops shingles appearing in more than that
+    many documents before the self-join — the direct cure for
+    stop-shingle skew: a shingle in k docs contributes k² join rows,
+    so one boilerplate shingle across 1M docs is a 10¹²-row straggler
+    key. Capped runs under-count |∩| for pairs sharing dropped
+    shingles, so J is a lower bound — pairs already ≥ threshold on
+    rare shingles still surface. Default None keeps exact (oracle)
+    semantics.
     """
     sh = _shingle_sets(docs, n, id_col, tokens_col).withColumn(
         "set_size", F.size("shingles")
@@ -105,6 +115,14 @@ def jaccard_pairs(
     exploded = sh.select(
         "id", "set_size", F.explode("shingles").alias("__s")
     ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(b, "shingle")
