@@ -52,9 +52,36 @@ def canon_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-def compare(name: str, spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
+def temporal_type_mismatches(name: str, spark_df, oracle_desc) -> list[str]:
+    """Schema-level DATE-vs-TIMESTAMP drift check. ``_canon_cell``
+    coerces date values to midnight datetimes (fetchdf forces the
+    value-level merge), which would mask exactly the drift the strict
+    driver canonicalization rejects — so catch it at the type level:
+    a Spark DateType column must be DuckDB ``Date``, a TimestampType
+    column must be DuckDB ``DATETIME``."""
+    from pyspark.sql import types as T
+
+    duck_types = {c[0]: c[1] for c in oracle_desc}
+    errs = []
+    for f in spark_df.schema.fields:
+        expect = None
+        if isinstance(f.dataType, T.DateType):
+            expect = "Date"
+        elif isinstance(f.dataType, T.TimestampType):
+            expect = "DATETIME"
+        if expect and f.name in duck_types and duck_types[f.name] != expect:
+            errs.append(
+                f"{name}: temporal dtype drift on '{f.name}': "
+                f"spark={f.dataType.simpleString()} duckdb={duck_types[f.name]}"
+            )
+    return errs
+
+
+def compare(name: str, spark_df, oracle_pdf: pd.DataFrame, oracle_desc=None) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     errs: list[str] = []
+    if oracle_desc is not None:
+        errs.extend(temporal_type_mismatches(name, spark_df, oracle_desc))
     spdf = spark_df.toPandas()
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         errs.append(

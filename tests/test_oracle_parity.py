@@ -26,8 +26,10 @@ def all_oracle_names():
 @pytest.mark.parametrize("name", all_oracle_names())
 def test_oracle_parity(name, spark, oracle_con):
     spark_df = registry.QUERIES[name](spark, SF_CORRECTNESS)
-    oracle_pdf = oracle_con.execute(registry.ORACLES[name]).fetchdf()
-    errs = compare(name, spark_df, oracle_pdf)
+    res = oracle_con.execute(registry.ORACLES[name])
+    oracle_desc = res.description
+    oracle_pdf = res.fetchdf()
+    errs = compare(name, spark_df, oracle_pdf, oracle_desc=oracle_desc)
     assert not errs, "\n".join(errs)
 
 

@@ -84,3 +84,60 @@ def test_flagship_pipeline_smoke(spark, sf_dir):
     assert set(
         r[0] for r in out.select("priority_class").distinct().collect()
     ) <= {"Urgent", "High", "Medium", "None", "Low", None}
+
+
+def test_flagship_decimal_exact_vs_duckdb(spark):
+    """DecimalType(18,2) money pipeline: the per-group decimal sums
+    must equal DuckDB's DECIMAL sums EXACTLY — compared as
+    decimal.Decimal on both sides (raw tuples, no float
+    canonicalization, no rounding). This is the guarantee the
+    registered double-output entry (`flagship_pipeline_decimal`)
+    derives from; here the intermediate decimal aggregate itself is
+    checked before any output cast."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.plans.pipeline import canonicalize_actions
+    from trading212_etl_spark.sources import load_table
+
+    from .oracle_harness import duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    o = load_table(spark, sf, "orders")
+    got = {
+        r["priority_class"]: r["revenue"]
+        for r in (
+            o.filter(F.col("o_orderstatus").isin("O", "F"))
+            .select(
+                canonicalize_actions("o_orderpriority").alias("priority_class"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+            .groupBy("priority_class")
+            .agg(F.sum("price").alias("revenue"))
+            .collect()
+        )
+    }
+    con = duckdb_conn(sf)
+    want = dict(
+        con.execute(
+            """
+            SELECT upper(substr(pc, 1, 1)) || lower(substr(pc, 2)),
+                   sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FROM (
+              SELECT regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g') AS pc0,
+                     CASE WHEN regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g')
+                               = 'NOT SPECIFIED' THEN 'NONE'
+                          ELSE regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g')
+                     END AS pc,
+                     o_totalprice
+              FROM orders WHERE o_orderstatus IN ('O', 'F')
+            ) GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert isinstance(got[k], decimal.Decimal)
+        assert got[k] == v, f"{k}: spark={got[k]!r} duckdb={v!r}"

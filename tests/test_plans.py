@@ -156,11 +156,33 @@ def test_no_accidental_nested_loops_or_python(spark):
 
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
-    exchange keyed on the join key, and no join operator at all."""
+    exchange keyed on the join key, and no join operator at all
+    (operators/asof.py claims one exchange; count the nodes)."""
     p = plan(spark, "join_asof_backward")
     for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert j not in p
     assert "Window" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """salted_join must (a) explode the build side into n_salts
+    replicas and (b) shuffle both sides on (key, __salt) — the hot key
+    lands in n_salts partitions instead of one straggler. Broadcast is
+    disabled so the shuffle path is exercised (at test scale Catalyst
+    would otherwise just broadcast the replicated dim)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, "join_salted_skew")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Generate" in p and "explode" in p  # build-side replication
+    # the join exchange must partition on the composite (key, salt)
+    import re
+
+    assert re.search(r"hashpartitioning\(skew_key#\d+L?, __salt#\d+", p), (
+        "join shuffle must be keyed on (skew_key, __salt):\n" + p
+    )
 
 
 def test_q5_all_dims_broadcast_single_agg_exchange(spark):

@@ -24,14 +24,25 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     CPU-bound per-row work.
 
     The round-robin repartition shuffle moves each row once — trivially
-    amortized when downstream does regex/hash/codec work per row. If
-    the input is already split at least that wide (the 100 TB case:
-    ``maxPartitionBytes``-sized parquet splits), this returns ``df``
-    unchanged — no shuffle.
+    amortized when downstream does regex/hash/codec work per row.
+
+    Conf-driven, not plan-driven: the previous width check
+    (``df.rdd.getNumPartitions() >= target``) forced a full
+    physical-plan translation on the driver on EVERY call — pure
+    driver-side overhead for the many operators that wrap their input
+    in ``fan_out``. Whether fan-out is useful is a property of the
+    DEPLOYMENT, not of one plan: under-split inputs happen in
+    local/bench mode (one small parquet file = one split), while on a
+    real cluster a 100 TB scan is already thousands of
+    ``maxPartitionBytes`` splits wide. So the switch is a session conf:
+    ``spark.trading212.fanout.enabled=false`` (set it in the cluster
+    session) makes every call a zero-cost no-op; the default (local)
+    widens unconditionally.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    if spark.conf.get("spark.trading212.fanout.enabled", "true") == "false":
         return df
+    target = spark.sparkContext.defaultParallelism * multiplier
     return df.repartition(target)
 
 

@@ -1379,7 +1379,14 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (J ≥ 0.5): explode-join on
     shingles — work bounded by shingle co-occurrence, not |docs|^2.
-    This is also the verifier behind the MinHash LSH path."""
+    This is also the verifier behind the MinHash LSH path.
+
+    Collision caveat: the Spark side joins on xxhash64(shingle), so
+    "exact" is exact-up-to-64-bit-collisions — a cross-document hash
+    collision (~2^-64 per pair) would inflate n_common relative to this
+    string-joining oracle. Acceptable for the ground-truth role at any
+    realistic corpus size; use the raw-string join if cryptographic
+    exactness is ever required."""
     from .operators.dedup import jaccard_pairs
 
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
@@ -1718,7 +1725,8 @@ def q_similarity_ivf(spark, sf_dir):
 @register(
     "embedding_near_dup",
     oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+               WHERE vec_id < 256)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
     FROM v a, v b
@@ -1727,11 +1735,17 @@ def q_similarity_ivf(spark, sf_dir):
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact form; LSH bucketing is
-    the scale path)."""
+    """Embedding-cosine near-dup pairs, exact form over a BOUNDED
+    verification slice (vec_id < 256): the O(n²) theta-join is the
+    ground-truth verifier for the LSH path, never the scale path, so
+    the registered query caps n — no registry entry runs an unbounded
+    cross-pair join. ``embedding_near_dup_lsh`` is the full-corpus
+    100 TB operator."""
     from .operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, max_id=256
+    )
 
 
 @register(
@@ -2716,7 +2730,8 @@ def q_sample_domain_mixture(spark, sf_dir):
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2735,7 +2750,9 @@ def q_tpch_q5(spark, sf_dir):
     input, every dim (customer, orders-filtered, supplier, nation,
     region) broadcasts into its scan, so the single shuffle is the
     final n_name aggregate. The s_nationkey = c_nationkey equi-arm
-    rides the same broadcast join — no extra exchange."""
+    rides the same broadcast join — no extra exchange. Revenue summed
+    in DECIMAL(18,6) so the 2-dp round is independent of partition /
+    accumulation order (same hazard as tpch_q10)."""
     from pyspark.sql import functions as F
 
     c = _t(spark, sf_dir, "customer")
@@ -2759,8 +2776,15 @@ def q_tpch_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -2835,17 +2859,22 @@ def q_tpch_q10(spark, sf_dir):
 @register(
     "merge_upsert_orders",
     oracle="""
-    WITH base AS (SELECT *, CAST(1 AS BIGINT) AS version FROM orders),
+    WITH base AS (SELECT *, CAST(1 AS BIGINT) AS version,
+                         0 AS src FROM orders),
     chg AS (
       SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
              CAST(round(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)), 2)
                   AS DOUBLE) AS o_totalprice,
-             o_orderdate, o_orderpriority, CAST(2 AS BIGINT) AS version
+             o_orderdate, o_orderpriority, CAST(2 AS BIGINT) AS version,
+             1 AS src
       FROM orders WHERE o_orderkey % 7 = 0
     ),
     u AS (SELECT * FROM base UNION ALL BY NAME SELECT * FROM chg),
+    -- src DESC encodes the operator's 'changes win ties' contract, so
+    -- the oracle's pick is deterministic even on tied versions
     r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-                                       ORDER BY version DESC) AS rn FROM u)
+                                       ORDER BY version DESC, src DESC) AS rn
+          FROM u)
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority, version
     FROM r WHERE rn = 1
@@ -2925,4 +2954,117 @@ def q_source_schema_evolution(spark, sf_dir):
         .option("recursiveFileLookup", True)
         .parquet(path)
         .select("o_orderkey", "o_orderstatus", "total")
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey % 8 AS skew_key,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT o_orderkey % 8 AS skew_key, count(*) AS n_orders
+      FROM orders GROUP BY o_orderkey % 8
+    )
+    SELECT b.skew_key,
+           count(*) AS n_rows,
+           CAST(sum(b.price) AS DOUBLE) AS total_price,
+           min(d.n_orders) AS n_orders
+    FROM big b JOIN dim d USING (skew_key)
+    GROUP BY b.skew_key
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/relational.py salted_join):
+    the probe side's 8 pathologically hot keys (l_orderkey % 8 — each
+    ~12.5% of the table) are scattered across n_salts=16 sub-keys while
+    the build side explodes into 16 replicas, so each hot key becomes
+    16 shuffle partitions instead of one straggler task. Join result is
+    EXACT (each probe row matches exactly one replica); the aggregate
+    collapses it back per key. Money summed in DECIMAL(18,2) — the
+    cast is exact (2-dp doubles) and decimal addition is
+    order-independent, so no round() is needed anywhere.
+    Plan-asserted in tests/test_plans.py: the join exchange partitions
+    on (skew_key, __salt)."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import salted_join
+
+    big = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("skew_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_orderkey") % 8).alias("skew_key"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    joined = salted_join(big, dim, "skew_key", n_salts=16)
+    return joined.groupBy("skew_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price").cast("double").alias("total_price"),
+        F.min("n_orders").alias("n_orders"),
+    )
+
+
+@register(
+    "flagship_pipeline_decimal",
+    oracle="""
+    WITH c AS (
+      SELECT upper(substr(pc_raw, 1, 1)) || lower(substr(pc_raw, 2)) AS priority_class,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM (
+        SELECT regexp_replace(
+                 CASE WHEN regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g')
+                           = 'NOT SPECIFIED'
+                      THEN 'NONE'
+                      ELSE regexp_replace(o_orderpriority, '1-|2-|3-|4-|5-', '', 'g')
+                 END, '^\\s+|\\s+$', '', 'g') AS pc_raw,
+               o_totalprice
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+      )
+    )
+    SELECT priority_class,
+           count(*) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS revenue,
+           CAST(min(price) AS DOUBLE) AS min_price,
+           CAST(max(price) AS DOUBLE) AS max_price
+    FROM c GROUP BY priority_class
+    """,
+)
+def q_flagship_decimal(spark, sf_dir):
+    """The money-correct flagship variant (SURVEY §1.2): the money
+    column rides the whole pipeline as DecimalType(18,2) — the cast
+    from the source's exact-2-dp doubles is rounding-free, decimal
+    addition is exact and therefore independent of partition /
+    accumulation order, and the output needs NO round() crutch: the
+    final cast to double is exact for every representable total. This
+    is the contract the reference's float64 money columns
+    (trading212.py:132-133) cannot give — a double sum's 2-dp round
+    can flip near .xx5 boundaries depending on execution order.
+    Exact decimal-vs-DuckDB-DECIMAL equality (raw tuples, no float
+    canonicalization) is additionally asserted in
+    tests/test_pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import canonicalize_actions
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            canonicalize_actions("o_orderpriority").alias("priority_class"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+        )
     )
