@@ -26,9 +26,16 @@ from trading212_etl_spark.session import get_session  # noqa: E402
 # the shuffle/join/UDF-heavy paths where scale design shows up.
 HEADLINE = [
     "flagship_pipeline",          # canonicalize -> filter -> distinct -> union -> sort
+    "flagship_pipeline_decimal",  # DecimalType(18,2) money aggregate
     "agg_pricing_summary",        # TPC-H Q1 hash-aggregate battery
     "join_multiway_star",         # fact x 3 broadcast dims + group-by
     "tpch_q5_local_supplier_volume",  # 6-way star, one agg shuffle
+    "tpch_q7_volume_shipping",    # bilateral fact-fact + 4 broadcast dims
+    "tpch_q9_product_profit",     # 5-way join, decimal profit aggregate
+    "tpch_q13_customer_distribution",  # outer join + double aggregate
+    "tpch_q17_small_quantity_revenue", # decorrelated per-part threshold
+    "tpch_q21_waiting_suppliers", # semi + anti self-joins
+    "join_salted_skew",           # skew-spread (key, salt) shuffle
     "merge_upsert_orders",        # union + keyed keep-latest window
     "join_outer_coalesce",        # left-outer + aggregate
     "join_asof_backward",         # as-of join: union + keyed window

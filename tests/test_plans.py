@@ -128,8 +128,16 @@ def test_approx_sketches_within_bounds(spark):
 # Queries where a nested-loop join IS the intended plan: brute-force
 # similarity broadcasts the tiny query set against the corpus scan
 # (O(n*q) by contract), and the exact near-dup op is the test-scale
-# verifier whose scale path is the LSH variant.
-NESTED_LOOP_BY_DESIGN = {"similarity_topk_bruteforce", "embedding_near_dup"}
+# verifier whose scale path is the LSH variant. The tpch q11/q22
+# entries join a ONE-ROW broadcast scalar (global threshold) under a
+# non-equi condition — the plan Spark itself produces for a scalar
+# subquery comparison; nested-loop over 1 broadcast row is O(n).
+NESTED_LOOP_BY_DESIGN = {
+    "similarity_topk_bruteforce",
+    "embedding_near_dup",
+    "tpch_q11_important_parts",
+    "tpch_q22_dormant_customers",
+}
 
 
 def test_no_accidental_nested_loops_or_python(spark):
