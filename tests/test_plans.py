@@ -212,6 +212,49 @@ def test_merge_upsert_single_shuffle_on_key(spark):
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
 
 
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """The hive-partitioned write must be read back with the status
+    filter landing in PartitionFilters — the scan lists only the
+    o_orderstatus=F directory, never the other partitions (the lever
+    that makes date-partitioned 100 TB layouts readable)."""
+    import re
+
+    p = plan(spark, "sink_partitioned_parquet")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m, "scan must expose PartitionFilters:\n" + p
+    assert "o_orderstatus" in m.group(1)
+
+
+def test_q6_predicates_all_push_to_scan(spark):
+    """Q6 is the pure scan-aggregate: shipdate range, discount band
+    and quantity cap must ALL reach the parquet reader."""
+    p = plan(spark, "tpch_q6_forecast_revenue")
+    m = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert m, p
+    pf = " ".join(m)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+
+
+def test_scd2_build_single_shuffle(spark):
+    """Both SCD2 windows (change-compression lag + interval-close
+    lead) partition by the same key, so Catalyst must plan ONE
+    exchange on o_custkey for the whole history build."""
+    p = plan(spark, "scd2_customer_history")
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1, p
+
+
+def test_decontaminate_probe_is_broadcast_semi(spark):
+    """The benchmark-shingle membership probe must be a broadcast
+    left-semi hash join — the 100 TB corpus side shuffles nothing for
+    the probe (the benchmark shingle dictionary is the small side by
+    construction)."""
+    p = plan(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    # and the probe must join on the hashed shingle, not raw text
+    assert "xxhash64" in p
+
+
 def test_hash_split_is_pure_projection(spark):
     """The deterministic split adds zero exchanges — it must stay a
     scan + project so it costs nothing at 100 TB."""

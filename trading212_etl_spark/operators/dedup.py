@@ -315,6 +315,62 @@ def remove_near_dups(
     return docs.join(drop, id_col, "left_anti")
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count its
+    word ``n``-gram shingles that also appear anywhere in a held-out
+    eval/benchmark corpus — the standard pre-training hygiene pass
+    (flag or strip documents that leak test-set content).
+
+    Output: one row per *contaminated* document —
+    ``(doc_id, set_size, n_hits, contam_bp)`` where ``n_hits`` is the
+    count of distinct leaked shingles and ``contam_bp`` the integer
+    basis-point fraction ``floor(n_hits * 10000 / set_size)`` (exact
+    integer arithmetic — same cross-engine-exactness policy as
+    quality_bp_col). Callers anti-join or threshold on ``contam_bp``.
+
+    Scale shape (100 TB corpus vs ~GB benchmark): the benchmark's
+    distinct shingle set is tiny relative to the corpus (eval suites
+    are fixed-size), so the membership probe is a **broadcast**
+    left-semi equi-join on 8-byte xxhash64 shingle keys — the corpus
+    shuffles nothing for the probe; the only shuffle is the per-doc
+    hit-count groupBy, whose rows are (doc_id, partial_count) after
+    map-side combine. If a benchmark ever outgrew broadcast, dropping
+    the hint degrades gracefully to a shuffle join on the same key.
+    """
+    corpus = (
+        _shingle_sets(docs, n, id_col)
+        .withColumn("set_size", F.size("shingles"))
+        .select(
+            "id", "set_size", F.explode("shingles").alias("__s")
+        )
+        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
+    )
+    bench = (
+        _shingle_sets(benchmark, n, id_col)
+        .select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("id", "set_size")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("id").alias(id_col),
+            "set_size",
+            "n_hits",
+            F.floor(F.col("n_hits") * F.lit(10_000) / F.col("set_size")).alias(
+                "contam_bp"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -109,3 +109,47 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log:
+    collapse consecutive observations whose tracked ``attrs`` are
+    unchanged, then emit one validity interval per surviving state —
+    ``effective_from`` (inclusive), ``effective_to`` (exclusive, null
+    for the open current row) and ``is_current``.
+
+    The standard warehouse dimension-history pattern (Kimball SCD
+    type 2), built from two stacked windows over the SAME partition
+    key: (1) ``lag`` over ``attrs`` to drop no-op changes, (2)
+    ``lead(ts)`` over the survivors for the interval close. Catalyst
+    plans both windows after ONE exchange on ``key`` (the second
+    window reuses the partitioning and only re-sorts if needed), so
+    the whole build is a single shuffle — at 100 TB, bucket the change
+    log by ``key`` and even that exchange disappears.
+
+    Tie policy: observations are ordered by (ts, attrs) so same-ts
+    duplicates order deterministically; an exact duplicate of its
+    predecessor is dropped by the change filter.
+    """
+    state = F.struct(*[F.col(a) for a in attrs])
+    w_ord = Window.partitionBy(key).orderBy(F.col(ts_col), *[F.col(a) for a in attrs])
+    changed = (
+        changes.select(key, ts_col, *attrs)
+        .withColumn("__prev", F.lag(state).over(w_ord))
+        # null-safe: first row per key (prev null) and any attr-null
+        # transition must both count as "changed" (IS DISTINCT FROM)
+        .filter(~F.col("__prev").eqNullSafe(state))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts_col), *[F.col(a) for a in attrs])
+    return (
+        changed.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .drop(ts_col)
+    )

@@ -93,13 +93,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0.
+def _lsh_bucket_sql(emb_sql: str, planes: list[list[float]]) -> str:
+    """SQL fragment for the sign-bit bucket id of one table:
+    bit_i = 1 iff emb · plane_i > 0, packed as a long."""
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(f"{float(x)!r}D" for x in p)
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({emb_sql}, array({lits}),"
+            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D"
+            f" THEN {2 ** i}L ELSE 0L END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
-    Each plane is one ``F.lit(list)`` array literal — a single Literal
-    node (and a single Py4J call) instead of ``dim`` stacked ``lit``s;
-    an element-wise Column build of the constant costs ~dim round
-    trips per plane of pure driver time."""
+
+def _lsh_bands_expr(emb_sql: str, tables: list[list[list[float]]]) -> Column:
+    """array<struct<tbl,bkt>> of every table's bucket for one vector,
+    as ONE parsed SQL expression. The Column-builder form (a lit per
+    plane, a when/aggregate tree per table) costs seconds of pure
+    driver-side Py4J round trips and analysis time per query — the
+    same lesson as IVF's cent_dots (measured: the banding expression
+    dominated wall clock at BOTH bench scale factors, i.e. the op was
+    compile-bound, not data-bound)."""
+    structs = ", ".join(
+        f"struct({t} AS tbl, {_lsh_bucket_sql(emb_sql, planes)} AS bkt)"
+        for t, planes in enumerate(tables)
+    )
+    return F.expr(f"array({structs})")
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0 (single
+    table; see _lsh_bands_expr for the multi-table fast path)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = dot(emb, F.lit([float(x) for x in p]))
@@ -130,53 +155,46 @@ def cosine_topk_lsh(
     Plan shape: each vector explodes into ``n_tables`` (table, bucket)
     keys; one equi-join on that composite key replaces the cross join.
     At 100 TB the shuffle key is (table, bucket) and per-cell work is
-    ~n/2^n_planes per table. Recall vs the brute-force baseline is
-    asserted in tests (rows-only op — buckets are sketch-dependent, so
-    no SQL oracle).
+    ~n/2^n_planes per table. Candidates travel as BARE ID PAIRS (the
+    banding rows and the candidate distinct never carry vectors — the
+    same rule as embedding_near_dup_pairs_lsh: shuffling the banded
+    corpus with its embeddings attached moves n_tables copies of every
+    vector); embeddings rejoin only for the surviving candidates.
+    Recall vs the brute-force baseline is asserted in tests (rows-only
+    op — buckets are sketch-dependent, so no SQL oracle).
     """
     from pyspark.sql import Window
 
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
-
-    def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col(emb_col), planes).alias("bkt"),
-                        )
-                        for t, planes in enumerate(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select("*", "tb.tbl", "tb.bkt").drop("tb")
-
-    c = with_buckets(
-        fan_out(corpus).select(
-            F.col("vec_id").alias("corpus_id"),
-            F.col("embedding").cast("array<double>").alias("c_emb"),
-        ),
-        "c_emb",
+    # materialized once: three consumers (banding + candidate-side
+    # embedding lookup), and the banding expression is compile-heavy
+    v = fan_out(corpus).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
     )
-    q = with_buckets(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("q_emb"),
-        ),
-        "q_emb",
+    bands = _lsh_bands_expr("emb", tables)
+    c_banded = v.select("vec_id", F.explode(bands).alias("tb")).select(
+        F.col("vec_id").alias("corpus_id"), "tb.tbl", "tb.bkt"
+    )
+    q_banded = qv.withColumnRenamed("q_emb", "emb").select(
+        "query_id", F.explode(bands).alias("tb")
+    ).select("query_id", "tb.tbl", "tb.bkt")
+    cand = (
+        c_banded.join(F.broadcast(q_banded), ["tbl", "bkt"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
     )
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bkt"])
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", "q_emb", "c_emb")
-        .distinct()
+        cand.join(v, cand.corpus_id == v.vec_id)
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "corpus_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), round_dp).alias("cos_sim"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), round_dp).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -338,18 +356,7 @@ def embedding_near_dup_pairs_lsh(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
     ).localCheckpoint()
     banded = v.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("emb"), planes).alias("bkt"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
+        "vec_id", F.explode(_lsh_bands_expr("emb", tables)).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.bkt")
     a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
     b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")

@@ -160,6 +160,61 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5, max_df: int | None = None) -> DataFrame:
+    """Top-``k`` characteristic terms per document by a tf·idf-style
+    rarity score — the classic keyword-extraction / topic-tagging pass
+    over a training corpus.
+
+    Cross-engine exactness: the score is the integer surrogate
+    ``score_micro = floor(tf * 1_000_000 / df)`` — monotone in tf and
+    in term rarity (1/df), like tf·idf, but free of ``ln`` (libm
+    results differ across engines by an ulp, which flips rounded
+    boundaries; see quality_bp_col for the same policy). floor() over
+    a quotient of exact sub-2^53 integers is provably stable: a
+    non-integer true quotient sits ≥ 1/df from the nearest integer,
+    orders of magnitude above the double ulp at this magnitude.
+
+    Scale shape (100 TB): three shuffles, all keyed small —
+    (1) explode → partial-count → groupBy(doc_id, term): the shuffle
+    rows are (doc_id, term, partial_count), map-side combined;
+    (2) groupBy(term) over the tf frame for document frequency: the
+    term dictionary, orders of magnitude smaller than the corpus;
+    (3) the per-doc top-k window on doc_id. The df side joins back
+    broadcast (a term dictionary fits executors at any corpus size
+    worth ranking; spill to a sort-merge join by dropping the hint if
+    a tokenizer explodes the vocabulary). ``max_df`` optionally drops
+    ubiquitous terms (stopword suppression) before ranking.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        _with_tokens(docs, "doc_id")
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(F.col("tf") * F.lit(1_000_000) / F.col("df")).alias(
+                "score_micro"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def fingerprint(docs: DataFrame, shingle_len: int = 5) -> DataFrame:
     """Document fingerprinting: full-content sha256 + a winnowing-style
     rolling fingerprint (min md5 over word ``shingle_len``-grams).

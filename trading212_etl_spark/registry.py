@@ -113,6 +113,51 @@ def q_source_csv(spark, sf_dir):
 
 
 @register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def q_source_orc(spark, sf_dir):
+    """§2.1 extension — second columnar format: ORC write + read
+    roundtrip (Spark-native ``orc`` source, no extra packages) over a
+    mixed-type lineitem projection (long, int, timestamp, decimal,
+    string). Exercises full type fidelity through the ORC
+    writer/reader including DecimalType(18,2) and timestamps — the
+    interchange case for pipelines whose upstream lake is ORC (Hive
+    heritage) rather than Parquet. Predicate pushdown and column
+    pruning work the same as parquet (``spark.sql.orc.filterPushdown``
+    defaults true), so the 100 TB scan story is unchanged; the write
+    is a straight distributed re-encode, one task per input split,
+    zero shuffles."""
+    from pyspark.sql import functions as F
+
+    path = _scratch(sf_dir, "orc_lineitem")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+            "l_returnflag",
+        )
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    # the DECIMAL(18,2) column rides ORC natively; the comparison
+    # surface casts it to double (exact at this scale) because the
+    # harness's fetchdf path flattens DuckDB DECIMAL to float64 —
+    # any ORC mangling of the decimal would still flip the double
+    return spark.read.orc(path).withColumn(
+        "price_dec", F.col("price_dec").cast("double")
+    )
+
+
+@register(
     "source_json_flatten",
     oracle="""
     SELECT o_orderkey AS id,
@@ -832,6 +877,58 @@ def q_profile_columns(spark, sf_dir):
 
 
 @register(
+    "profile_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bucket,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * 25.0 AS DOUBLE) AS bucket_hi,
+           count(*) AS n,
+           round(min(value), 2) AS v_min,
+           round(max(value), 2) AS v_max
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q_profile_histogram(spark, sf_dir):
+    """Fixed-width histogram profiling per dimension — 20 clamped
+    buckets of width 25 over events.value, by event_type. One
+    map-side-combined groupBy whose key space is |event_types| x 20
+    regardless of row count, so the shuffle is a few hundred rows at
+    any corpus size — the profiling shape that replaces a driver-side
+    `describe()` at 100 TB. Bucket edges are exact double arithmetic
+    (floor of an IEEE754 quotient — bit-identical on both engines)."""
+    from pyspark.sql import functions as F
+
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0), F.lit(0)), F.lit(19)
+    ).cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("v_min"),
+            F.round(F.max("value"), 2).alias("v_max"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * 25.0).alias("bucket_hi"),
+            "n",
+            "v_min",
+            "v_max",
+        )
+    )
+
+
+@register(
     "streaming_foreachbatch_ingest",
     oracle="""
     SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -1393,6 +1490,47 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM t WHERE id % 97 = 0),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+          FROM t WHERE id % 97 <> 0),
+    hits AS (
+      SELECT id AS doc_id, any_value(set_size) AS set_size,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM e JOIN bench USING (shingle)
+      GROUP BY id
+    )
+    SELECT doc_id, set_size, n_hits,
+           CAST(floor(n_hits * 10000.0 / set_size) AS BIGINT) AS contam_bp
+    FROM hits
+    """,
+)
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word-3-gram with the held-out eval slice (deterministic stand-in:
+    docs with doc_id % 97 == 0 are "the benchmark"). Broadcast
+    semi-join probe on hashed shingles — the corpus side never
+    shuffles for the membership test (operators/dedup.py:decontaminate
+    for the 100 TB analysis). Integer basis-point contamination score,
+    no floating-point rounding anywhere."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, bench, n=3).withColumn(
+        "set_size", F.col("set_size").cast("long")
+    )
+
+
+@register(
     "dedup_connected_components",
     oracle=f"""
     WITH RECURSIVE t AS (
@@ -1572,6 +1710,39 @@ def q_text_fingerprint(spark, sf_dir):
     from .operators.textual import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"), shingle_len=5)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    s AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(tf * 1000000.0 / df) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score_micro,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, tf DESC, term) AS BIGINT) AS rnk
+    FROM s
+    QUALIFY rnk <= 5
+    """,
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-5 characteristic terms per document by the exact-integer
+    tf·rarity score (tf·idf without libm — see
+    operators/textual.py:tfidf_top_terms for the cross-engine-exactness
+    and three-shuffle scale analysis)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textual import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).withColumn(
+        "rnk", F.col("rnk").cast("long")
+    )
 
 
 @register(
@@ -2908,6 +3079,51 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "scd2_customer_history",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+             lag(o_orderstatus) OVER w AS ps,
+             lag(o_orderpriority) OVER w AS pp,
+             row_number() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderstatus, o_orderpriority)
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority
+      FROM obs
+      WHERE rn = 1
+         OR ps IS DISTINCT FROM o_orderstatus
+         OR pp IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderstatus, o_orderpriority)
+    """,
+)
+def q_scd2_customer_history(spark, sf_dir):
+    """SCD type-2 dimension build (Kimball): treat each order as an
+    observation of the customer's (status, priority) state, collapse
+    consecutive no-op observations, emit validity intervals with an
+    open current row. Both windows share one partition key, so the
+    whole history build is a single shuffle on o_custkey
+    (operators/relational.py:scd2_build)."""
+    from .operators.relational import scd2_build
+
+    return scd2_build(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        attrs=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
     "source_schema_evolution",
     oracle="""
     WITH b1 AS (
@@ -3873,18 +4089,23 @@ def q_tpch_q21(spark, sf_dir):
            CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM pool, thresh
     WHERE c_acctbal > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
 )
 def q_tpch_q22(spark, sf_dir):
-    """TPC-H Q22 shape — wealthy customers with no orders, by country.
-    Adaptation: country code is c_nationkey (the corpus has no
-    c_phone). The positive-balance average is a 1-row broadcast (exact
-    decimal sum / count → one double division, identical on both
-    engines — no rounding anywhere); the NOT EXISTS lowers to a
-    left-anti join against orders, which at scale is the custkey
-    column only."""
+    """TPC-H Q22 shape — wealthy DORMANT customers (no orders since
+    2000-01-01), by country. Adaptations: country code is c_nationkey
+    (the corpus has no c_phone), and dormancy is "no recent order"
+    rather than "no order ever" — this synthetic corpus gives every
+    customer at least one order, which would make the pristine Q22
+    anti-join vacuously empty (zero-row results are trivially-green
+    evidence). The positive-balance average is a 1-row broadcast
+    (exact decimal sum / count → one double division, identical on
+    both engines — no rounding anywhere); the NOT EXISTS lowers to a
+    left-anti join against the date-pruned orders slice, which at
+    scale is the custkey column of one partition-pruned year."""
     from pyspark.sql import functions as F
 
     pool = _t(spark, sf_dir, "customer").filter(
@@ -3896,7 +4117,11 @@ def q_tpch_q22(spark, sf_dir):
             / F.count("*")
         ).alias("avg_bal")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         pool.join(F.broadcast(thresh), F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, pool.c_custkey == o.o_custkey, "left_anti")
