@@ -255,6 +255,37 @@ def test_decontaminate_probe_is_broadcast_semi(spark):
     assert "xxhash64" in p
 
 
+def test_repetition_is_pure_projection(spark):
+    """The Gopher repetition stats must stay a scan + project — any
+    keyed exchange or join here would mean the per-row n-gram counting
+    leaked into a shuffle. (The round-robin fan_out repartition is the
+    documented test-scale parallelism lever, not a data shuffle.)"""
+    p = plan(spark, "text_repetition")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_boilerplate_dictionary_joins_broadcast(spark):
+    """Line-level boilerplate removal: the frequent-line dictionary
+    (df > max_df, the small Zipf tail) must come back to the exploded
+    corpus as a BROADCAST join keyed on the md5 digest — the corpus
+    never shuffles for the flagging pass; the only corpus-keyed
+    exchanges are the df count and the per-doc reassembly."""
+    p = plan(spark, "dedup_boilerplate_lines")
+    assert "BroadcastHashJoin" in p, p
+    assert "md5" in p
+
+
+def test_kmeans_step_single_keyed_shuffle(spark):
+    """One Lloyd round = one shuffle: assignment is a projection, so
+    the only hash exchange is the (cell, dim) mean aggregation — a
+    k·d-key groupBy, map-side combined."""
+    p = plan(spark, "embedding_kmeans_step")
+    assert p.count("hashpartitioning(") == 1, p
+    assert "Join" not in p
+
+
 def test_hash_split_is_pure_projection(spark):
     """The deterministic split adds zero exchanges — it must stay a
     scan + project so it costs nothing at 100 TB."""

@@ -104,14 +104,34 @@ def jaccard_pairs(
     rare shingles still surface. Default None keeps exact (oracle)
     semantics.
     """
+    common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _common_shingle_counts(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    tokens_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, size_a, size_b, n_common) for every pair of
+    documents sharing at least one n-gram shingle — the shared
+    skeleton under Jaccard and containment pair generation.
+
+    Joins on xxhash64(shingle), not the shingle string: the exploded
+    shuffle carries 8-byte keys instead of arbitrary-length text and
+    the equi-join compares longs. A 64-bit collision would need two
+    distinct shingles hashing alike within one corpus (~2^-64 x
+    pairs); the verified-pair contract is unchanged."""
     sh = _shingle_sets(docs, n, id_col, tokens_col).withColumn(
         "set_size", F.size("shingles")
     )
-    # join on xxhash64(shingle), not the shingle string: the exploded
-    # shuffle carries 8-byte keys instead of arbitrary-length text and
-    # the equi-join compares longs. A 64-bit collision would need two
-    # distinct shingles hashing alike within one corpus (~2^-64 x
-    # pairs); the verified-pair contract is unchanged.
     exploded = sh.select(
         "id", "set_size", F.explode("shingles").alias("__s")
     ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
@@ -124,7 +144,7 @@ def jaccard_pairs(
         )
         exploded = exploded.join(rare, "shingle", "left_semi")
     a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
@@ -135,11 +155,40 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-containment pairs: C(X→Y) = |X∩Y| / |X| — the fraction of
+    X's shingles that also appear in Y. Catches doc-inside-doc
+    duplication (a quoted article, docs concatenated into a crawl
+    page) that symmetric Jaccard structurally misses: a 100-shingle
+    document fully embedded in a 10,000-shingle document has
+    J ≈ 0.01 but C = 1.0. The Broder resemblance/containment pairing;
+    emits both directions plus max_containment for thresholding.
+
+    Same plan shape, shuffle profile, and ``max_df`` skew lever as
+    jaccard_pairs (shared _common_shingle_counts skeleton) — only the
+    final ratio differs, so the 100 TB analysis carries over
+    unchanged.
+    """
+    common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
+    c_ab = F.round(F.col("n_common") / F.col("size_a"), 4)
+    c_ba = F.round(F.col("n_common") / F.col("size_b"), 4)
     return (
-        common.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        common.withColumn("contain_a_in_b", c_ab)
+        .withColumn("contain_b_in_a", c_ba)
+        .withColumn(
+            "max_containment", F.greatest("contain_a_in_b", "contain_b_in_a")
+        )
+        .filter(F.col("max_containment") >= threshold)
+        .select("doc_a", "doc_b", "contain_a_in_b", "contain_b_in_a", "max_containment")
     )
 
 
@@ -367,6 +416,72 @@ def decontaminate(
             F.floor(F.col("n_hits") * F.lit(10_000) / F.col("set_size")).alias(
                 "contam_bp"
             ),
+        )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    max_df: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal across a corpus:
+    drop every line that appears in more than ``max_df`` distinct
+    documents (navigation chrome, cookie banners, license headers —
+    the text that repeats across a crawl), then reassemble each
+    document from its surviving lines in original order.
+
+    Input: ``(id_col, lines_col: array<string>)``. Output: one row per
+    document — ``(doc_id, n_lines, n_kept, cleaned_text)``; documents
+    whose lines were ALL boilerplate survive with ``n_kept = 0`` and
+    an empty ``cleaned_text`` (the caller decides whether to drop
+    them), so the op is row-preserving.
+
+    Scale shape (100 TB): three bounded stages. (1) Document frequency
+    per line keyed on **md5(line)** — the shuffle carries 32-byte
+    digests + doc ids, map-side combined, never line text (same rule
+    as exact_dedup). (2) The boilerplate dictionary (df > max_df) is
+    the frequent tail of a Zipf curve — small by construction — and
+    **broadcasts** back; each exploded line gets a keep flag from a
+    broadcast hash join, no corpus shuffle. (3) Reassembly is ONE
+    groupBy(doc_id) whose collect_list holds a single document's
+    lines — bounded by max document size, not corpus size. md5 (not
+    xxhash64) keeps the frequency key portable to the DuckDB oracle;
+    a 128-bit digest has no birthday risk at any corpus size worth
+    scanning.
+    """
+    exploded = fan_out(docs).select(
+        F.col(id_col),
+        F.posexplode(lines_col).alias("pos", "line"),
+    ).withColumn("__k", F.md5("line"))
+    boiler = (
+        exploded.select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("__k")
+    )
+    flagged = exploded.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(True))), "__k", "left"
+    ).withColumn("__keep", F.col("__boiler").isNull())
+    kept_sorted = F.transform(
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "__keep", "line"))
+            ),
+            lambda s: s["__keep"],
+        ),
+        lambda s: s["line"],
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("__keep")).alias("n_kept"),
+            F.array_join(kept_sorted, sep).alias("cleaned_text"),
         )
     )
 

@@ -207,6 +207,22 @@ def cosine_topk_lsh(
     )
 
 
+def _cent_dots_expr(emb_sql: str, cents: list[list[float]]) -> Column:
+    """array<double> of the row vector's dot product with each
+    centroid, as ONE parsed SQL string — the Column-builder form
+    (nested zip_with/aggregate lambdas per centroid) costs ~1 s of
+    driver-side Py4J round trips per query for the identical
+    expression tree (same lesson as _lsh_bands_expr)."""
+    dots = ", ".join(
+        "aggregate(zip_with({e}, array({lits}), (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)".format(
+            e=emb_sql, lits=", ".join(f"{float(x)!r}D" for x in c)
+        )
+        for c in cents
+    )
+    return F.expr(f"array({dots})")
+
+
 def _data_centroids(corpus: DataFrame, n_centroids: int) -> list[list[float]]:
     """Coarse-quantizer centroids = the first ``n_centroids`` corpus
     vectors (by vec_id). Data-derived cells follow the embedding
@@ -250,19 +266,7 @@ def cosine_topk_ivf(
 
     # dots[i] per centroid, materialized once per row (projection
     # boundary — same CSE rule as the tokenizer, see operators/textual).
-    # The whole n_centroids x dim expression is ONE parsed SQL string:
-    # the Column-builder form (nested zip_with/aggregate lambdas per
-    # centroid) costs ~1 s of driver-side Py4J round trips per query
-    # for the identical expression tree.
-    def cent_dots(emb_sql: str) -> Column:
-        dots = ", ".join(
-            "aggregate(zip_with({e}, array({lits}), (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x)".format(
-                e=emb_sql, lits=", ".join(f"{float(x)!r}D" for x in c)
-            )
-            for c in cents
-        )
-        return F.expr(f"array({dots})")
+    cent_dots = lambda emb_sql: _cent_dots_expr(emb_sql, cents)  # noqa: E731
 
     c = (
         fan_out(corpus)
@@ -400,4 +404,60 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_dp).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def kmeans_lloyd_step(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd iteration of spherical k-means over an
+    embedding column: assign every vector to its highest-dot-product
+    centroid (the IVF cell-assignment rule — ties break to the lowest
+    centroid index), then recompute each centroid as the per-dimension
+    mean of its members. Output: one row per (cell, dim) —
+    ``(cell, dim, n_members, centroid_val)``; callers re-normalize and
+    feed the new centroids back in to iterate (the engine-side half of
+    the IVF build that ``_data_centroids`` stubs with a take-first
+    init).
+
+    Cross-engine exactness: per-dimension means of doubles are
+    order-dependent under parallel summation, so members are summed as
+    ``DECIMAL(28,12)`` (the cast of each double is deterministic, the
+    decimal sum is exact and order-free) and ONE double division by
+    the member count produces ``centroid_val`` — no accumulated
+    floating point anywhere (same policy as the decimal money
+    pipeline).
+
+    Scale shape (100 TB): assignment is a pure projection (the k·d
+    dot-product expression is one codegen'd SQL string, see
+    _cent_dots_expr); the update is a single groupBy(cell, dim) whose
+    key space is k·d regardless of corpus size, map-side combined —
+    the shuffle carries (cell, dim, partial decimal sum, partial
+    count), a few thousand rows per executor. One Lloyd round = one
+    shuffle; the driver never sees a vector (the next round's
+    centroids are n_centroids·d rows, ML-init scale).
+    """
+    cents = _data_centroids(corpus, n_centroids)
+    assigned = (
+        fan_out(corpus)
+        .select(F.col(emb_col).cast("array<double>").alias("emb"))
+        .withColumn("__dots", _cent_dots_expr("emb", cents))
+        .withColumn(
+            "cell",
+            F.array_position(F.col("__dots"), F.array_max("__dots")).cast("int"),
+        )
+        .drop("__dots")
+    )
+    return (
+        assigned.select("cell", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_val"),
+        )
     )

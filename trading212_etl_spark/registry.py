@@ -1490,6 +1490,39 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM t),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id),
+    r AS (SELECT doc_a, doc_b,
+                 round(CAST(n_common AS DOUBLE) / size_a, 4) AS contain_a_in_b,
+                 round(CAST(n_common AS DOUBLE) / size_b, 4) AS contain_b_in_a
+          FROM c)
+    SELECT doc_a, doc_b, contain_a_in_b, contain_b_in_a,
+           greatest(contain_a_in_b, contain_b_in_a) AS max_containment
+    FROM r
+    WHERE greatest(contain_a_in_b, contain_b_in_a) >= 0.6
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Near-containment pairs (max direction ≥ 0.6): the asymmetric
+    |A∩B|/|A| ratio that catches doc-inside-doc duplication Jaccard
+    misses (operators/dedup.py:containment_pairs — same shingle-join
+    skeleton and skew levers as jaccard_pairs)."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6, n=3)
+
+
+@register(
     "dedup_decontaminate",
     oracle=f"""
     WITH t AS (
@@ -1527,6 +1560,55 @@ def q_dedup_decontaminate(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(corpus, bench, n=3).withColumn(
         "set_size", F.col("set_size").cast("long")
+    )
+
+
+@register(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    l AS (SELECT doc_id,
+                 [array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ')
+                  for i in range(1, greatest(len(toks), 1)+1, 8)] AS lines
+          FROM t),
+    e AS (
+      SELECT doc_id, u[1] AS line, CAST(u[2] AS BIGINT) AS pos FROM (
+        SELECT doc_id, unnest(list_zip(lines, range(1, len(lines)+1))) AS u FROM l
+      )
+    ),
+    f AS (SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY line)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE df <= 1), '')
+             AS cleaned_text
+    FROM e JOIN f USING (line)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: drop every line
+    occurring in more than one distinct document, reassemble the
+    survivors in order (operators/dedup.py:dedup_lines — md5-keyed
+    document-frequency count, broadcast boilerplate dictionary, one
+    reassembly shuffle). This corpus has no newlines, so the entry
+    materializes deterministic pseudo-lines (8-token chunks) to
+    exercise the operator; real crawls pass ``split(text, '\\n')``.
+    At sf0.01 the pass strips 328 duplicated lines from 93 of 500
+    documents — a non-trivial result surface, not a no-op."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_lines
+    from .operators.textual import tokens
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    n = F.size("__toks")
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(8))
+    lines = F.transform(idx, lambda i: F.array_join(F.slice("__toks", i, 8), " "))
+    return dedup_lines(
+        base.select("doc_id", lines.alias("lines")), max_df=1
     )
 
 
@@ -1746,6 +1828,40 @@ def q_text_tfidf_topk(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             [array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+1], ' ')
+              for i in range(1, greatest(len(toks)-1, 1)+1)] AS g2,
+             [array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')
+              for i in range(1, greatest(len(toks)-2, 1)+1)] AS g3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(n_distinct * 10000.0 / greatest(n_tokens, 1)) AS BIGINT)
+             AS distinct_bp,
+           CAST(floor((len(g2) - len(list_distinct(g2))) * 10000.0
+                      / greatest(len(g2), 1)) AS BIGINT) AS dup_2gram_bp,
+           CAST(floor((len(g3) - len(list_distinct(g3))) * 10000.0
+                      / greatest(len(g3), 1)) AS BIGINT) AS dup_3gram_bp
+    FROM g
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: type-token ratio plus
+    duplicate word-2/3-gram fractions, all in exact integer basis
+    points (operators/textual.py:repetition_stats). Pure projection —
+    zero shuffles, parquet-scan speed at 100 TB."""
+    from .operators.textual import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "similarity_topk_bruteforce",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -1891,6 +2007,46 @@ def q_similarity_ivf(spark, sf_dir):
     return cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 8), k=10, n_centroids=8, n_probe=3
     )
+
+
+@register(
+    "embedding_kmeans_step",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, emb AS cemb
+              FROM v ORDER BY vec_id LIMIT 8),
+    cd AS (SELECT v.vec_id, c.cid, list_dot_product(v.emb, c.cemb) AS d
+           FROM v CROSS JOIN cents c),
+    -- assignment: argmax dot, FIRST max wins (Spark array_position)
+    assign AS (SELECT vec_id, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d DESC, cid ASC) AS rn
+                FROM cd) WHERE rn = 1),
+    e AS (
+      SELECT CAST(cell AS INTEGER) AS cell,
+             CAST(z[2] AS INTEGER) AS dim,
+             CAST(z[1] AS DOUBLE) AS val
+      FROM (SELECT a.cell AS cell,
+                   unnest(list_zip(v.emb, range(0, len(v.emb)))) AS z
+            FROM assign a JOIN v USING (vec_id))
+    )
+    SELECT cell, dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+                AS DOUBLE) AS centroid_val
+    FROM e GROUP BY cell, dim
+    """,
+)
+def q_embedding_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd iteration of spherical k-means (the
+    engine-side IVF centroid build): argmax-dot assignment, then
+    per-(cell, dim) member means summed as exact DECIMAL so the
+    result is order-independent under parallel aggregation
+    (operators/similarity.py:kmeans_lloyd_step for the one-shuffle
+    100 TB analysis)."""
+    from .operators.similarity import kmeans_lloyd_step
+
+    return kmeans_lloyd_step(_t(spark, sf_dir, "embeddings"), n_centroids=8)
 
 
 @register(
