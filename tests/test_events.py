@@ -8,6 +8,32 @@ from trading212_etl_spark.sources import load_table
 from trading212_etl_spark.streaming.windows import run_streaming_tumbling_agg
 
 
+def test_event_time_is_absolute_batch(spark, sf_dir):
+    """Anchor the ingest to calendar time: the synthetic corpus spans
+    Jan 2024, so min/max(ts) must land in 2024 on the BATCH reader.
+
+    This is the non-vacuous guard the round-2 regression demanded: a
+    shared ingest distortion (e.g. a unit-mismatch division collapsing
+    2024 into 1970) keeps batch/streaming equivalence green while both
+    are wrong; an absolute-time assertion cannot be fooled that way.
+    """
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024, f"batch min(ts)={lo} — ingest time distortion"
+    assert hi.year == 2024, f"batch max(ts)={hi} — ingest time distortion"
+
+
+def test_event_time_is_absolute_streaming(spark, sf_dir):
+    """Same absolute-2024 anchor on the STREAMING reader (via the
+    materialized tumbling windows, which carry event-time bounds)."""
+    stream = run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
+    lo, hi = stream.agg(
+        F.min("window_start"), F.max("window_end")
+    ).first()
+    assert lo.year == 2024, f"stream min window={lo} — ingest distortion"
+    assert hi.year == 2024, f"stream max window={hi} — ingest distortion"
+
+
 def test_streaming_matches_batch_tumbling(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     batch = tumbling_agg(events, "1 hour")

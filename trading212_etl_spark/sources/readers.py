@@ -86,13 +86,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # NB: events.ts is physically TIMESTAMP(NANOS) parquet, which Spark
-    # cannot map to TimestampType (PARQUET_TYPE_ILLEGAL); it is scanned
-    # as nano-longs and converted in load_table.
+    # NB: events.ts physical unit varies by testdata generation —
+    # TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) is illegal for
+    # Spark's TimestampType reader and needs the nanosAsLong fallback.
+    # load_table probes the parquet footer and picks the right path.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -119,25 +120,81 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLES = tuple(SCHEMAS)
 
+# Probe-result cache: parquet path -> True when events.ts is physical
+# TIMESTAMP(NANOS). One footer read per path per process.
+_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the ``ts`` column of the events parquet at ``path`` is
+    physical TIMESTAMP(NANOS) (which Spark's TimestampType reader
+    rejects with PARQUET_TYPE_ILLEGAL) rather than MICROS/MILLIS.
+
+    Probes one file footer via pyarrow on the driver — O(KB), no data
+    scan — so the decision is made from the file's own metadata rather
+    than assumptions about how the testdata was generated (the round-2
+    regression: testdata switched NANOS→MICROS and an unconditional
+    ``ts DIV 1000`` collapsed 2024 into 1970). Accepts a single file
+    or a directory of part files (footer of the first part is probed;
+    mixed-unit directories are not supported, matching Spark itself).
+    """
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    import os
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if parts:
+            probe = os.path.join(path, parts[0])
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(probe).schema
+        col = next((c for c in schema if c.name == "ts"), None)
+        nanos = col is not None and "nanoseconds" in str(col.logical_type)
+    except Exception:
+        # Unreadable footer (remote FS without pyarrow access, etc.):
+        # assume the modern microseconds layout; the nanos layout is
+        # the legacy special case.
+        nanos = False
+    _NANOS_CACHE[path] = nanos
+    return nanos
+
+
+def events_nanos_schema() -> T.StructType:
+    """The events schema with ``ts`` as LongType, for the
+    nanosAsLong fallback read path."""
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table as Parquet with its pinned schema.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file — illegal for
-    Spark's TimestampType reader — so it is scanned as nano-longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to
-    microsecond TimestampType with integer division (``DIV 1000``;
-    float division would lose ulps at 1.7e18 nanos). The DuckDB oracle
-    side of any events query must mirror this with
-    ``CAST(ts AS TIMESTAMP)`` (ns → us truncation).
+    ``events.ts``: the footer is probed (:func:`events_ts_is_nanos`).
+    TIMESTAMP(MICROS) files read natively as TimestampType; legacy
+    TIMESTAMP(NANOS) files — illegal for Spark's TimestampType reader —
+    are scanned as nano-longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and truncated to microsecond TimestampType with integer division
+    (``DIV 1000``; float division would lose ulps at 1.7e18 nanos).
+    Either way the DataFrame exposes ``ts TIMESTAMP`` in microseconds,
+    matching DuckDB's view of the same file.
     """
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and events_ts_is_nanos(path):
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(events_nanos_schema()).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -14,16 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources/readers.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.readers import SCHEMAS, events_nanos_schema, events_ts_is_nanos
+
+# Streams carry ts as TimestampType; _events_stream handles the legacy
+# nanos-parquet fallback at the source (see sources/readers.py).
+EVENTS_STREAM_SCHEMA = SCHEMAS["events"]
 
 
 def streaming_tumbling_agg(
@@ -31,13 +26,13 @@ def streaming_tumbling_agg(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate over an event stream.
 
-    The watermark bounds state: at 100 TB/day of events the store only
-    holds windows newer than (max event time - watermark); older state
-    is evicted instead of accumulating forever.
+    Expects ``ts`` already as TimestampType (the source's concern —
+    :func:`_events_stream`). The watermark bounds state: at 100 TB/day
+    of events the store only holds windows newer than (max event time -
+    watermark); older state is evicted instead of accumulating forever.
     """
     return (
-        stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withWatermark("ts", watermark)
+        stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -54,16 +49,26 @@ def streaming_tumbling_agg(
 
 
 def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over the corpus events parquet, ts converted
-    from nanos exactly as the batch reader does (sources/readers.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the corpus events parquet, exposing
+    ``ts TIMESTAMP`` exactly as the batch reader does: the parquet
+    footer is probed (sources/readers.py:events_ts_is_nanos) and the
+    nanosAsLong + ``DIV 1000`` conversion applied only for legacy
+    TIMESTAMP(NANOS) files; modern MICROS files read natively."""
+    nanos = events_ts_is_nanos(f"{events_dir}/events.parquet")
+    schema = events_nanos_schema() if nanos else EVENTS_STREAM_SCHEMA
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(events_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
 
 
 def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -323,16 +328,10 @@ def run_streaming_tumbling_agg(
     file source for Kafka and the memory sink for a Parquet/foreachBatch
     sink — the transformation graph is identical.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source requires a directory; the corpus keeps one
-    # parquet per table in the sf dir, so glob-filter to events only
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(events_dir)
-    )
-    agg = streaming_tumbling_agg(stream, duration)
+    # parquet per table in the sf dir, so _events_stream glob-filters
+    # to events only and normalizes ts to TimestampType
+    agg = streaming_tumbling_agg(_events_stream(spark, events_dir), duration)
     name = "stream_tumbling_out"
     q = (
         agg.writeStream.outputMode("complete")
