@@ -1284,42 +1284,92 @@ def q_events_session_window(spark, sf_dir):
     return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
 
 
-@register("streaming_stream_static_join")  # rows-only: streaming harness
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                 FROM orders GROUP BY 1)
+    SELECT e.event_type,
+           d.user_id IS NOT NULL AS has_orders,
+           count(*) AS n_events
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+)
 def q_streaming_stream_static(spark, sf_dir):
     """§2.9 streaming — stream-static dimension join (the streaming
     form of the trading212.py:109 account enrichment): static side
-    re-planned per micro-batch. Batch equivalence in tests."""
+    re-planned per micro-batch. The query genuinely executes as a
+    Structured Streaming job (memory sink, processAllAvailable); the
+    oracle is the batch-SQL twin of the materialized result — a full
+    value-hash check, stronger than the former rows-only row."""
     from .streaming.windows import run_stream_static_join
 
     return run_stream_static_join(spark, sf_dir)
 
 
-@register("streaming_stream_stream_join")  # rows-only: streaming harness
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                      value
+               FROM events),
+    c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, ts AS purchase_ts,
+                 value AS purchase_value
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           count(*) AS n_attributed,
+           round(sum(p.purchase_value), 2) AS attributed_value
+    FROM c JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
 def q_streaming_stream_stream(spark, sf_dir):
     """§2.9 streaming — watermarked stream-stream attribution join
     (clicks ⋈ purchases within 1 hour per user): time-bounded join
     condition on both ends so click state evicts at watermark +
-    horizon. Batch equivalence in tests/test_events.py."""
+    horizon. Executes as a real stream-stream join; the oracle is the
+    batch interval-join twin of the streamed result."""
     from .streaming.windows import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
 
 
-@register("streaming_dedup_exactly_once")  # rows-only: stateful streaming
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM (SELECT event_id, min(event_type) AS event_type
+          FROM events GROUP BY event_id)
+    GROUP BY 1
+    """,
+)
 def q_streaming_dedup(spark, sf_dir):
     """§2.9 streaming — watermark-bounded dropDuplicatesWithinWatermark
-    ingest (the principled T2, trading212.py:100-111 + 121). Equality
-    with batch distinct counts asserted in tests/test_events.py."""
+    ingest (the principled T2, trading212.py:100-111 + 121). The oracle
+    is per-type counts after batch dedup on event_id (min(event_type)
+    for determinism; corpus ids are unique so either tiebreak matches
+    what the stream keeps)."""
     from .streaming.windows import run_streaming_dedup
 
     return run_streaming_dedup(spark, sf_dir)
 
 
-@register("streaming_stateful_user_stats")  # rows-only: arbitrary state op
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
 def q_streaming_user_stats(spark, sf_dir):
     """§2.9 streaming — custom stateful operator via
-    applyInPandasWithState: per-user running (count, max). Batch
-    equivalence asserted in tests/test_events.py."""
+    applyInPandasWithState: per-user running (count, max). The oracle
+    is the batch aggregate the converged state must equal (max/count
+    are order-insensitive, so the streamed fixpoint is exact)."""
     from .streaming.windows import run_streaming_user_stats
 
     return run_streaming_user_stats(spark, sf_dir)
@@ -1413,12 +1463,24 @@ def q_unpivot(spark, sf_dir):
     )
 
 
-@register("streaming_tumbling_1h")  # rows-only: streaming, not SQL-expressible
+@register(
+    "streaming_tumbling_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
 def q_streaming_tumbling(spark, sf_dir):
     """§2.9 streaming — the T1 tumbling aggregate as a Structured
     Streaming query over a file source, driven to completion with a
-    memory sink. Equivalence to the batch form is asserted in
-    tests/test_events.py."""
+    memory sink. The oracle is the batch tumbling-window SQL the
+    converged stream must equal (complete output mode over a finite
+    source is exactly the batch aggregate)."""
     from .streaming.windows import run_streaming_tumbling_agg
 
     return run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
