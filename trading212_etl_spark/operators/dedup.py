@@ -353,14 +353,23 @@ def connected_components(
 def remove_near_dups(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Canonicalize a near-dup pair set into a keep/drop decision:
-    drop every doc that appears as the *higher* id of any pair (keep
-    the lowest id of each connected component's star; full transitive
-    closure would need iterative connected components — documented
-    simplification, same rule on the oracle side).
+    """Canonicalize a near-dup pair set into a keep/drop decision via
+    the exact transitive closure: run :func:`connected_components`
+    over the pair graph and keep only each component's minimum doc id.
 
-    Anti-join on the drop set: one broadcast-able exchange."""
-    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    This is the canonical survivor rule at any scale — the former
+    star approximation (drop every pair's higher id) over-kept docs
+    that never appeared as a pair's higher id but were transitively
+    reachable from the component minimum (e.g. edges {1-5, 3-5} kept
+    both 1 and 3; the closure keeps only 1). Cost: the CC fixpoint is
+    O(diameter) keyed shuffles over the *pair graph* (|pairs| <<
+    |corpus|), then one broadcast-able anti-join on the drop set.
+    """
+    comp = connected_components(pairs)
+    drop = (
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select(F.col("doc_id").alias(id_col))
+    )
     return docs.join(drop, id_col, "left_anti")
 
 

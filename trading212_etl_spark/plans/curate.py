@@ -37,7 +37,8 @@ def curate_corpus(
     """Return the curated corpus: docs scoring ≥ ``min_quality_bp``,
     predicted in ``langs``, exact-deduped (min doc_id per content
     digest wins), with near-duplicates (Jaccard ≥ threshold) removed
-    keeping each pair's lower id."""
+    keeping each connected component's minimum doc id (exact closure
+    via connected_components — see operators/dedup.remove_near_dups)."""
     toks = F.col("__toks")
     scored = fan_out(docs).select(
         "doc_id", "text", "lang", tokens("text").alias("__toks")

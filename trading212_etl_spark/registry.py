@@ -2255,7 +2255,7 @@ def q_multimodal_frames(spark, sf_dir):
 @register(
     "pipeline_curate_corpus",
     oracle=f"""
-    WITH t AS (
+    WITH RECURSIVE t AS (
       SELECT doc_id, text, lang, {_TOKS} AS toks,
              regexp_extract_all(text, '[^a-z0-9\\s]') AS syms
       FROM documents
@@ -2308,9 +2308,18 @@ def q_multimodal_frames(spark, sf_dir):
                  count(*) AS n_common
           FROM e a JOIN e b USING (shingle)
           WHERE a.id < b.id GROUP BY a.id, b.id),
-    drops AS (SELECT DISTINCT doc_b AS doc_id FROM c
+    pairs AS (SELECT doc_a, doc_b FROM c
               WHERE round(CAST(n_common AS DOUBLE)
-                          / (size_a + size_b - n_common), 4) >= 0.5)
+                          / (size_a + size_b - n_common), 4) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    drops AS (SELECT src AS doc_id FROM reach
+              GROUP BY src HAVING least(src, min(dst)) != src)
     SELECT doc_id, lang, lang_pred, quality_bp, n_tokens
     FROM canonical WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
