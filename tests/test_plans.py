@@ -298,3 +298,54 @@ def test_pack_sequences_single_shard_shuffle(spark):
     p = plan(spark, "sample_pack_sequences")
     assert "Window" in p
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
+def test_materialize_policy_modes(spark):
+    """The conf-driven materialization policy (partitioning.materialize)
+    must cut lineage in every truncating configuration — including when
+    a non-truncating mode (persist/none) is requested at a truncate-
+    required call site (iterative fixpoints), which upgrades to a
+    truncating strategy instead of silently blowing up round-N plans."""
+    from trading212_etl_spark.partitioning import materialize
+
+    df = spark.range(64).selectExpr("id", "id % 7 AS k")
+    agg = df.groupBy("k").count()
+    try:
+        for mode in ("local", "persist", "none"):
+            spark.conf.set("spark.trading212.materialize", mode)
+            out = materialize(agg, truncate=True)
+            p = out._jdf.queryExecution().optimizedPlan().toString()
+            # lineage cut: the materialized node is a plain RDD scan,
+            # no Aggregate/Range ancestry in the plan
+            assert "Aggregate" not in p and "Range" not in p, (mode, p)
+        # non-truncating persist at a multi-consumer (truncate=False)
+        # site: honored as a disk persist, lineage retained
+        spark.conf.set("spark.trading212.materialize", "persist")
+        kept = materialize(agg, truncate=False)
+        assert kept.storageLevel.useDisk
+        kept.unpersist()
+        # pass-through mode
+        spark.conf.set("spark.trading212.materialize", "none")
+        same = materialize(agg, truncate=False)
+        assert same is agg
+    finally:
+        spark.conf.set("spark.trading212.materialize", "local")
+
+
+def test_connected_components_cut_under_any_policy(spark):
+    """The CC fixpoint must stay correct and lineage-bounded even when
+    the session asks for a non-truncating materialization mode."""
+    from trading212_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5), (7, 8)], ["doc_a", "doc_b"]
+    )
+    try:
+        spark.conf.set("spark.trading212.materialize", "none")
+        got = {
+            (r.doc_id, r.component)
+            for r in connected_components(pairs).collect()
+        }
+    finally:
+        spark.conf.set("spark.trading212.materialize", "local")
+    assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (8, 7)}

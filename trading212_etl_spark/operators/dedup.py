@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..partitioning import fan_out
+from ..partitioning import fan_out, materialize
 from .textual import tokens
 
 
@@ -239,7 +239,7 @@ def minhash_lsh_pairs(
     # sides), so exchange reuse can't kick in — materialize once
     # instead of tokenizing+shingling the corpus three times (measured
     # 3.6x wall on the full op). At cluster scale: persist/checkpoint.
-    sh = _shingle_sets(docs, shingle_n, id_col).localCheckpoint()
+    sh = materialize(_shingle_sets(docs, shingle_n, id_col), truncate=False)
     # signature via explode + K min-aggregates instead of K interpreted
     # array passes: min(xxhash64(shingle, k)) over the exploded shingle
     # rows is whole-stage-codegen'd aggregation (K buffers), where the
@@ -313,14 +313,13 @@ def connected_components(
     their own trivial component and never enter the graph).
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.union(
+    edges = materialize(fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    ))
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -328,7 +327,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new = (
+        new = materialize(
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 labels.node,
@@ -336,7 +335,6 @@ def connected_components(
                     labels.label, F.coalesce(F.col("nlabel"), labels.label)
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..partitioning import fan_out
+from ..partitioning import fan_out, materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -168,9 +168,9 @@ def cosine_topk_lsh(
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
     # materialized once: three consumers (banding + candidate-side
     # embedding lookup), and the banding expression is compile-heavy
-    v = fan_out(corpus).select(
+    v = materialize(fan_out(corpus).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).localCheckpoint()
+    ), truncate=False)
     qv = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -356,9 +356,9 @@ def embedding_near_dup_pairs_lsh(
     # the candidate distinct must never carry the vectors, or the
     # shuffle moves |candidates| x 2 embeddings (~500 MB at 2k vectors,
     # catastrophic at corpus scale) instead of two longs per row.
-    v = fan_out(corpus).select(
+    v = materialize(fan_out(corpus).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
-    ).localCheckpoint()
+    ), truncate=False)
     banded = v.select(
         "vec_id", F.explode(_lsh_bands_expr("emb", tables)).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.bkt")

@@ -46,6 +46,50 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def materialize(df: DataFrame, *, truncate: bool = True) -> DataFrame:
+    """Conf-driven materialization policy for multi-consumer and
+    iterative plan nodes — the deployment lever behind every
+    ``localCheckpoint`` in this package.
+
+    ``localCheckpoint`` is the right *local* call: eager, truncates
+    lineage, stores blocks on the executors. But it pins executor
+    memory/disk and dies with an executor, so a 1000-executor 100 TB
+    job wants a different strategy without touching operator code.
+    ``spark.trading212.materialize`` selects it:
+
+    - ``local`` (default) — ``localCheckpoint()``: eager + truncating,
+      executor-resident; the bench/local mode.
+    - ``reliable`` — ``checkpoint()``: eager + truncating, written to
+      the fault-tolerant ``sparkContext.setCheckpointDir`` location
+      (HDFS/S3); survives executor loss. The 100 TB setting.
+    - ``persist`` — ``persist(DISK_ONLY)``: lazy, avoids recomputation
+      across consumers but does NOT truncate lineage.
+    - ``none`` — pass-through (recompute per consumer).
+
+    ``truncate=True`` marks call sites that *require* lineage cutting
+    (iterative fixpoints like connected_components, whose round-N plan
+    would otherwise embed rounds 1..N-1): there, non-truncating modes
+    (``persist``/``none``) are upgraded to the truncating equivalent
+    (``reliable`` if a checkpoint dir is configured, else ``local``)
+    rather than silently producing the plan-blowup the checkpoint
+    exists to prevent.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.trading212.materialize", "local")
+    if mode in ("persist", "none") and truncate:
+        has_dir = spark.sparkContext.getCheckpointDir() is not None
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        return df.checkpoint()
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    if mode == "none":
+        return df
+    return df.localCheckpoint()
+
+
 def with_salt(df: DataFrame, n_buckets: int, col_name: str = "__salt") -> DataFrame:
     """Attach a uniform salt column in [0, n_buckets). Deterministic
     per row is NOT required (salt only spreads rows); monotonically_

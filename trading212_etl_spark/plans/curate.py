@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import jaccard_pairs, remove_near_dups
 from ..operators.textual import lang_pred_col, quality_bp_col, tokens
-from ..partitioning import fan_out
+from ..partitioning import fan_out, materialize
 
 
 def curate_corpus(
@@ -68,9 +68,9 @@ def curate_corpus(
         # materialized once: the near-dup stage consumes canonical
         # three times (both shingle-join sides + the final anti-join);
         # without this each consumer re-runs tokenize+score+dedup
-        # (measured 2x wall). At cluster scale: persist/checkpoint.
-        .localCheckpoint()
+        # (measured 2x wall). Policy conf-driven: partitioning.materialize.
     )
+    canonical = materialize(canonical, truncate=False)
     # the scoring pass already materialized the token arrays — reuse
     # them for shingling instead of re-running the regex tokenizer
     pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n, tokens_col="__toks")
