@@ -17,6 +17,8 @@ the same bucketing skeleton with argmin-centroid assignment.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,38 +95,71 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _lsh_bucket_sql(emb_sql: str, planes: list[list[float]]) -> str:
-    """SQL fragment for the sign-bit bucket id of one table:
-    bit_i = 1 iff emb · plane_i > 0, packed as a long."""
-    terms = []
-    for i, p in enumerate(planes):
-        lits = ", ".join(f"{float(x)!r}D" for x in p)
-        terms.append(
-            f"(CASE WHEN aggregate(zip_with({emb_sql}, array({lits}),"
-            f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0D"
-            f" THEN {2 ** i}L ELSE 0L END)"
-        )
-    return "(" + " + ".join(terms) + ")"
+def _bands_arrow_udf(tables: list[list[list[float]]]):
+    """Arrow-vectorized multi-table banding: ``array<double>`` embedding
+    -> ``array<bigint>`` of the sign-bit bucket for every table, one
+    numpy matmul per Arrow batch.
+
+    Evolution of this hot spot: the Column-builder form was driver-
+    compile-bound (a Py4J round trip per plane literal); the round-2
+    fix parsed ONE giant SQL string, which killed compile time but left
+    n_tables × n_planes interpreted ``aggregate(zip_with(...))`` lambda
+    folds per row — Catalyst evaluates higher-order functions on the
+    interpreted path, and the measured cost was a 17 s cold / 4 s warm
+    banding pass over just 2000 vectors. A single (batch × dim) @
+    (dim × n_tables·n_planes) BLAS matmul does the identical arithmetic
+    SIMD-vectorized: this is exactly the workload Arrow-batched pandas
+    UDFs exist for (linear algebra Catalyst can only express
+    element-at-a-time). Sign parity with the SQL/DuckDB-oracle fold is
+    safe: gaussian-plane dots sit O(1) from zero, float64 summation-
+    order noise is ~1e-15.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    planes = np.asarray(
+        [p for tbl in tables for p in tbl], dtype=np.float64
+    )  # (n_tables*n_planes, dim)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def bands(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(emb.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (m @ planes.T > 0.0).reshape(len(m), n_tables, n_planes)
+        return pd.Series(list(bits @ weights))  # (n, n_tables) buckets
+
+    return bands
 
 
-def _lsh_bands_expr(emb_sql: str, tables: list[list[list[float]]]) -> Column:
-    """array<struct<tbl,bkt>> of every table's bucket for one vector,
-    as ONE parsed SQL expression. The Column-builder form (a lit per
-    plane, a when/aggregate tree per table) costs seconds of pure
-    driver-side Py4J round trips and analysis time per query — the
-    same lesson as IVF's cent_dots (measured: the banding expression
-    dominated wall clock at BOTH bench scale factors, i.e. the op was
-    compile-bound, not data-bound)."""
-    structs = ", ".join(
-        f"struct({t} AS tbl, {_lsh_bucket_sql(emb_sql, planes)} AS bkt)"
-        for t, planes in enumerate(tables)
-    )
-    return F.expr(f"array({structs})")
+def _pair_cosine_arrow_udf():
+    """Arrow-vectorized cosine between two embedding columns (the
+    candidate-verify hot loop: one row per candidate PAIR, so at 814 k
+    pairs the interpreted zip_with/aggregate fold dominated the whole
+    query). Row-wise einsum + norms over each Arrow batch; rounding
+    for oracle parity stays in SQL so the boundary semantics are
+    identical to the :func:`cosine` expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype=np.float64)
+        a = np.asarray(ea.tolist(), dtype=np.float64)
+        b = np.asarray(eb.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    return pair_cos
 
 
 def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit_i = 1 iff emb · plane_i > 0 (single
-    table; see _lsh_bands_expr for the multi-table fast path)."""
+    table, pure-Column form; see _bands_arrow_udf for the vectorized
+    multi-table path the LSH operators use)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = dot(emb, F.lit([float(x) for x in p]))
@@ -167,7 +202,7 @@ def cosine_topk_lsh(
 
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
     # materialized once: three consumers (banding + candidate-side
-    # embedding lookup), and the banding expression is compile-heavy
+    # embedding lookup)
     v = materialize(fan_out(corpus).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ), truncate=False)
@@ -175,13 +210,15 @@ def cosine_topk_lsh(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
     )
-    bands = _lsh_bands_expr("emb", tables)
-    c_banded = v.select("vec_id", F.explode(bands).alias("tb")).select(
-        F.col("vec_id").alias("corpus_id"), "tb.tbl", "tb.bkt"
+    bands = _bands_arrow_udf(tables)
+    pair_cos = _pair_cosine_arrow_udf()
+    c_banded = v.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.posexplode(bands("emb")).alias("tbl", "bkt"),
     )
-    q_banded = qv.withColumnRenamed("q_emb", "emb").select(
-        "query_id", F.explode(bands).alias("tb")
-    ).select("query_id", "tb.tbl", "tb.bkt")
+    q_banded = qv.select(
+        "query_id", F.posexplode(bands("q_emb")).alias("tbl", "bkt")
+    )
     cand = (
         c_banded.join(F.broadcast(q_banded), ["tbl", "bkt"])
         .filter(F.col("corpus_id") != F.col("query_id"))
@@ -194,7 +231,7 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "corpus_id",
-            F.round(cosine(F.col("q_emb"), F.col("emb")), round_dp).alias("cos_sim"),
+            F.round(pair_cos(F.col("q_emb"), F.col("emb")), round_dp).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -212,7 +249,8 @@ def _cent_dots_expr(emb_sql: str, cents: list[list[float]]) -> Column:
     centroid, as ONE parsed SQL string — the Column-builder form
     (nested zip_with/aggregate lambdas per centroid) costs ~1 s of
     driver-side Py4J round trips per query for the identical
-    expression tree (same lesson as _lsh_bands_expr)."""
+    expression tree (same compile-cost lesson as LSH banding; see
+    _bands_arrow_udf for why the LSH side went further, to Arrow)."""
     dots = ", ".join(
         "aggregate(zip_with({e}, array({lits}), (x, y) -> x * y),"
         " 0.0D, (acc, x) -> acc + x)".format(
@@ -346,41 +384,65 @@ def embedding_near_dup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path for
     :func:`embedding_near_dup_pairs`: candidate pairs must co-bucket
-    in at least one hyperplane table (equi-join on (table, bucket)),
-    then exact cosine filters. Never a cross join; precision is exact
-    (every emitted pair is scored), recall is the multi-table OR curve
-    (tests assert subset-of-exact + recall floor)."""
+    in at least one hyperplane table (one (tbl, bkt) groupBy shuffle),
+    then exact cosine verifies inside each bucket. Never a cross join;
+    precision is exact (every emitted pair is scored), recall is the
+    multi-table OR curve (tests assert subset-of-exact + recall
+    floor)."""
+    import numpy as _np
+
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
-    # materialized once (three consumers: banding + both embedding
-    # lookups); candidates travel as BARE ID PAIRS — banding rows and
-    # the candidate distinct must never carry the vectors, or the
-    # shuffle moves |candidates| x 2 embeddings (~500 MB at 2k vectors,
-    # catastrophic at corpus scale) instead of two longs per row.
-    v = materialize(fan_out(corpus).select(
+    # Within-bucket verification: the banded rows KEEP their embedding
+    # through the (tbl, bkt) shuffle — n_tables copies of the corpus —
+    # and each bucket is scored by one numpy gram matmul; only
+    # survivors (pairs at/above threshold) leave Python. The
+    # alternative shape (candidates as bare id pairs, embeddings
+    # re-joined for scoring) moves |candidates| × 2 embeddings instead,
+    # which wins only when the sketch is selective; at a low cosine
+    # threshold LSH candidates grow ~quadratic (measured: 814 k
+    # candidate pairs from a 2 k corpus = 400× the banded-with-vector
+    # bytes), so bucket-local scoring is the cheaper contract for the
+    # near-dup operator. cosine_topk_lsh keeps the bare-pair shape —
+    # its query-side candidates ARE selective. Scale guard: a bucket
+    # must fit one task (tune n_planes so 2^n_planes ≫ corpus/task
+    # budget; AQE skew-split cannot cut a single applyInPandas group).
+    cutoff = threshold - 0.5 * 10 ** (-round_dp) - 1e-12
+
+    def _score_bucket(pdf):
+        import pandas as _pd
+
+        m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
+        cos = normed @ normed.T
+        ia, ib = _np.triu_indices(len(ids), k=1)
+        # orient each pair as (low id, high id); keep raw cos — the
+        # oracle-parity round + threshold stay SQL-side
+        keep = cos[ia, ib] >= cutoff
+        lo = _np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = _np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return _pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "raw_cos": cos[ia, ib][keep]}
+        )
+
+    v = fan_out(corpus).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
-    ), truncate=False)
-    banded = v.select(
-        "vec_id", F.explode(_lsh_bands_expr("emb", tables)).alias("tb")
-    ).select("vec_id", "tb.tbl", "tb.bkt")
-    a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
-    b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
-    cand = (
-        a.join(b, ["tbl", "bkt"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
     )
-    ea = v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    eb = v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    banded = v.select(
+        "vec_id", "emb", F.posexplode(_bands_arrow_udf(tables)("emb")).alias("tbl", "bkt")
+    )
+    scored = banded.groupBy("tbl", "bkt").applyInPandas(
+        _score_bucket, "vec_a long, vec_b long, raw_cos double"
+    )
+    # a pair co-bucketing in k tables is scored k times with identical
+    # float64 arithmetic; min() collapses the copies deterministically
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_dp).alias("cos_sim"),
+        scored.select(
+            "vec_a", "vec_b", F.round(F.col("raw_cos"), round_dp).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cos_sim").alias("cos_sim"))
     )
 
 
