@@ -83,6 +83,14 @@ def main() -> None:
     def timed_pass(at_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in HEADLINE:
+            # Isolate queries from each other: earlier queries leave
+            # localCheckpoint blocks whose JVM-side cleanup waits on GC
+            # (ContextCleaner is reference-triggered), so without a
+            # collection the later heavy queries absorb both the
+            # memory pressure and the deferred cleanup inside their
+            # timed window (measured: ±2x run-to-run on the curation
+            # pipeline, the last checkpoint-heavy query in the list).
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             QUERIES[name](spark, at_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
