@@ -294,6 +294,24 @@ def test_hash_split_is_pure_projection(spark):
     assert "Join" not in p
 
 
+def test_chunk_windows_is_pure_projection(spark):
+    """Token-window chunking must stay scan + project + generate —
+    zero exchanges, zero Python — so chunking a 100 TB corpus runs at
+    parquet-scan speed on the scan's own partitioning."""
+    p = plan(spark, "text_chunk_windows")
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quantize_int8_is_pure_projection(spark):
+    """int8 quantization is a per-row transform: no exchange, no
+    Python, one scan pass over the embedding store."""
+    p = plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     p = plan(spark, "sample_pack_sequences")
     assert "Window" in p

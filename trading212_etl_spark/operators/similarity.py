@@ -523,3 +523,32 @@ def kmeans_lloyd_step(
             ).alias("centroid_val"),
         )
     )
+
+
+def quantize_int8(corpus: DataFrame, round_dp: int = 6) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column:
+    scale = max(|x|)/127, q_i = round(x_i·127/max(|x|)) — the standard
+    storage/bandwidth reduction for a 100 TB embedding store (4×
+    smaller than float32; distance computations dequantize per block).
+
+    Pure projection (two higher-order passes over a 64-wide array per
+    row, no shuffle, no Python); emitted scale is rounded for oracle
+    parity, the int codes are exact. All-zero vectors quantize to zero
+    codes with scale 0 rather than dividing by zero.
+    """
+    emb = F.col("emb")
+    m = F.array_max(F.transform(emb, F.abs))
+    q = F.when(m > 0, F.transform(emb, lambda x: F.round(x * 127 / m).cast("int"))).otherwise(
+        F.transform(emb, lambda x: F.lit(0))
+    )
+    return (
+        corpus.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(m / 127, round_dp).alias("scale"),
+            q.alias("qvec"),
+        )
+    )

@@ -291,3 +291,41 @@ def fingerprint(docs: DataFrame, shingle_len: int = 5) -> DataFrame:
             F.array_min(F.transform(F.col("__shingles"), F.md5)).alias("winnow_fp"),
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    — the context-window chunking step every LLM training/RAG pipeline
+    runs between curation and tokenization (no analog in the reference,
+    which never splits rows; north-star extension like the rest of this
+    module).
+
+    Chunks start at every multiple of ``stride`` below the token count,
+    take up to ``size`` tokens, and are clipped at the document end, so
+    with stride ≤ size every token lands in at least one chunk and
+    consecutive chunks overlap by ``size - stride`` tokens (the overlap
+    that keeps boundary-spanning context learnable).
+
+    Plan shape: tokenize once, explode a per-row start sequence, slice
+    the shared token array — projection + generate only, zero shuffles
+    and zero Python, so a 100 TB corpus chunks at parquet-scan speed
+    and inherits the scan's partitioning (each output chunk stays on
+    its document's partition; downstream repartition is the consumer's
+    choice, not a cost this operator imposes).
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    words = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    chunk = F.slice(toks, F.col("start") + 1, size)
+    return (
+        words.select("doc_id", "__toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -4537,6 +4537,63 @@ def q_text_redact(spark, sf_dir):
     )
 
 
+@register(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS start FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(len(t[start + 1 : start + 64]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def q_text_chunk_windows(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap (size 64, stride
+    48) — the LLM context-window prep step between curation and
+    tokenization. Projection + generate only: zero shuffles, zero
+    Python; chunks inherit the scan's partitioning. See
+    operators/textual.chunk_windows for the coverage contract."""
+    from .operators.textual import chunk_windows
+
+    return chunk_windows(_t(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, label, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id, label,
+           round(mx / 127, 6) AS scale,
+           CASE WHEN mx > 0
+                THEN list_transform(emb, x -> CAST(round(x * 127 / mx) AS INTEGER))
+                ELSE list_transform(emb, x -> 0) END AS qvec
+    FROM m
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding store
+    (scale = max|x|/127) — 4x storage/bandwidth reduction for a 100 TB
+    vector corpus. Pure projection, no shuffle; int codes are exact on
+    both engines, only the float scale is rounded for parity. See
+    operators/similarity.quantize_int8."""
+    from .operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
