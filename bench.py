@@ -124,10 +124,30 @@ def main() -> None:
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     if os.path.isdir(sf2_dir) and os.path.abspath(sf2_dir) != os.path.abspath(sf_dir):
         t2 = timed_pass(sf2_dir)
+        sf1, sf2 = parse_sf(sf_dir), parse_sf(sf2_dir)
+        # wall ratio per query across the two SFs. With sf0.1/sf0.01
+        # (10x the rows) a shuffle-bound query should land well under
+        # 10x (fixed per-job overhead amortizes); a ratio NEAR OR ABOVE
+        # the row ratio flags a superlinear operator that will not
+        # survive 100 TB. Ratios are only meaningful when both walls
+        # clear job-overhead noise (~0.3 s locally) — flagged=null
+        # below that floor.
+        row_ratio = (sf1 / sf2) if isinstance(sf1, float) and isinstance(sf2, float) else None
+        ratios = {
+            q: (round(timings[q] / t2[q], 2) if min(timings[q], t2[q]) >= 0.3 else None)
+            for q in t2
+        }
         scaling = {
-            "sf": parse_sf(sf2_dir),
+            "sf": sf2,
             "total": round(sum(t2.values()), 3),
             "queries": t2,
+            "row_ratio_vs_primary": row_ratio,
+            "wall_ratio_vs_primary": ratios,
+            "superlinear": sorted(
+                q
+                for q, r in ratios.items()
+                if r is not None and row_ratio is not None and r >= row_ratio
+            ),
         }
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
