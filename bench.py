@@ -71,12 +71,21 @@ def main() -> None:
     spark = get_session(app_name="bench")
     pin_oracle_confs(spark)
 
-    # Warm-up: run every headline query once at the smallest SF so the
+    # Warm-up: run every headline query once at a SMALLER SF so the
     # timed loop measures steady-state query execution, not one-off
     # JVM/codegen compilation and parquet-footer caching (measured ~2x
-    # inflation on first execution of codegen-heavy plans).
+    # inflation on first execution of codegen-heavy plans). sf0.001 is
+    # too small to matter: HotSpot only JIT-compiles the generated
+    # operator code after ~10k invocations, so a 500-row warm-up left
+    # the first timed run of every shuffle-heavy query executing
+    # interpreted bytecode (measured 2-4x on the dedup/curation
+    # family). One pass at sf0.01 crosses the compile thresholds while
+    # staying 10x below the measured SF.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(warm_dir):
+        warm_dir = "/root/testdata/sf0.001"
     for warm in HEADLINE:
-        QUERIES[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        QUERIES[warm](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
 

@@ -4594,6 +4594,108 @@ def q_embedding_quantize_int8(spark, sf_dir):
     return quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH zs AS (
+      SELECT event_id, event_type, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts, value,
+           round((value - mu) / sd, 4) AS zscore
+    FROM zs
+    WHERE n >= 20 AND sd > 0
+      AND abs(round((value - mu) / sd, 4)) >= 3
+    """,
+)
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against
+    the trailing 20-event window of its event_type (ROWS frame ordered
+    by (ts, event_id) for determinism); emit events ≥3 sigma from the
+    rolling mean. Short warm-up windows (n < 20) and zero-variance
+    windows are excluded — both engines would otherwise divide by
+    null/0. One keyed window, one exchange; the anomaly filter is
+    applied to the ROUNDED score so the float boundary is identical on
+    both engines. At 100 TB the partition key is event_type — add a
+    time-bucket to the key if one type dominates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    z = F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.count("value").over(w).alias("__n"),
+            F.stddev_samp("value").over(w).alias("__sd"),
+            z.alias("zscore"),
+        )
+        .filter((F.col("__n") >= 20) & (F.col("__sd") > 0) & (F.abs("zscore") >= 3))
+        .drop("__n", "__sd")
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+    FROM rfm
+    """,
+)
+def q_orders_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    one aggregate over orders, then quartile scores per metric via
+    ntile — the classic marketing-analytics segmentation. Every ntile
+    ordering carries the o_custkey tie-break, and the monetary sort key
+    is the ROUNDED sum, so rank assignment is engine-deterministic.
+    Scale note: the global ntile windows run on the per-customer
+    AGGREGATE (orders collapsed ~10:1 first), not the fact table; at
+    100 TB swap exact ntile for approx-quantile thresholds
+    (approxQuantile + broadcast) — the aggregate-first shape is the
+    part that must not change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
