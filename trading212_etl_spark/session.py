@@ -56,6 +56,19 @@ def get_session(
         # -- python interop ------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # -- status-store retention ----------------------------------
+        # The app/SQL status listeners run even with the UI off, and
+        # their defaults retain 1000 executions' full plan graphs plus
+        # 1000 jobs / 1000 stages / 100k tasks. A long-lived engine
+        # session (the bench loop, a notebook, a driver daemon) runs
+        # hundreds of large-plan queries, so listener bookkeeping grows
+        # into a per-job tax on LATER queries (measured ~15-20% on the
+        # checkpoint-heavy curation pipeline by query #30). These jobs
+        # are not a monitoring UI's audience; retain a small window.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
