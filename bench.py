@@ -61,6 +61,10 @@ HEADLINE = [
     "similarity_topk_lsh",        # multi-table hyperplane-LSH ANN (100 TB path)
     "embedding_near_dup_lsh",     # banded near-dup pairs (100 TB path)
     "embedding_norms",            # higher-order vector functions
+    "embedding_quantize_int8",    # int8 store quantization, pure projection
+    "text_chunk_windows",         # context-window chunking, projection+generate
+    "events_anomaly_zscore",      # rolling 20-event z-score window
+    "orders_rfm_segments",        # aggregate-first ntile segmentation
     "multimodal_image_meta",      # Arrow mapInPandas decode
     "sort_limit_topk",            # TakeOrderedAndProject
 ]
