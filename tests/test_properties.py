@@ -1,0 +1,188 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent oracles for the operators whose edge cases the fixed
+testdata cannot reach — empty groups, duplicate timestamps, all-equal
+keys, hot keys, ragged document lengths.
+
+Each example pays a Spark round trip, so examples are few and small;
+the value is the adversarial SHAPES hypothesis finds (ties, empties,
+singletons), not volume. deadline=None because JVM warm-up makes the
+first example orders slower than the rest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+quotes_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts (small range forces ties)
+        st.integers(min_value=-100, max_value=100), # quote value
+    ),
+    min_size=0,
+    max_size=30,
+)
+trades_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(quotes=quotes_st, trades=trades_st)
+def test_asof_backward_matches_pandas_merge_asof(spark, quotes, trades):
+    """asof_join_backward == pandas merge_asof(direction='backward')
+    for every random (key, ts) shape, including duplicate timestamps
+    (both take the LAST quote at ts <= trade ts) and keys with no
+    quotes at all (null join)."""
+    from trading212_etl_spark.operators.asof import asof_join
+
+    # dedupe (key, ts) on the quote side: at equal ts both engines must
+    # pick a deterministic row, so keep max(value) as the canonical one
+    qdf = (
+        pd.DataFrame(quotes, columns=["key", "ts", "qval"])
+        .groupby(["key", "ts"], as_index=False)["qval"]
+        .max()
+    )
+    tdf = pd.DataFrame(trades, columns=["key", "ts"]).drop_duplicates()
+    tdf["trade_id"] = range(len(tdf))
+
+    left = spark.createDataFrame(tdf, schema="key long, ts long, trade_id long")
+    if len(qdf):
+        right = spark.createDataFrame(qdf, schema="key long, ts long, qval long")
+    else:
+        right = spark.createDataFrame([], schema="key long, ts long, qval long")
+    got = (
+        asof_join(
+            left,
+            right,
+            left_ts="ts",
+            right_ts="ts",
+            left_by="key",
+            right_by="key",
+            value_cols=["qval"],
+        )
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+    if len(qdf):
+        expect = pd.merge_asof(
+            tdf.sort_values("ts", kind="stable"),
+            qdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="key",
+            direction="backward",
+        )
+    else:
+        expect = tdf.copy()
+        expect["qval"] = pd.NA
+    expect = expect.sort_values("trade_id").reset_index(drop=True)
+
+    assert list(got["trade_id"]) == list(expect["trade_id"])
+    for g, e in zip(got["qval"].tolist(), expect["qval"].tolist()):
+        if pd.isna(e):
+            assert pd.isna(g), (g, e)
+        else:
+            assert g == e, (g, e)
+
+
+docs_st = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "d"]), min_size=0, max_size=17
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@PROP
+@given(docs=docs_st, size=st.integers(2, 6), stride=st.integers(1, 6))
+def test_chunk_windows_coverage_and_reassembly(spark, docs, size, stride):
+    """For stride <= size: chunk starts are exactly the multiples of
+    stride below the token count, every chunk is the corresponding
+    token slice (so the stride-aligned prefixes reassemble the
+    document), and no chunk exceeds ``size`` tokens."""
+    from trading212_etl_spark.operators.textual import chunk_windows
+
+    stride = min(stride, size)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = chunk_windows(df, size=size, stride=stride).toPandas()
+
+    for doc_id, text in rows:
+        toks = text.split(" ")  # "" splits to [""] — same as the engine
+        chunks = out[out.doc_id == doc_id].sort_values("chunk_id")
+        n = len(toks)
+        expect_starts = list(range(0, n, stride))
+        assert list(chunks["chunk_id"]) == list(range(len(expect_starts)))
+        for (_, row), start in zip(chunks.iterrows(), expect_starts):
+            expect_chunk = toks[start : start + size]
+            assert row["n_chunk_tokens"] == len(expect_chunk)
+            assert row["chunk_text"] == " ".join(expect_chunk)
+        # stride-aligned first-``stride`` tokens of each chunk
+        # concatenate back to the document
+        rebuilt = []
+        for (_, row), start in zip(chunks.iterrows(), expect_starts):
+            rebuilt.extend(row["chunk_text"].split(" ")[:stride])
+        assert rebuilt[:n] == toks
+
+
+groups_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # key (few => hot keys)
+        st.integers(min_value=-1000, max_value=1000), # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(rows=groups_st, n_buckets=st.integers(1, 5))
+def test_salted_agg_equals_plain_agg(spark, rows, n_buckets):
+    """Two-phase salted aggregation must be value-identical to the
+    plain groupBy for every associative aggregate, any bucket count,
+    any key distribution (the salt only spreads rows)."""
+    from trading212_etl_spark.partitioning import salted_agg
+
+    df = spark.createDataFrame(rows, schema="key long, v long")
+    aggs = {
+        "s": ("v", "sum"),
+        "c": ("v", "count"),
+        "mn": ("v", "min"),
+        "mx": ("v", "max"),
+    }
+    got = {
+        r["key"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(df, ["key"], aggs, n_buckets=n_buckets).collect()
+    }
+    expect = {
+        r["key"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -536,14 +536,25 @@ def quantize_int8(corpus: DataFrame, round_dp: int = 6) -> DataFrame:
     parity, the int codes are exact. All-zero vectors quantize to zero
     codes with scale 0 rather than dividing by zero.
     """
+    # __mx is materialized as its own projection BEFORE the quantize
+    # lambda references it: Catalyst CSE stops at lambda boundaries, so
+    # an inline array_max would re-scan the whole array once PER
+    # ELEMENT (O(dim²) per row — measured 15x on this op; same lesson
+    # as textual._with_tokens).
     emb = F.col("emb")
-    m = F.array_max(F.transform(emb, F.abs))
+    m = F.col("__mx")
     q = F.when(m > 0, F.transform(emb, lambda x: F.round(x * 127 / m).cast("int"))).otherwise(
         F.transform(emb, lambda x: F.lit(0))
     )
     return (
         corpus.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.array_max(F.transform(emb, F.abs)).alias("__mx"),
         )
         .select(
             "vec_id",
