@@ -92,6 +92,15 @@ def main() -> None:
         QUERIES[warm](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+    # Touch every measured-SF parquet footer once so the FIRST timed
+    # query isn't also charged for cold file metadata + page-cache
+    # population the rest of the list then gets for free.
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(path).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def timed_pass(at_dir: str) -> dict[str, float]:
         out: dict[str, float] = {}

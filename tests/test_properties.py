@@ -186,3 +186,125 @@ def test_salted_agg_equals_plain_agg(spark, rows, n_buckets):
         .collect()
     }
     assert got == expect
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=30),  # lo
+        st.integers(min_value=0, max_value=12),  # width (0 => empty interval)
+    ),
+    min_size=1,
+    max_size=15,
+)
+points_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@PROP
+@given(intervals=intervals_st, points=points_st)
+def test_interval_range_join_matches_nested_loop(spark, intervals, points):
+    """interval_range_join (equi-key hash join + residual range) must
+    equal the brute-force nested loop for any interval/point shape,
+    including empty intervals (width 0 matches nothing: lo <= x < lo)
+    and keys present on only one side."""
+    from trading212_etl_spark.operators.asof import interval_range_join
+
+    ldf = pd.DataFrame(
+        [(k, lo, lo + w, i) for i, (k, lo, w) in enumerate(intervals)],
+        columns=["key", "lo", "hi", "lid"],
+    )
+    rdf = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(points)],
+        columns=["key", "ts", "rid"],
+    )
+    left = spark.createDataFrame(ldf, schema="key long, lo long, hi long, lid long").alias("l")
+    if len(rdf):
+        right = spark.createDataFrame(rdf, schema="key long, ts long, rid long").alias("r")
+    else:
+        right = spark.createDataFrame([], schema="key long, ts long, rid long").alias("r")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_range_join(
+            left,
+            right,
+            on=F.col("l.key") == F.col("r.key"),
+            lower=F.col("r.ts") >= F.col("l.lo"),
+            upper=F.col("r.ts") < F.col("l.hi"),
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    expect = sorted(
+        (int(lrow.lid), int(rrow.rid))
+        for _, lrow in ldf.iterrows()
+        for _, rrow in rdf.iterrows()
+        if lrow.key == rrow.key and lrow.lo <= rrow.ts < lrow.hi
+    )
+    assert got == expect
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),       # user
+        st.integers(min_value=0, max_value=7200),    # ts seconds
+        st.integers(min_value=-50, max_value=50),    # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP
+@given(events=events_st, gap_minutes=st.integers(1, 10))
+def test_sessionize_matches_pandas_gap_scan(spark, events, gap_minutes):
+    """Gap sessionization must equal a sequential scan: sort each
+    user's events by (ts, event_id), start a new session when the gap
+    exceeds gap_minutes*60, then per-session (count, min, max)."""
+    import datetime as dt
+
+    from trading212_etl_spark.operators.events import sessionize
+
+    rows = [
+        (i, u, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=ts), float(v))
+        for i, (u, ts, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["user_id"], int(r["session_seq"]), r["n_events"],
+         r["session_start"].replace(tzinfo=dt.timezone.utc),
+         r["session_end"].replace(tzinfo=dt.timezone.utc))
+        for r in sessionize(df, gap_minutes).collect()
+    )
+
+    expect = []
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    for user, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        seq = 0
+        cur = []
+        prev = None
+        for _, row in grp.iterrows():
+            if prev is not None and (row.ts - prev).total_seconds() <= gap_minutes * 60:
+                cur.append(row)
+            else:
+                if cur:
+                    seq += 1
+                    expect.append(
+                        (user, seq, len(cur), cur[0].ts, cur[-1].ts)
+                    )
+                cur = [row]
+                if prev is None:
+                    seq = 0
+            prev = row.ts
+        seq += 1
+        expect.append((user, seq, len(cur), cur[0].ts, cur[-1].ts))
+    assert got == sorted(expect)
