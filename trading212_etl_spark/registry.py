@@ -4538,6 +4538,52 @@ def q_text_redact(spark, sf_dir):
 
 
 @register(
+    "source_binary_files",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           hex(encode(text)) AS content_hex
+    FROM documents WHERE doc_id < 4
+    """,
+)
+def q_source_binary_files(spark, sf_dir):
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source — the
+    scan path a multimodal corpus (images/audio/video as bytes on
+    object storage) enters the engine through, feeding the
+    operators/multimodal.py decode kernels. Four deterministic .bin
+    payloads (document texts as UTF-8 bytes) are laid down driver-side,
+    then read back distributed; the oracle rebuilds name/size/hex from
+    the source rows. At 100 TB the reader parallelizes per file and
+    never materializes payloads on the driver; pathGlobFilter prunes
+    non-matching files at listing time."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = _scratch(sf_dir, "binfiles")
+    os.makedirs(path, exist_ok=True)
+    seed_rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 4)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in seed_rows:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract("path", "[^/]+$", 0).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.hex("content").alias("content_hex"),
+        )
+    )
+
+
+@register(
     "text_chunk_windows",
     oracle="""
     WITH toks AS (
