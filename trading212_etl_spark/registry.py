@@ -1486,6 +1486,35 @@ def q_streaming_tumbling(spark, sf_dir):
     return run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
 
 
+@register(
+    "streaming_sliding_2h_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM e
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_sliding(spark, sf_dir):
+    """§2.9 streaming — sliding windows (2h window, 1h slide) as a
+    Structured Streaming query: each event lands in two overlapping
+    windows, state scales with duration/slide per key under the
+    watermark bound. Same oracle as the batch twin
+    (events_sliding_2h_1h), which the converged complete-mode output
+    must equal."""
+    from .streaming.windows import run_streaming_sliding_agg
+
+    return run_streaming_sliding_agg(spark, sf_dir, "2 hours", "1 hour")
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (BASELINE.json north star): dedup,
 # similarity search, text analysis, multimodal — SURVEY §7 step 6

@@ -22,18 +22,27 @@ EVENTS_STREAM_SCHEMA = SCHEMAS["events"]
 
 
 def streaming_tumbling_agg(
-    stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate over an event stream.
+    """Watermarked tumbling — or, with ``slide``, sliding/hopping —
+    window aggregate over an event stream.
 
     Expects ``ts`` already as TimestampType (the source's concern —
     :func:`_events_stream`). The watermark bounds state: at 100 TB/day
     of events the store only holds windows newer than (max event time -
     watermark); older state is evicted instead of accumulating forever.
+    A sliding window multiplies state by duration/slide overlapping
+    windows per key — the watermark bound matters proportionally more.
     """
+    win = (
+        F.window("ts", duration, slide) if slide else F.window("ts", duration)
+    )
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -333,6 +342,33 @@ def run_streaming_tumbling_agg(
     # to events only and normalizes ts to TimestampType
     agg = streaming_tumbling_agg(_events_stream(spark, events_dir), duration)
     name = "stream_tumbling_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_streaming_sliding_agg(
+    spark: SparkSession,
+    events_dir: str,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window twin of :func:`run_streaming_tumbling_agg`:
+    each event lands in duration/slide overlapping windows; the
+    converged complete-mode output equals the batch sliding aggregate
+    (``events_sliding_2h_1h``)."""
+    agg = streaming_tumbling_agg(
+        _events_stream(spark, events_dir), duration, slide=slide
+    )
+    name = "stream_sliding_out"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
