@@ -94,11 +94,14 @@ def main() -> None:
         ).save()
     # Touch every measured-SF parquet footer once so the FIRST timed
     # query isn't also charged for cold file metadata + page-cache
-    # population the rest of the list then gets for free.
-    import glob
+    # population the rest of the list then gets for free. Goes through
+    # load_table (pinned schemas + the events nanos footer probe) — a
+    # raw spark.read.parquet would die at schema inference on legacy
+    # TIMESTAMP(NANOS) events files.
+    from trading212_etl_spark.sources.readers import TABLES, load_table
 
-    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        spark.read.parquet(path).limit(1).write.format("noop").mode(
+    for table in TABLES:
+        load_table(spark, sf_dir, table).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
 

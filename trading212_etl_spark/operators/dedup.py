@@ -354,6 +354,17 @@ def connected_components(
         labels = new.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter means labels are NOT the transitive
+        # closure (some node still sits > max_iter hops from its
+        # component minimum — the long-chain near-dup pathology).
+        # Every consumer (remove_near_dups, curate survivor rule)
+        # depends on exact convergence, so fail loudly rather than
+        # silently keeping transitive duplicates.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds the round budget)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -371,6 +382,11 @@ def remove_near_dups(
     both 1 and 3; the closure keeps only 1). Cost: the CC fixpoint is
     O(diameter) keyed shuffles over the *pair graph* (|pairs| <<
     |corpus|), then one broadcast-able anti-join on the drop set.
+
+    NOTE: like every iterative fixpoint, the CC rounds EXECUTE at
+    DataFrame-construction time (per-round materialize + convergence
+    action) — calling this is not free plan-building; construct once
+    and reuse the returned DataFrame.
     """
     comp = connected_components(pairs)
     drop = (

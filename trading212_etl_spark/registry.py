@@ -4714,7 +4714,10 @@ def q_events_anomaly_zscore(spark, sf_dir):
             "event_type",
             "ts",
             "value",
-            F.count("value").over(w).alias("__n"),
+            # count(1), not count(value): the oracle's count(*) counts
+            # rows, and a NULL value inside the frame must not let the
+            # two engines disagree on the n >= 20 warm-up gate
+            F.count(F.lit(1)).over(w).alias("__n"),
             F.stddev_samp("value").over(w).alias("__sd"),
             z.alias("zscore"),
         )
@@ -4730,10 +4733,11 @@ def q_events_anomaly_zscore(spark, sf_dir):
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
       FROM orders GROUP BY o_custkey
     )
-    SELECT o_custkey, last_order, frequency, monetary,
+    SELECT o_custkey, last_order, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
            ntile(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
            ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
            ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
@@ -4744,13 +4748,15 @@ def q_orders_rfm_segments(spark, sf_dir):
     """RFM (recency / frequency / monetary) customer segmentation:
     one aggregate over orders, then quartile scores per metric via
     ntile — the classic marketing-analytics segmentation. Every ntile
-    ordering carries the o_custkey tie-break, and the monetary sort key
-    is the ROUNDED sum, so rank assignment is engine-deterministic.
-    Scale note: the global ntile windows run on the per-customer
-    AGGREGATE (orders collapsed ~10:1 first), not the fact table; at
-    100 TB swap exact ntile for approx-quantile thresholds
-    (approxQuantile + broadcast) — the aggregate-first shape is the
-    part that must not change."""
+    ordering carries the o_custkey tie-break, and monetary is an EXACT
+    DECIMAL sum (order-independent, engine-identical) — a rounded
+    double sum would make the ntile SORT KEY vulnerable to a 1-ulp
+    cross-engine difference at a .005 rounding boundary, silently
+    swapping two customers' quartiles. Scale note: the global ntile
+    windows run on the per-customer AGGREGATE (orders collapsed ~10:1
+    first), not the fact table; at 100 TB swap exact ntile for
+    approx-quantile thresholds (approxQuantile + broadcast) — the
+    aggregate-first shape is the part that must not change."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -4758,13 +4764,15 @@ def q_orders_rfm_segments(spark, sf_dir):
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     return rfm.select(
         "o_custkey",
         "last_order",
         "frequency",
-        "monetary",
+        # ntile sorts on the EXACT decimal; the emitted column is its
+        # double image (deterministic — the decimal is already 2dp)
+        F.col("monetary").cast("double").alias("monetary"),
         F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
         F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
         F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),

@@ -80,6 +80,27 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return stream
 
 
+def _run_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink
+    and return the materialized table — the shared local-smoke drive
+    protocol (a production job swaps in a durable sink and keeps the
+    transformation graph). One definition so a protocol change
+    (trigger choice, stop/error handling) lands everywhere at once."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming exactly-once ingest: watermark-bounded dedup on the
     event id — the principled replacement for the reference's
@@ -95,19 +116,8 @@ def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
     dedup = _events_stream(spark, events_dir).withWatermark(
         "ts", "2 hours"
     ).dropDuplicatesWithinWatermark(["event_id"])
-    name = "stream_dedup_out"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        _run_to_memory(spark, dedup, "stream_dedup_out", "append")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -161,23 +171,12 @@ def run_streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    name = "stream_user_stats_out"
-    q = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # one batch (availableNow-style full read) -> one row per user; a
     # multi-batch run would emit one row per (user, batch) with the
     # running totals, so keep the last per user for generality
     from pyspark.sql import Window
 
-    t = spark.table(name)
+    t = _run_to_memory(spark, stats, "stream_user_stats_out", "update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         t.withColumn("__rn", F.row_number().over(w))
@@ -241,18 +240,7 @@ def run_stream_static_join(spark: SparkSession, events_dir: str) -> DataFrame:
     agg = joined.groupBy("event_type", "has_orders").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    name = "stream_static_join_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory(spark, agg, "stream_static_join_out", "complete")
 
 
 def stream_stream_attribution_join(
@@ -305,19 +293,8 @@ def run_stream_stream_join(spark: SparkSession, events_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
-    name = "stream_stream_join_out"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        _run_to_memory(spark, joined, "stream_stream_join_out", "append")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_attributed"),
@@ -341,18 +318,7 @@ def run_streaming_tumbling_agg(
     # parquet per table in the sf dir, so _events_stream glob-filters
     # to events only and normalizes ts to TimestampType
     agg = streaming_tumbling_agg(_events_stream(spark, events_dir), duration)
-    name = "stream_tumbling_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory(spark, agg, "stream_tumbling_out", "complete")
 
 
 def run_streaming_sliding_agg(
@@ -368,15 +334,4 @@ def run_streaming_sliding_agg(
     agg = streaming_tumbling_agg(
         _events_stream(spark, events_dir), duration, slide=slide
     )
-    name = "stream_sliding_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _run_to_memory(spark, agg, "stream_sliding_out", "complete")
