@@ -1096,15 +1096,21 @@ def q_window_range_frame(spark, sf_dir):
     """§2.5 — event-time RANGE frame (sliding 1-hour lookback per
     event): the per-event rolling aggregate shape. Spark's RANGE frame
     needs a numeric ordering column, so ts is ordered as epoch
-    seconds with a 3600-second frame — identical semantics."""
+    MICROSECONDS with a 3600e6-microsecond frame — full timestamp
+    precision. Ordering by unix_timestamp (whole seconds) is a trap:
+    events in the same second become frame PEERS, so a later
+    same-second event leaks into CURRENT ROW's frame — invisible on
+    sparse data, a guaranteed mismatch vs the microsecond-precision
+    oracle once per-user event density reaches sub-second spacing
+    (caught by the sf0.1 parity sweep; sf0.01 passed)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
