@@ -137,6 +137,8 @@ NESTED_LOOP_BY_DESIGN = {
     "embedding_near_dup",
     "tpch_q11_important_parts",
     "tpch_q22_dormant_customers",
+    # 1-row broadcast of the corpus token total onto the tf frame
+    "text_unigram_lm_score",
 }
 
 
@@ -160,6 +162,23 @@ def test_no_accidental_nested_loops_or_python(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, f"inefficient plans: {offenders}"
+
+
+def test_unigram_lm_vocab_joins_broadcast(spark):
+    """The vocabulary (term -> corpus count) and the 1-row total must
+    join back broadcast — the corpus-sized tf frame never reshuffles
+    for the lookup."""
+    p = plan(spark, "text_unigram_lm_score")
+    assert "BroadcastHashJoin" in p  # vocab lookup
+    assert "BatchEvalPython" not in p
+
+
+def test_top_ngrams_is_take_ordered(spark):
+    """Corpus heavy-hitters end in TakeOrderedAndProject (top-k heap),
+    never a global sort of the gram dictionary."""
+    p = plan(spark, "text_top_ngrams")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
 
 
 def test_asof_join_single_exchange_on_key(spark):

@@ -293,6 +293,102 @@ def fingerprint(docs: DataFrame, shingle_len: int = 5) -> DataFrame:
     )
 
 
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model quality signal: score each
+    document by how common its tokens are in the corpus itself. Real
+    CCNet ranks by LM perplexity; the corpus-frequency form keeps the
+    same filtering power for gibberish/ocr-noise (rare-token-heavy
+    documents score low) while staying libm-free.
+
+    Cross-engine exactness: per-token corpus probability is the
+    integer surrogate ``p_ppb = floor(ctf * 1e9 / total_tokens)``; the
+    per-doc score is ``floor(sum(tf * p_ppb) / n_tokens)`` — integer
+    sums are order-independent, so Spark and the SQL oracle agree
+    bit-for-bit (no geometric mean / ln, whose libm rounding differs
+    across engines; see tfidf_top_terms for the same policy).
+    Magnitudes stay exact: p_ppb ≤ 1e9, tf ≤ 1e6 per doc-term, and
+    the per-doc sum is ≤ n_tokens · 1e9 < 2^63 for any document under
+    ~9e9 tokens.
+
+    Scale shape (100 TB): identical to tfidf_top_terms — (1) explode →
+    map-side-combined groupBy(doc_id, term) for tf; (2) groupBy(term)
+    over the tf frame for corpus term counts (vocabulary-sized);
+    (3) broadcast the vocabulary back onto tf; (4) one groupBy(doc_id)
+    for the score. The corpus never shuffles as text — only (doc_id,
+    term, tf) triples and the small vocabulary move.
+    """
+    tf = (
+        _with_tokens(docs, "doc_id")
+        .select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    totals = vocab.agg(F.sum("ctf").alias("total_tokens"))
+    scored = tf.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(totals))
+    return (
+        scored.select(
+            "doc_id",
+            "tf",
+            F.floor(F.col("ctf") * F.lit(1_000_000_000) / F.col("total_tokens")).alias(
+                "p_ppb"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("p_ppb")).alias("__tp"),
+        )
+        # integer floor-division (DIV), not double /: the weighted sum
+        # can exceed 2^53 where double conversion rounds ulps
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("__tp DIV n_tokens").alias("avg_tok_freq_ppb"),
+        )
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-level heavy-hitter word ``n``-grams: total occurrences +
+    document frequency for the ``k`` most repeated n-grams — the
+    mining pass behind boilerplate dictionaries (cookie banners,
+    license headers, nav chrome repeat verbatim across a crawl and
+    surface here first) and contamination screens.
+
+    Scale shape (100 TB): the n-gram arrays are built per row inside
+    whole-stage codegen (same slice/transform kernel as
+    repetition_stats), then one explode → groupBy(gram) with map-side
+    partial aggregation — hot grams are exactly the ones partial agg
+    compresses best, so the popular-gram skew that would hurt a naive
+    shuffle is absorbed before the exchange. Document frequency rides
+    the same aggregate via count(DISTINCT doc_id) (Expand-based, one
+    extra shuffle). The final top-k is a TakeOrderedAndProject, not a
+    global sort. At a trillion grams, swap exact count for a
+    count-min/approx pass first; the exact form stays the verifier.
+    """
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_tok - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    exploded = (
+        _with_tokens(docs, "doc_id")
+        .select("doc_id", F.explode(grams).alias("gram"))
+        # documents shorter than n tokens emit a clipped (short) gram;
+        # drop grams with fewer than n words so output is well-typed
+        .filter(F.size(F.split(F.col("gram"), " ")) >= n)
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def chunk_windows(
     docs: DataFrame, size: int = 64, stride: int = 48
 ) -> DataFrame:

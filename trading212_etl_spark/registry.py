@@ -4785,6 +4785,132 @@ def q_orders_rfm_segments(spark, sf_dir):
     )
 
 
+@register(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY doc_id, term),
+    vocab AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    tot AS (SELECT sum(ctf) AS total_tokens FROM vocab),
+    s AS (
+      SELECT doc_id, tf,
+             CAST(floor(ctf * 1000000000.0 / total_tokens) AS BIGINT) AS p_ppb
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * p_ppb) // sum(tf) AS BIGINT) AS avg_tok_freq_ppb
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_text_unigram_lm(spark, sf_dir):
+    """CCNet-style unigram-LM quality score in exact integer ppb —
+    rare-token-heavy (gibberish/OCR-noise) documents score low. See
+    operators/textual.py:unigram_lm_score for the libm-free surrogate
+    and the four-shuffle scale shape (corpus text never shuffles)."""
+    from .operators.textual import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ')
+                     for i in range(1, greatest(len(toks)-2, 1)+1)]) AS gram
+      FROM t
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    WHERE len(string_split(gram, ' ')) >= 3
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-level heavy-hitter word-3-grams (top 20 with doc
+    frequency) — the boilerplate-dictionary mining pass. Partial
+    aggregation absorbs hot-gram skew before the exchange; final
+    top-k is TakeOrderedAndProject, not a global sort
+    (operators/textual.py:top_ngrams)."""
+    from .operators.textual import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(count(*) AS BIGINT) AS weight
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, CAST(sum(weight) AS BIGINT) AS out_weight
+           FROM e GROUP BY src),
+    se AS (SELECT e.src, e.dst, e.weight, ow.out_weight
+           FROM e JOIN ow USING (src)),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM n),
+    c1 AS (SELECT dst AS node,
+                  CAST(sum(rank_micro * weight // out_weight) AS BIGINT) AS inflow
+           FROM se JOIN r0 ON se.src = r0.node GROUP BY dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + 8500 * coalesce(inflow, 0) // 10000 AS BIGINT)
+                    AS rank_micro
+           FROM n LEFT JOIN c1 USING (node)),
+    c2 AS (SELECT dst AS node,
+                  CAST(sum(rank_micro * weight // out_weight) AS BIGINT) AS inflow
+           FROM se JOIN r1 ON se.src = r1.node GROUP BY dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + 8500 * coalesce(inflow, 0) // 10000 AS BIGINT)
+                    AS rank_micro
+           FROM n LEFT JOIN c2 USING (node)),
+    c3 AS (SELECT dst AS node,
+                  CAST(sum(rank_micro * weight // out_weight) AS BIGINT) AS inflow
+           FROM se JOIN r2 ON se.src = r2.node GROUP BY dst),
+    r3 AS (SELECT n.node,
+                  CAST(150000 + 8500 * coalesce(inflow, 0) // 10000 AS BIGINT)
+                    AS rank_micro
+           FROM n LEFT JOIN c3 USING (node))
+    SELECT node, rank_micro FROM r3
+    """,
+)
+def q_graph_pagerank(spark, sf_dir):
+    """3-iteration weighted PageRank (damping 0.85) over the bipartite
+    customer -> supplier trade graph (edge weight = lineitems shipped),
+    in exact integer micro-units so the unrolled SQL oracle matches
+    bit-for-bit (operators/graph.py:pagerank_micro — per-round single
+    shuffle, |V|-sized rank frame, conf-driven lineage cuts).
+
+    Overflow headroom: per-edge product rank_micro * weight stays under
+    2^63 while total_rank_mass * max_edge_weight < 9.2e18 — for graphs
+    beyond ~1e9 nodes with mega-hub edges, rescale init_micro down or
+    switch the rank column to DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import pagerank_micro
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    return pagerank_micro(edges, iterations=3, damping_bp=8500)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
