@@ -139,6 +139,8 @@ NESTED_LOOP_BY_DESIGN = {
     "tpch_q22_dormant_customers",
     # 1-row broadcast of the corpus token total onto the tf frame
     "text_unigram_lm_score",
+    # 1-row broadcast of the global key-count stats onto the count frame
+    "profile_key_skew",
 }
 
 
@@ -179,6 +181,28 @@ def test_top_ngrams_is_take_ordered(spark):
     p = plan(spark, "text_top_ngrams")
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_key_skew_profile_single_fact_pass(spark):
+    """The fact table is scanned once (one groupBy exchange); the
+    global stats ride a 1-row broadcast and top-k is a heap."""
+    import re
+
+    p = plan(spark, "profile_key_skew")
+    assert "TakeOrderedAndProject" in p
+    # one detail-section scan node (the materialized count frame is
+    # reused by both consumers; without it the facts scan twice)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1
+
+
+def test_markov_transitions_two_exchanges(spark):
+    """One user_id window shuffle over the facts + one (src, dst)
+    aggregate exchange; the per-src totals come from a window over the
+    tiny matrix, never a second fact pass."""
+    import re
+
+    p = plan(spark, "events_markov_transitions")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
 def test_asof_join_single_exchange_on_key(spark):

@@ -108,3 +108,55 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Key-distribution skew diagnostics: the measurement pass you run
+    BEFORE choosing a shuffle strategy (plain hash vs salted vs AQE
+    skew split) for a join or aggregation on ``key``.
+
+    Output: the ``top_k`` hottest keys, each row carrying its count,
+    its corpus share in basis points, and the global context columns —
+    total rows, distinct keys, and ``skew_ratio_bp`` =
+    floor(max_count * n_keys * 10000 / total) (10000 == perfectly
+    uniform; a key at 100x its fair share reads 1_000_000). The salting
+    factor to spread the hottest key to uniform is ceil(skew_ratio_bp /
+    10000) — the number this profile exists to produce.
+
+    Scale shape (100 TB): one map-side-combined groupBy(key) — the
+    only pass that touches the fact table — then the global stats are
+    an aggregate over the |keys|-sized count frame, joined back as a
+    1-row broadcast; top-k is a TakeOrderedAndProject heap. All
+    arithmetic is exact integer (order-independent sums).
+    """
+    from ..partitioning import materialize
+
+    # two consumers (totals + the emitted rows): materialize the
+    # |keys|-sized count frame so the FACT table is scanned once, not
+    # recomputed per consumer — the whole point of a pre-shuffle probe
+    counts = materialize(
+        df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ),
+        truncate=False,
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_count"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            F.expr("n_rows * 10000 DIV total_rows").alias("share_bp"),
+            "total_rows",
+            "n_keys",
+            F.expr("max_count * n_keys * 10000 DIV total_rows").alias(
+                "skew_ratio_bp"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_k)
+    )

@@ -171,3 +171,45 @@ def json_props(events: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
         F.from_json("props", "k LONG").getField("k").alias("k_typed"),
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-sequence transition matrix: P(next event type |
+    current event type) — the Markov-chain summary behind next-action
+    prediction features and session-flow dashboards.
+
+    Pipeline: order each user's stream by (ts, event_id) — the id
+    tiebreak makes simultaneous events deterministic across engines —
+    take ``lead(event_type)`` within the user partition, then count
+    (src, dst) pairs. Probabilities are exact integer basis points of
+    the source row total (floor), so the SQL oracle matches without
+    float division drift.
+
+    Scale shape (100 TB): one shuffle on user_id for the lead window
+    (per-user partitions are session-sized, no skew hazard), one
+    map-side-combined groupBy on (src, dst) — the transition matrix is
+    |event_types|^2, tiny at any corpus size — and the per-src totals
+    come from a window over that tiny frame, not a second pass over
+    the facts.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    src_w = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.expr(
+            "n_transitions * 10000 DIV sum(n_transitions)"
+            " OVER (PARTITION BY src)"
+        ).alias("prob_bp"),
+    )
