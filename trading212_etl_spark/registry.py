@@ -4969,6 +4969,52 @@ def q_events_markov(spark, sf_dir):
     return markov_transitions(_t(spark, sf_dir, "events"))
 
 
+def _zvalue_sql() -> str:
+    from .sources.writers import zvalue16_expr
+
+    return zvalue16_expr("l_partkey", "l_suppkey")
+
+
+@register(
+    "sink_zorder_layout",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(min({_zvalue_sql()}) AS BIGINT) AS min_z,
+           CAST(max({_zvalue_sql()}) AS BIGINT) AS max_z,
+           round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty
+    FROM lineitem
+    """,
+)
+def q_sink_zorder(spark, sf_dir):
+    """Z-order-clustered Parquet sink: Morton-interleave
+    (l_partkey, l_suppkey), range-partition + sort on the z-value,
+    write, read back (sources/writers.py:zorder_write). The aggregate
+    proves the layout pass is lossless; the multi-dimensional
+    data-skipping effect (tight per-file min-max on BOTH keys) is
+    proven quantitatively against a row-order write in
+    tests/test_plans.py:test_zorder_write_tightens_file_spans."""
+    from pyspark.sql import functions as F
+
+    from .sources.writers import zorder_write
+
+    path = _scratch(sf_dir, "zorder_lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zorder_write(li, "l_partkey", "l_suppkey", path, n_files=8)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min(F.expr(_zvalue_sql())).alias("min_z"),
+        F.max(F.expr(_zvalue_sql())).alias("max_z"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
