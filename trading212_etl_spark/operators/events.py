@@ -213,3 +213,49 @@ def markov_transitions(events: DataFrame) -> DataFrame:
             " OVER (PARTITION BY src)"
         ).alias("prob_bp"),
     )
+
+
+def rollup_hierarchy(events: DataFrame) -> DataFrame:
+    """Multi-resolution rollup hierarchy (hour -> day -> month), each
+    level aggregated FROM THE LEVEL BELOW — the continuous-aggregate /
+    hypertable-rollup pattern: once the hourly layer is materialized,
+    a daily refresh reads 24 rows per (day, type) instead of
+    re-scanning the fact table, and monthly reads ~30 per (month,
+    type). Returns the monthly layer; a pipeline would persist all
+    three.
+
+    Hierarchical == direct-aggregation equivalence (what the oracle
+    checks) requires the measure to be exactly re-aggregatable:
+    DOUBLE sums are order-dependent, and a three-level double sum
+    rounds differently than a flat one. Each event value is therefore
+    cast to DECIMAL(18,2) once at the hourly layer; decimal sums are
+    exact, so every level (and the flat oracle) agrees bit-for-bit —
+    the same money-correctness policy as flagship_pipeline_decimal.
+
+    Scale shape: three shuffles of geometrically shrinking frames
+    (facts -> |hours x types|, then tiny); count and sum both re-roll
+    (avg would not — re-aggregatable measures only is the rule of
+    continuous aggregates).
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("double").alias("total_value"),
+        )
+    )

@@ -335,3 +335,41 @@ def run_streaming_sliding_agg(
         _events_stream(spark, events_dir), duration, slide=slide
     )
     return _run_to_memory(spark, agg, "stream_sliding_out", "complete")
+
+
+def run_streaming_session_window(
+    spark: SparkSession, events_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session-window sessionization as a streaming stateful
+    aggregate — the operator session windows exist for: state holds
+    OPEN sessions per user (merged as events arrive, emitted once the
+    watermark passes the gap), so memory is bounded by concurrent
+    sessions, not by history.
+
+    Complete output mode (session-window streaming aggregation
+    supports complete and append; update is rejected): every batch
+    re-emits the full converged session table, so over an
+    availableNow-style pass of a static directory the result equals
+    the batch session_window aggregate (events_session_window's
+    oracle) with no keep-latest post-pass. Append mode would be the
+    production choice (emit each session once, when the watermark
+    passes its gap) but holds back the final sessions of a finite
+    local run — the wrong smoke-harness semantics.
+    """
+    stream = _events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_to_memory(spark, agg, "stream_session_out", "complete")
