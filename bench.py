@@ -67,6 +67,11 @@ HEADLINE = [
     "orders_rfm_segments",        # aggregate-first ntile segmentation
     "multimodal_image_meta",      # Arrow mapInPandas decode
     "sort_limit_topk",            # TakeOrderedAndProject
+    "graph_pagerank",             # iterative join+agg rounds, lineage cuts
+    "text_unigram_lm_score",      # explode + vocab broadcast + re-agg
+    "sink_zorder_layout",         # Morton range-shuffle + sorted write
+    "events_rollup_hierarchy",    # hierarchical re-aggregation chain
+    "events_markov_transitions",  # keyed lead window + matrix agg
 ]
 
 

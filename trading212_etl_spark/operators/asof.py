@@ -29,30 +29,44 @@ def asof_join(
     right_by: str,
     value_cols: list[str],
     right_order: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains ``value_cols`` from the
-    *latest* right row with ``right_ts <= left_ts`` and equal key
-    (pandas ``merge_asof`` / DuckDB ``ASOF LEFT JOIN`` semantics,
-    tie-inclusive). Unmatched left rows keep nulls.
+    """As-of join: each left row gains ``value_cols`` from the
+    *latest* right row with ``right_ts <= left_ts`` (``direction=
+    "backward"``, the pandas ``merge_asof`` / DuckDB ``ASOF LEFT
+    JOIN`` default, tie-inclusive) or the *earliest* right row with
+    ``right_ts >= left_ts`` (``direction="forward"``), at equal key.
+    Unmatched left rows keep nulls.
 
     Plan shape: tag-union both sides onto one (key, ts) spine, then
-    ``last(value, ignorenulls=True)`` over a per-key window ordered by
-    (ts, side-tag, right_order) with an unbounded-preceding row frame —
-    the carried-forward value is exactly the as-of match. One exchange
-    on the key; window state is one row; at 100 TB this is shuffle +
-    sort, never a range-join blowup.
+    one conditional-carry window per key — backward carries the last
+    non-null right payload over an unbounded-PRECEDING row frame
+    (``last(ignorenulls)``), forward the first non-null over
+    unbounded-FOLLOWING (``first(ignorenulls)``); the side-tag sorts
+    right rows into (backward) or left rows ahead of (forward) the
+    frame so equal timestamps match inclusively. One exchange on the
+    key; window state is one row; at 100 TB this is shuffle + sort,
+    never a range-join blowup.
 
     ``right_order`` breaks ties among right rows sharing (key, ts) —
-    the max wins (sorted last ⇒ picked by ``last``). Pass it whenever
-    (key, ts) is not unique on the right, or the result is
+    backward keeps the max (sorted last ⇒ picked by ``last``),
+    forward the min (sorted first ⇒ picked by ``first``). Pass it
+    whenever (key, ts) is not unique on the right, or the result is
     plan-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    backward = direction == "backward"
     rv = F.struct(*[F.col(c) for c in value_cols]).alias("__rv")
     order_tail = [F.col("__rord").asc()] if right_order else []
+    # backward: right(0) sorts before left(1) at equal ts so ties fall
+    # inside the preceding frame; forward: left(0) before right(1) so
+    # ties fall inside the following frame
+    r_tag, l_tag = (0, 1) if backward else (1, 0)
     r = right.select(
         F.col(right_by).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
+        F.lit(r_tag).alias("__tag"),
         (F.col(right_order) if right_order else F.lit(0)).alias("__rord"),
         rv,
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
@@ -60,20 +74,22 @@ def asof_join(
     l = left.select(  # noqa: E741
         F.col(left_by).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
+        F.lit(l_tag).alias("__tag"),
         F.lit(0).alias("__rord"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), *order_tail)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__ts").asc(), F.col("__tag").asc(), *order_tail
     )
-    carried = r.unionByName(l).withColumn(
-        "__match", F.last("__rv", ignorenulls=True).over(w)
-    )
-    return carried.filter(F.col("__tag") == 1).select(
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__rv", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__rv", ignorenulls=True)
+    carried = r.unionByName(l).withColumn("__match", carry.over(w))
+    return carried.filter(F.col("__tag") == l_tag).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(c) for c in value_cols],
     )

@@ -171,3 +171,46 @@ def domain_mixture_plan(
         "tokens_take",
         F.floor(F.col("rate") * F.col("tokens_avail")).cast("long"),
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    alpha_pct: int = 50,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights: p_domain ∝
+    n_docs^(alpha_pct/100) — the standard multilingual/multi-domain
+    rebalancing rule (alpha=1 keeps the natural distribution, alpha→0
+    approaches uniform; XLM-R-style pipelines use alpha≈0.3–0.7 to
+    up-sample small domains without flattening large ones).
+
+    Cross-engine exactness: n^alpha for alpha=k/100 is exp/ln in
+    general (libm, engine-divergent) — EXCEPT alpha=50: sqrt is an
+    IEEE-754 correctly-rounded operation, identical everywhere. So
+    alpha_pct must be 50 here; the per-domain weight is quantized to
+    exact integer micro-units ``floor(sqrt(n_docs) * 1e6)`` and shares
+    are integer basis points of the micro-weight sum (integer sums are
+    order-independent; a double sum of raw sqrt values would be
+    summation-order-dependent and flap across engines/partitions).
+
+    Scale shape: one map-side-combined groupBy(domain) over the corpus
+    — the only pass that touches the facts — then all arithmetic runs
+    on the |domains|-sized frame (single-partition window over a
+    handful of rows).
+    """
+    if alpha_pct != 50:
+        raise ValueError(
+            "alpha_pct=50 (sqrt) is the only cross-engine-exact "
+            "temperature; general n^alpha needs libm exp/ln"
+        )
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_micro = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("long")
+    return (
+        counts.withColumn("w_micro", w_micro)
+        .withColumn(
+            "share_bp", F.expr("w_micro * 10000 DIV sum(w_micro) OVER ()")
+        )
+        .select("domain", "n_docs", "w_micro", "share_bp")
+    )

@@ -563,3 +563,50 @@ def quantize_int8(corpus: DataFrame, round_dp: int = 6) -> DataFrame:
             q.alias("qvec"),
         )
     )
+
+
+def pca_power_iteration(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = X^T (X v0), with the deterministic alternating
+    start vector v0 = (+1, -1, +1, ...) — the distributed kernel
+    inside every PCA / spectral-embedding / whitening pass (iterate k
+    times + normalize to converge; each extra iteration is this same
+    plan shape).
+
+    Cross-engine exactness: embedding values quantize once to integer
+    micros (floor(x * 1e6) — float→double widening and floor are both
+    exact and identical everywhere), the per-row dot product folds
+    sequentially inside the array (F.aggregate — deterministic
+    in-array order, no shuffle-order drift), and the per-dimension
+    accumulation is a DECIMAL(38,0) sum of bigint products — exact and
+    order-independent where a double sum would flap by partition
+    order, and overflow-proof where a BIGINT sum caps at ~4e5 rows
+    (|xq·dot| ≤ 6e5·4e7 ≈ 2.3e13 per row at dim 64). Emitted as a
+    string so neither engine coerces the 128-bit value through a
+    double.
+
+    Scale shape (100 TB of vectors): ONE pass — quantize + dot + scale
+    are all per-row array projections inside codegen; the only
+    exchange is the final groupBy(dim), whose cardinality is the
+    embedding dimension. X never materializes in long form before the
+    dot (the explode happens after the per-row scalar is computed).
+    """
+    xq = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * 1_000_000).cast("long")
+    )
+    signed = F.transform(
+        xq, lambda v, i: F.when(i % 2 == 0, v).otherwise(-v)
+    )
+    dot_q = F.aggregate(
+        signed, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return (
+        emb.select(xq.alias("__xq"), dot_q.alias("__dot"))
+        .select(F.posexplode("__xq").alias("dim", "x"), "__dot")
+        .groupBy("dim")
+        .agg(
+            F.sum((F.col("x") * F.col("__dot")).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("component")
+        )
+    )
