@@ -51,6 +51,11 @@ def pagerank_micro(
     policy (same lever as connected components) so the plan doesn't
     deepen geometrically.
     """
+    # Materialize the edge list FIRST: four derivations read it
+    # (out-weights, both node-set halves, the annotated send list),
+    # and without the cut each one re-executes the caller's edge-build
+    # plan — measured 4x the edge-build cost on the trade graph.
+    edges = materialize(edges, truncate=False)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
     # edges annotated with the sender's total out-weight, reused each round
     sendable = materialize(

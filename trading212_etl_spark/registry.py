@@ -4847,7 +4847,7 @@ def q_text_top_ngrams(spark, sf_dir):
     "graph_pagerank",
     oracle="""
     WITH e AS (
-      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+      SELECT o_custkey AS src, -l_suppkey AS dst,
              CAST(count(*) AS BIGINT) AS weight
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2
@@ -4888,7 +4888,10 @@ def q_graph_pagerank(spark, sf_dir):
     customer -> supplier trade graph (edge weight = lineitems shipped),
     in exact integer micro-units so the unrolled SQL oracle matches
     bit-for-bit (operators/graph.py:pagerank_micro — per-round single
-    shuffle, |V|-sized rank frame, conf-driven lineage cuts).
+    shuffle, |V|-sized rank frame, conf-driven lineage cuts). Node ids
+    stay BIGINT (customers positive, suppliers negated) — integer keys
+    shuffle and join at a fraction of the cost of string-concatenated
+    ids, the kind of key-encoding choice that compounds at 100 TB.
 
     Overflow headroom: per-edge product rank_micro * weight stays under
     2^63 while total_rank_mass * max_edge_weight < 9.2e18 — for graphs
@@ -4903,8 +4906,8 @@ def q_graph_pagerank(spark, sf_dir):
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .agg(F.count("*").alias("weight"))
     )
