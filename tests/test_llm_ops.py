@@ -237,3 +237,27 @@ def test_jaccard_max_df_is_lower_bound(spark, sf_dir):
     huge_cap = jaccard_pairs(docs, 0.5, max_df=10**9).select("doc_a", "doc_b")
     assert huge_cap.exceptAll(exact).count() == 0
     assert exact.exceptAll(huge_cap).count() == 0
+
+
+def test_hll_rollup_matches_exact_within_bound(spark, sf_dir):
+    """The hourly-sketch union must estimate the exact daily distinct
+    user count within HLL error bounds (lgK=12 → ~1.6% rsd; assert a
+    generous 5%), and the rollup must cover every day exactly once."""
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.registry import QUERIES
+
+    est = {
+        r["day"]: r["n_users_est"]
+        for r in QUERIES["events_hll_rollup"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)

@@ -5181,6 +5181,35 @@ def q_embedding_pca(spark, sf_dir):
     return pca_power_iteration(_t(spark, sf_dir, "embeddings"))
 
 
+@register("events_hll_rollup")  # no SQL oracle: Datasketches HLL is
+# engine-specific; tests/test_llm_ops.py asserts the union-rollup
+# estimate within 5% of the exact daily distinct count
+def q_events_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-hour HLL sketches of active users,
+    UNIONED up to per-day estimates — the pattern that makes distinct
+    counting re-aggregatable at 100 TB (exact countDistinct cannot
+    roll up: |daily distinct| != sum of hourly; a sketch union CAN,
+    so the hourly layer is computed once and every coarser grain is
+    sketch-merge over tiny state, same hierarchy economics as
+    events_rollup_hierarchy). One fact shuffle for the hourly layer;
+    the daily union aggregates |hours| 1-KB sketches per day."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "n_users_est"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
