@@ -5210,6 +5210,80 @@ def q_events_hll_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "source_csv_malformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(4 AS BIGINT) AS n_corrupt,
+           round(sum(round(o_totalprice, 2)), 2) AS total_good
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_source_csv_malformed(spark, sf_dir):
+    """S6 hardening — malformed-row handling on the CSV ingest path:
+    PERMISSIVE mode with a ``_corrupt_record`` column quarantines bad
+    lines instead of failing the 100 TB job (one poison row must not
+    kill a scan) or silently dropping them (DROPMALFORMED loses audit
+    evidence). The reference's pd.read_csv (trading212.py:108) would
+    raise mid-pipeline on the same input.
+
+    The fixture CSV is a known orders slice plus 4 injected bad lines
+    (wrong arity / non-numeric key); the result row is the audit
+    summary (good count, corrupt count, good-value checksum), so the
+    oracle is the clean slice + the injection constant."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = _scratch(sf_dir, "csv_malformed")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    part = glob.glob(os.path.join(path, "part-*.csv"))[0]
+    with open(part, "a") as fh:
+        fh.write("not_a_number,99.5\n")
+        fh.write("12345\n")
+        fh.write("7,8,9,10\n")
+        fh.write("xyz,abc\n")
+    # the local-FS writer leaves .crc sidecars; the append invalidates
+    # them and Hadoop's ChecksumFileSystem would fail the re-read
+    for crc in glob.glob(os.path.join(path, ".*.crc")):
+        os.remove(crc)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # caching before splitting good/corrupt is the documented
+        # Spark requirement: the corrupt-record column is only
+        # populated on the same pass that parses the row
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    bad = raw.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(bad.count()).cast("long").alias("n_corrupt"),
+        F.round(F.sum("total"), 2).alias("total_good"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
