@@ -242,6 +242,23 @@ def test_zorder_write_tightens_file_spans(spark, tmp_path):
         assert avg_span(zpath, col) < 0.5 * avg_span(rpath, col), col
 
 
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """compact_parquet must rewrite a fragmented directory into the
+    byte-sized target count — strictly fewer files, losslessly."""
+    import glob
+
+    from trading212_etl_spark.sources import load_table
+    from trading212_etl_spark.sources.writers import compact_parquet
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    li.repartition(32).write.mode("overwrite").parquet(frag)
+    n_target = compact_parquet(spark, frag, out, target_file_bytes=1 << 20)
+    n_out = len(glob.glob(f"{out}/*.parquet"))
+    assert n_out == n_target < 32
+    assert spark.read.parquet(out).count() == li.count()
+
+
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
     exchange keyed on the join key, and no join operator at all

@@ -5284,6 +5284,42 @@ def q_source_csv_malformed(spark, sf_dir):
     )
 
 
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def q_sink_compaction(spark, sf_dir):
+    """Small-file compaction roundtrip: fragment lineitem into 64 tiny
+    files, compact to ~4 MB targets sized from the source bytes
+    (sources/writers.py:compact_parquet), read back and prove the
+    rewrite lossless. tests/test_plans.py asserts the file count
+    actually drops."""
+    from pyspark.sql import functions as F
+
+    from .sources.writers import compact_parquet
+
+    frag = _scratch(sf_dir, "compact_frag")
+    out = _scratch(sf_dir, "compact_out")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, out, target_file_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each

@@ -44,6 +44,45 @@ def write_parquet(
     writer.parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ~``target_file_bytes`` files and return the output file
+    count. The operational pass every long-lived table needs —
+    streaming ingest and over-parallel writes leave thousands of tiny
+    files, and at 100 TB the scan cost becomes footer-fetch-bound
+    (one metadata round-trip per file) while the NameNode/listing
+    layer degrades long before the data does.
+
+    Sizing comes from the SOURCE bytes (driver-side directory listing
+    — a metadata operation, not a data read): output file count =
+    ceil(total_bytes / target). The rewrite is one round-robin
+    repartition — no key assumptions; use zorder_write instead when
+    the table has hot filter columns, the two compose (compaction
+    chooses file count, Z-order chooses row placement).
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(src_path, f))
+        for f in os.listdir(src_path)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return n_files
+
+
 def zvalue16_expr(x: str, y: str) -> str:
     """SQL expression interleaving the low 16 bits of two integer
     columns into a 32-bit Morton (Z-order) value — ``x`` takes the
