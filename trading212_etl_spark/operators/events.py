@@ -90,18 +90,26 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_minutes: int | None = None,
+) -> DataFrame:
     """Ordered funnel analysis: per user, the furthest step reached,
     where step k counts only if it first occurs at or after the user's
     qualifying occurrence of step k-1 (classic product-analytics
-    funnel).
+    funnel). With ``max_gap_minutes``, step k must additionally occur
+    within that many minutes of step k-1 — the conversion-window form
+    ("purchased within an hour of clicking"), which plain sequence
+    funnels overstate.
 
     Plan shape: ONE shuffle regardless of step count — per user,
     collect the sorted timestamp list of each step type in a single
     aggregate, then resolve the step ordering in a projection with
     array higher-order functions (element_at of the filtered list).
     The alternative self-join-per-step formulation shuffles the full
-    event table k-1 times.
+    event table k-1 times; the gap constraint is a pure extra lambda
+    conjunct, costing nothing at any scale.
     """
     agged = events.groupBy("user_id").agg(
         *[
@@ -111,16 +119,22 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
             for i, s in enumerate(steps)
         ]
     )
-    prev = F.element_at(F.col("__l0"), 1)
+    # try_element_at: ANSI element_at throws on an EMPTY (not null)
+    # array, and a user whose step-k events all fail the filter
+    # produces exactly that
+    prev = F.try_element_at(F.col("__l0"), F.lit(1))
     reached = F.when(prev.isNotNull(), 1).otherwise(0)
     for i in range(1, len(steps)):
         # earliest occurrence of step i at/after the prior step's time;
         # a null prev nulls the comparison, so the filter empties and
         # the funnel stays stopped — no special-casing needed
         prev_cap = prev
-        nxt = F.element_at(
-            F.filter(F.col(f"__l{i}"), lambda t: t >= prev_cap), 1
-        )
+        if max_gap_minutes is None:
+            cond = lambda t: t >= prev_cap  # noqa: E731
+        else:
+            gap = F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+            cond = lambda t: (t >= prev_cap) & (t <= prev_cap + gap)  # noqa: E731
+        nxt = F.try_element_at(F.filter(F.col(f"__l{i}"), cond), F.lit(1))
         reached = reached + F.when(nxt.isNotNull(), 1).otherwise(0)
         prev = nxt
     return agged.select("user_id", reached.alias("steps_reached")).filter(

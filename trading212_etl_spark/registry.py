@@ -5320,6 +5320,48 @@ def q_sink_compaction(spark, sf_dir):
     )
 
 
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    a AS (SELECT user_id,
+            list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS l0,
+            list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l1,
+            list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+          FROM e GROUP BY user_id),
+    r0 AS (SELECT user_id, l1, l2, l0[1] AS t0 FROM a),
+    r1 AS (SELECT user_id, l2, t0,
+             list_filter(l1, x -> x >= t0
+                                  AND x <= t0 + INTERVAL 120 MINUTE)[1] AS t1
+           FROM r0),
+    r2 AS (SELECT user_id, t0, t1,
+             list_filter(l2, x -> x >= t1
+                                  AND x <= t1 + INTERVAL 120 MINUTE)[1] AS t2
+           FROM r1)
+    SELECT user_id,
+           CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS steps_reached
+    FROM r2
+    WHERE t0 IS NOT NULL
+    """,
+)
+def q_events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel (signup → view → purchase, each step
+    within 2h of the prior): the gap constraint is one extra lambda
+    conjunct in the same single-shuffle list-algebra plan as
+    events_funnel — no per-step self-joins at any scale."""
+    from .operators.events import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        max_gap_minutes=120,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
