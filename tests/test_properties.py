@@ -104,6 +104,64 @@ def test_asof_backward_matches_pandas_merge_asof(spark, quotes, trades):
             assert g == e, (g, e)
 
 
+@PROP
+@given(quotes=quotes_st, trades=trades_st)
+def test_asof_forward_matches_pandas_merge_asof(spark, quotes, trades):
+    """asof_join(direction='forward') == pandas merge_asof(
+    direction='forward') over random shapes — including equal-ts ties
+    (both must match inclusively) and keys with no future quote."""
+    from trading212_etl_spark.operators.asof import asof_join
+
+    qdf = (
+        pd.DataFrame(quotes, columns=["key", "ts", "qval"])
+        .groupby(["key", "ts"], as_index=False)["qval"]
+        .max()
+    )
+    tdf = pd.DataFrame(trades, columns=["key", "ts"]).drop_duplicates()
+    tdf["trade_id"] = range(len(tdf))
+
+    left = spark.createDataFrame(tdf, schema="key long, ts long, trade_id long")
+    if len(qdf):
+        right = spark.createDataFrame(qdf, schema="key long, ts long, qval long")
+    else:
+        right = spark.createDataFrame([], schema="key long, ts long, qval long")
+    got = (
+        asof_join(
+            left,
+            right,
+            left_ts="ts",
+            right_ts="ts",
+            left_by="key",
+            right_by="key",
+            value_cols=["qval"],
+            direction="forward",
+        )
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+    if len(qdf):
+        expect = pd.merge_asof(
+            tdf.sort_values("ts", kind="stable"),
+            qdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="key",
+            direction="forward",
+        )
+    else:
+        expect = tdf.copy()
+        expect["qval"] = pd.NA
+    expect = expect.sort_values("trade_id").reset_index(drop=True)
+
+    assert list(got["trade_id"]) == list(expect["trade_id"])
+    for g, e in zip(got["qval"].tolist(), expect["qval"].tolist()):
+        if pd.isna(e):
+            assert pd.isna(g), (g, e)
+        else:
+            assert g == e, (g, e)
+
+
 docs_st = st.lists(
     st.lists(
         st.sampled_from(["a", "bb", "ccc", "d"]), min_size=0, max_size=17

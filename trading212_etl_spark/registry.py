@@ -29,6 +29,12 @@ def pin_oracle_confs(spark: SparkSession) -> None:
     timestamps are UTC-naive; a non-UTC Spark session shifts
     date_format/to_date output by the zone offset)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size shuffles for the local correctness harness: a vanilla
+    # session's 200 shuffle partitions are pure scheduling overhead at
+    # sf0.01 — AQE coalesces them for batch plans, but streaming
+    # queries run with AQE off and pay all 200 tasks per stage. A
+    # runtime conf, value-neutral for every query.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def register(name: str, oracle: str | None = None):
