@@ -145,3 +145,78 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = {tuple(r) for r in run_stream_stream_join(spark, sf_dir).collect()}
     assert batch == stream
     assert len(stream) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics, demonstrated for real: batch 2 contains an
+    event 10 HOURS older than batch 1's max event time; with a
+    2-hour watermark + append mode, its window must never be emitted,
+    while a second fresh event in the same batch must be. This is the
+    state-eviction contract the 100 TB streaming design relies on —
+    late data beyond the horizon cannot resurrect (or re-open) evicted
+    windows."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from trading212_etl_spark.streaming.windows import (
+        streaming_tumbling_agg,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "stream_src")
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: two on-time events; max event time = 12:30
+    write_batch("b1", [(base, "view", 1.0), (base + dt.timedelta(minutes=30), "view", 1.0)])
+
+    agg = streaming_tumbling_agg(
+        spark.readStream.schema(schema).format("parquet").load(src),
+        "1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event 10h LATE (02:00, far past watermark) and
+        # one fresh event advancing time to 15:00 — the advance closes
+        # the 12:00 window so append emits it
+        write_batch(
+            "b2",
+            [
+                (base - dt.timedelta(hours=10), "late", 5.0),
+                (base + dt.timedelta(hours=3), "view", 1.0),
+            ],
+        )
+        q.processAllAvailable()
+        # one more watermark-advancing batch flushes closed windows
+        write_batch("b3", [(base + dt.timedelta(hours=6), "view", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("wm_test")
+    # the late event's 02:00 window must not exist; the on-time 12:00
+    # window must have been emitted with ONLY the two on-time rows
+    assert out.filter(F.col("event_type") == "late").count() == 0
+    emitted = {
+        (r["window_start"].hour, r["n_events"])
+        for r in out.filter(F.col("event_type") == "view").collect()
+    }
+    assert (12, 2) in emitted, emitted
