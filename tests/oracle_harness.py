@@ -77,11 +77,29 @@ def temporal_type_mismatches(name: str, spark_df, oracle_desc) -> list[str]:
     return errs
 
 
+def decimal_output_lint(name: str, oracle_desc) -> list[str]:
+    """Contract lint: an oracle column must never surface as DuckDB
+    DECIMAL. fetchdf() flattens DECIMAL to float64, so this harness
+    would still pass — but a raw-tuple driver fetch yields
+    decimal.Decimal, whose string form ('x.00') can never equal a
+    Spark double's ('x.000000'). Caught live on sink_zorder_layout /
+    sink_compaction by the fetchall-based driver sim (2026-08); the
+    fix is always an explicit CAST(... AS DOUBLE) in the oracle SQL."""
+    return [
+        f"{name}: oracle column '{c[0]}' is DECIMAL ({c[1]}) — cast it "
+        "to DOUBLE in the oracle SQL (raw-tuple drivers compare "
+        "Decimal('x.00') != double 'x.000000')"
+        for c in oracle_desc
+        if "decimal" in str(c[1]).lower()
+    ]
+
+
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame, oracle_desc=None) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     errs: list[str] = []
     if oracle_desc is not None:
         errs.extend(temporal_type_mismatches(name, spark_df, oracle_desc))
+        errs.extend(decimal_output_lint(name, oracle_desc))
     spdf = spark_df.toPandas()
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         errs.append(

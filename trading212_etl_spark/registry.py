@@ -4991,7 +4991,8 @@ def _zvalue_sql() -> str:
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
            CAST(min({_zvalue_sql()}) AS BIGINT) AS min_z,
            CAST(max({_zvalue_sql()}) AS BIGINT) AS max_z,
-           round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty
     FROM lineitem
     """,
 )
@@ -5295,7 +5296,8 @@ def q_source_csv_malformed(spark, sf_dir):
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS total_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
     FROM lineitem
     """,
 )
