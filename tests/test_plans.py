@@ -259,6 +259,14 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(out).count() == li.count()
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """The partitioned-fact x selective-dim join must carry a runtime
+    dynamicpruningexpression in the scan's PartitionFilters — the
+    whole-directory elimination static planning cannot do."""
+    p = plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in p.lower(), "DPP subquery missing from scan"
+
+
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
     exchange keyed on the join key, and no join operator at all

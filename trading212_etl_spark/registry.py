@@ -5370,6 +5370,55 @@ def q_events_funnel_windowed(spark, sf_dir):
     )
 
 
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH dim AS (
+      SELECT substr(p_brand, 1, 1) AS flag, p_partkey
+      FROM part WHERE p_partkey < 5
+    )
+    SELECT f.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(f.l_extendedprice), 2) AS total_price
+    FROM lineitem f JOIN dim ON f.l_returnflag = dim.flag
+    GROUP BY f.l_returnflag
+    """,
+)
+def q_join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out
+    partitionBy(l_returnflag); joining it against a dim with a
+    selective predicate makes Catalyst inject
+    ``dynamicpruningexpression(l_returnflag IN <dim subquery>)`` into
+    the scan's PartitionFilters — at 100 TB the runtime subquery
+    eliminates whole partition directories the static planner cannot
+    (the dim's surviving keys are unknown until execution). The plan
+    property is asserted in tests/test_plans.py:
+    test_dynamic_partition_pruning_fires; this row proves the pruned
+    result stays exact."""
+    from pyspark.sql import functions as F
+
+    path = _scratch(sf_dir, "dpp_lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.substring("p_brand", 1, 1).alias("flag"), "p_partkey"
+        )
+        .filter(F.col("p_partkey") < 5)
+    )
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
