@@ -141,6 +141,8 @@ NESTED_LOOP_BY_DESIGN = {
     "text_unigram_lm_score",
     # 1-row broadcast of the global key-count stats onto the count frame
     "profile_key_skew",
+    # three 1-row audit aggregates cross-joined into one summary row
+    "delete_propagation",
 }
 
 
