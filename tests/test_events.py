@@ -220,3 +220,59 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for r in out.filter(F.col("event_type") == "view").collect()
     }
     assert (12, 2) in emitted, emitted
+
+
+def test_streaming_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Exactly-once across RESTARTS: a second query started on the
+    same checkpoint must process only files added after the first
+    query stopped — the committed-offset log, not the sink contents,
+    defines what is new. This is the recovery contract behind the
+    foreachBatch ingest's idempotent batch-id layout."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    seen_batches: list[int] = []
+    base = dt.datetime(2024, 6, 1)
+
+    def write_src(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once(collector):
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+
+        def sink(batch_df, batch_id):
+            collector.append((batch_id, batch_df.count()))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    got_1: list = []
+    write_src([(base, "a"), (base, "b")])
+    run_once(got_1)
+    assert sum(n for _, n in got_1) == 2
+
+    got_2: list = []
+    write_src([(base, "c")])
+    run_once(got_2)
+    # the restarted query must see ONLY the new file's single row —
+    # zero reprocessing of the 2 already-committed rows
+    assert sum(n for _, n in got_2) == 1, got_2
+    # and its batch ids continue past the first run's (shared log)
+    assert min(b for b, _ in got_2) > max(b for b, _ in got_1)
