@@ -261,3 +261,23 @@ def test_hll_rollup_matches_exact_within_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+
+
+def test_curate_lsh_path_is_superset_of_exact(spark, sf_dir):
+    """The LSH-paired curation (the 100 TB path) must keep every doc
+    the exact-paired curation keeps (LSH can only MISS near-dup pairs,
+    never invent them — verified candidates carry exact Jaccard), and
+    the overshoot must be tiny (high recall at J >= 0.5)."""
+    from trading212_etl_spark.plans.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r["doc_id"] for r in curate_corpus(docs).select("doc_id").collect()}
+    lsh = {
+        r["doc_id"]
+        for r in curate_corpus(docs, use_lsh=True).select("doc_id").collect()
+    }
+    assert exact <= lsh, f"LSH path dropped {sorted(exact - lsh)[:5]}"
+    assert len(lsh) - len(exact) <= max(2, 0.02 * len(exact)), (
+        len(exact),
+        len(lsh),
+    )

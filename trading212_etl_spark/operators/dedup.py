@@ -215,6 +215,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     verify: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     optionally verified with exact Jaccard.
@@ -239,7 +240,9 @@ def minhash_lsh_pairs(
     # sides), so exchange reuse can't kick in — materialize once
     # instead of tokenizing+shingling the corpus three times (measured
     # 3.6x wall on the full op). At cluster scale: persist/checkpoint.
-    sh = materialize(_shingle_sets(docs, shingle_n, id_col), truncate=False)
+    sh = materialize(
+        _shingle_sets(docs, shingle_n, id_col, tokens_col), truncate=False
+    )
     # signature via explode + K min-aggregates instead of K interpreted
     # array passes: min(xxhash64(shingle, k)) over the exploded shingle
     # rows is whole-stage-codegen'd aggregation (K buffers), where the

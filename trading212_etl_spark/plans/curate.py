@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import jaccard_pairs, remove_near_dups
+from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs, remove_near_dups
 from ..operators.textual import lang_pred_col, quality_bp_col, tokens
 from ..partitioning import fan_out, materialize
 
@@ -33,6 +33,7 @@ def curate_corpus(
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    use_lsh: bool = False,
 ) -> DataFrame:
     """Return the curated corpus: docs scoring ≥ ``min_quality_bp``,
     predicted in ``langs``, exact-deduped (min doc_id per content
@@ -73,7 +74,23 @@ def curate_corpus(
     canonical = materialize(canonical, truncate=False)
     # the scoring pass already materialized the token arrays — reuse
     # them for shingling instead of re-running the regex tokenizer
-    pairs = jaccard_pairs(canonical, jaccard_threshold, shingle_n, tokens_col="__toks")
+    # use_lsh selects the 100 TB pair generator: MinHash banding with
+    # exact-Jaccard candidate verification — same (doc_a, doc_b,
+    # jaccard) contract, work bounded by band-bucket collisions
+    # instead of shingle co-occurrence. The exact generator remains
+    # the test-scale ground truth (LSH can only MISS pairs, so its
+    # survivor set is a superset — asserted in tests/test_llm_ops.py).
+    if use_lsh:
+        pairs = minhash_lsh_pairs(
+            canonical,
+            threshold=jaccard_threshold,
+            shingle_n=shingle_n,
+            tokens_col="__toks",
+        )
+    else:
+        pairs = jaccard_pairs(
+            canonical, jaccard_threshold, shingle_n, tokens_col="__toks"
+        )
     return remove_near_dups(canonical, pairs).select(
         "doc_id", "lang", "lang_pred", "quality_bp", "n_tokens"
     )
