@@ -77,29 +77,40 @@ def temporal_type_mismatches(name: str, spark_df, oracle_desc) -> list[str]:
     return errs
 
 
-def decimal_output_lint(name: str, oracle_desc) -> list[str]:
+def decimal_output_lint(name: str, oracle_types) -> list[str]:
     """Contract lint: an oracle column must never surface as DuckDB
     DECIMAL. fetchdf() flattens DECIMAL to float64, so this harness
     would still pass — but a raw-tuple driver fetch yields
     decimal.Decimal, whose string form ('x.00') can never equal a
     Spark double's ('x.000000'). Caught live on sink_zorder_layout /
     sink_compaction by the fetchall-based driver sim (2026-08); the
-    fix is always an explicit CAST(... AS DOUBLE) in the oracle SQL."""
+    fix is always an explicit CAST(... AS DOUBLE) in the oracle SQL.
+
+    ``oracle_types`` is [(column, duckdb_type_str), ...] from the
+    RELATION API (``con.sql(q).types``) — the DB-API description
+    collapses every numeric to 'NUMBER' and cannot see decimals."""
     return [
-        f"{name}: oracle column '{c[0]}' is DECIMAL ({c[1]}) — cast it "
-        "to DOUBLE in the oracle SQL (raw-tuple drivers compare "
-        "Decimal('x.00') != double 'x.000000')"
-        for c in oracle_desc
-        if "decimal" in str(c[1]).lower()
+        f"{name}: oracle column '{c}' is {t} — cast it to DOUBLE in "
+        "the oracle SQL (raw-tuple drivers compare Decimal('x.00') != "
+        "double 'x.000000')"
+        for c, t in oracle_types
+        if "decimal" in str(t).lower()
     ]
 
 
-def compare(name: str, spark_df, oracle_pdf: pd.DataFrame, oracle_desc=None) -> list[str]:
+def compare(
+    name: str,
+    spark_df,
+    oracle_pdf: pd.DataFrame,
+    oracle_desc=None,
+    oracle_types=None,
+) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
     errs: list[str] = []
     if oracle_desc is not None:
         errs.extend(temporal_type_mismatches(name, spark_df, oracle_desc))
-        errs.extend(decimal_output_lint(name, oracle_desc))
+    if oracle_types is not None:
+        errs.extend(decimal_output_lint(name, oracle_types))
     spdf = spark_df.toPandas()
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         errs.append(

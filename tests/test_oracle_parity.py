@@ -26,10 +26,18 @@ def all_oracle_names():
 @pytest.mark.parametrize("name", all_oracle_names())
 def test_oracle_parity(name, spark, oracle_con):
     spark_df = registry.QUERIES[name](spark, SF_CORRECTNESS)
+    rel = oracle_con.sql(registry.ORACLES[name])
+    oracle_types = list(zip(rel.columns, rel.types))
     res = oracle_con.execute(registry.ORACLES[name])
     oracle_desc = res.description
     oracle_pdf = res.fetchdf()
-    errs = compare(name, spark_df, oracle_pdf, oracle_desc=oracle_desc)
+    errs = compare(
+        name,
+        spark_df,
+        oracle_pdf,
+        oracle_desc=oracle_desc,
+        oracle_types=oracle_types,
+    )
     assert not errs, "\n".join(errs)
 
 
@@ -40,3 +48,56 @@ def test_every_query_runs_rows_only(spark):
             continue
         df = fn(spark, SF_CORRECTNESS)
         assert df.count() >= 0, name
+
+
+def test_harness_detects_mutations(spark, oracle_con):
+    """Meta-test: the differential harness must actually FAIL on a
+    value, row-count, and column-name mutation — a comparator that
+    passes everything would silently green the whole suite."""
+    from .oracle_harness import compare
+
+    base_sql = (
+        "SELECT 1 AS a, CAST(2.5 AS DOUBLE) AS b"
+        " UNION ALL SELECT 2, CAST(3.5 AS DOUBLE)"
+    )
+    # Spark parses bare 2.5 as DECIMAL(2,1); emit the engine
+    # convention (DOUBLE) like every registry entry does
+    spark_df = spark.sql(
+        "SELECT a, CAST(b AS DOUBLE) AS b FROM (" + base_sql + ")"
+    )
+
+    def oracle(sql):
+        rel = oracle_con.sql(sql)
+        types = list(zip(rel.columns, rel.types))
+        res = oracle_con.execute(sql)
+        return res.fetchdf(), res.description, types
+
+    pdf, desc, types = oracle(base_sql)
+    assert not compare("meta_ok", spark_df, pdf, oracle_desc=desc, oracle_types=types)
+
+    pdf, desc, types = oracle(
+        "SELECT 1 AS a, CAST(2.5 AS DOUBLE) AS b"
+        " UNION ALL SELECT 2, CAST(3.6 AS DOUBLE)"
+    )
+    assert compare("meta_val", spark_df, pdf, oracle_desc=desc)
+
+    pdf, desc, types = oracle("SELECT 1 AS a, CAST(2.5 AS DOUBLE) AS b")
+    assert compare("meta_rows", spark_df, pdf, oracle_desc=desc)
+
+    pdf, desc, types = oracle(
+        "SELECT 1 AS a, CAST(2.5 AS DOUBLE) AS c"
+        " UNION ALL SELECT 2, CAST(3.5 AS DOUBLE)"
+    )
+    assert compare("meta_cols", spark_df, pdf, oracle_desc=desc)
+
+    # decimal-typed oracle output must trip the contract lint
+    pdf, desc, types = oracle(
+        "SELECT 1 AS a, CAST(2.5 AS DECIMAL(10,2)) AS b"
+        " UNION ALL SELECT 2, CAST(3.5 AS DECIMAL(10,2))"
+    )
+    assert any(
+        "DECIMAL" in e
+        for e in compare(
+            "meta_dec", spark_df, pdf, oracle_desc=desc, oracle_types=types
+        )
+    )

@@ -5488,6 +5488,33 @@ def q_curate_corpus_lsh(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"), use_lsh=True)
 
 
+@register(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id AS key, CAST(ts AS TIMESTAMP) AS version,
+             event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT key, version, event_id, value FROM ranked WHERE rn = 1
+    """,
+)
+def q_streaming_cdc_apply(spark, sf_dir):
+    """§2.9 streaming — CDC apply: the event stream merged into a
+    keyed base table via foreachBatch (latest change per key wins;
+    MERGE INTO on a lakehouse, read-union-keep-latest here). The
+    converged table must equal the batch keep-latest over the full
+    change history — the oracle (streaming/windows.py:
+    run_streaming_cdc_apply)."""
+    from .streaming.windows import run_streaming_cdc_apply
+
+    return run_streaming_cdc_apply(
+        spark, sf_dir, _scratch(sf_dir, "cdc_apply")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each

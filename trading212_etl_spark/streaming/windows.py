@@ -373,3 +373,75 @@ def run_streaming_session_window(
         )
     )
     return _run_to_memory(spark, agg, "stream_session_out", "complete")
+
+
+def run_streaming_cdc_apply(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """CDC apply via ``foreachBatch``: a stream of keyed change rows
+    is MERGEd into a base table — each micro-batch upserts by key,
+    keeping the highest (version, then value) per key. The pattern
+    every warehouse ingestion runs; on a lakehouse table the batch
+    body becomes ``MERGE INTO`` (Delta/Iceberg), here it is
+    read-union-keep-latest-overwrite on plain parquet, which is the
+    same logical plan without the transactional commit.
+
+    Restart safety: the rewrite is idempotent per batch (re-applying a
+    batch reproduces the same table), and the checkpoint guarantees
+    each batch applies once in order. State lives in the TABLE, not
+    the stream — memory is O(batch), unlike stateful operators.
+
+    Returns the final applied table (one row per key, latest change
+    wins) for the oracle diff.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    changes = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts").alias("version"),
+            F.col("event_id"),
+            F.col("value"),
+        )
+    )
+    base_path = f"{out_dir}/table"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark_l = batch_df.sparkSession
+        if os.path.isdir(base_path):
+            current = spark_l.read.parquet(base_path)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = Window.partitionBy("key").orderBy(
+            F.col("version").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # write-then-swap: materialize to a staging dir, then replace
+        # the base atomically enough for a local demo (a lakehouse
+        # MERGE gives the real transactional swap)
+        staging = f"{out_dir}/staging_{batch_id}"
+        latest.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(base_path, ignore_errors=True)
+        os.rename(staging, base_path)
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(base_path)
