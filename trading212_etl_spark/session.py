@@ -51,6 +51,12 @@ def get_session(
         # which a 1000-executor cluster digests; bigger splits risk
         # executor OOM on wide rows.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd for parquet writes: ~25-30% smaller files than snappy
+        # at comparable scan speed — at 100 TB that is tens of TB of
+        # storage and proportional scan I/O; decode cost is amortized
+        # by columnar batch reads. (Snappy remains the Spark default
+        # only for historical compatibility.)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # -- oracle determinism --------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # -- python interop ------------------------------------------
