@@ -115,3 +115,27 @@ def test_curate_on_empty(spark):
     from trading212_etl_spark.plans.curate import curate_corpus
 
     assert curate_corpus(_empty_docs(spark)).count() == 0
+
+
+def test_null_and_empty_text_rows(spark):
+    """NULL and empty text must flow through, not crash: stats rows
+    propagate NULL (token counts null for a null document, 0 for an
+    empty one), pair generators and the curation filter simply never
+    select them."""
+    from trading212_etl_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from trading212_etl_spark.operators.textual import token_stats
+    from trading212_etl_spark.plans.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world hello", "en", "a"),
+            (2, None, "en", "a"),
+            (3, "", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    stats = {r["doc_id"]: r["n_tokens"] for r in token_stats(docs).collect()}
+    assert stats[1] == 3 and stats[3] == 0 and stats[2] is None
+    assert exact_dedup(docs).count() == 3  # null text is its own group
+    assert jaccard_pairs(docs, 0.5).count() == 0
+    assert curate_corpus(docs).count() == 0  # filtered, not crashed
