@@ -269,6 +269,51 @@ def test_dynamic_partition_pruning_fires(spark):
     assert "dynamicpruning" in p.lower(), "DPP subquery missing from scan"
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """RUNTIME proof (not just conf) that the session's AQE skew-join
+    handling splits a hot key: a join where 90% of rows share one key
+    must execute as SortMergeJoin(skew=true) with an
+    'AQEShuffleRead ... skewed' child. Caveat encoded here: the rule
+    requires BOTH join children to be bare shuffle reads — an
+    aggregate between the shuffle and the join (e.g. a pre-aggregated
+    dim) silently disables splitting, which is why skewed fact tables
+    are salted (join_salted_skew) when the other side is derived."""
+    from pyspark.sql import functions as F
+
+    tweaked = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in tweaked}
+    for k, v in tweaked.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 32)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 32).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k").select(
+            F.sum(F.col("payload") + F.col("v")).alias("s")
+        )
+        j.collect()
+        executed = j._jdf.queryExecution().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in executed, "AQE did not split the hot partition"
+
+
 def test_asof_join_single_exchange_on_key(spark):
     """The as-of join must be union + window — exactly one shuffle
     exchange keyed on the join key, and no join operator at all
