@@ -143,6 +143,8 @@ NESTED_LOOP_BY_DESIGN = {
     "profile_key_skew",
     # three 1-row audit aggregates cross-joined into one summary row
     "delete_propagation",
+    # 1-row broadcast of the global order count onto the pair frame
+    "orders_basket_affinity",
 }
 
 

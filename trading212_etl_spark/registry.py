@@ -5515,6 +5515,93 @@ def q_streaming_cdc_apply(spark, sf_dir):
     )
 
 
+@register(
+    "orders_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_f
+             FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS pair_count
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, pair_count,
+           CAST(pair_count * n_orders * 10000
+                // (fa.n_f * fb.n_f) AS BIGINT) AS lift_bp
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY pair_count DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_orders_basket_affinity(spark, sf_dir):
+    """Market-basket affinity: co-occurrence counts + lift (in exact
+    integer basis points) for part pairs bought in the same order.
+
+    Scale shape: the pair generator is a SELF-JOIN CO-PARTITIONED on
+    l_orderkey — one shuffle key for both sides, and the quadratic
+    blowup is bounded by basket size (≤ C(13,2) pairs per order in
+    this corpus), never by catalog size. Item frequencies broadcast
+    back onto the pair frame; the order count rides a 1-row
+    broadcast; top-k is a heap. lift > 10000 bp means the pair
+    co-occurs more than independence predicts — the affinity signal
+    recommendation and bundling pipelines rank by."""
+    from pyspark.sql import functions as F
+
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_f"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_f").alias("n_fa")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_f").alias("n_fb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            F.expr(
+                "pair_count * n_orders * 10000 DIV (n_fa * n_fb)"
+            ).alias("lift_bp"),
+        )
+        .orderBy(F.col("pair_count").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
