@@ -281,3 +281,17 @@ def test_curate_lsh_path_is_superset_of_exact(spark, sf_dir):
         len(exact),
         len(lsh),
     )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup pair (J >= 0.5) must land in the SAME split —
+    the contamination guarantee the per-doc hash split cannot give."""
+    from trading212_etl_spark.registry import QUERIES
+
+    split = QUERIES["sample_leakage_safe_split"](spark, sf_dir)
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    a = split.selectExpr("doc_id AS doc_a", "split AS split_a")
+    b = split.selectExpr("doc_id AS doc_b", "split AS split_b")
+    crossed = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert crossed.filter("split_a <> split_b").count() == 0
+    assert crossed.count() > 0  # the guarantee is exercised, not vacuous

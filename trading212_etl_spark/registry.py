@@ -5602,6 +5602,78 @@ def q_orders_basket_affinity(spark, sf_dir):
     )
 
 
+@register(
+    "sample_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle FROM t),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM c
+      WHERE round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 4) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(cp.component, d.doc_id) AS group_key,
+           CASE WHEN substr(md5(CAST(coalesce(cp.component, d.doc_id)
+                                     AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(coalesce(cp.component, d.doc_id)
+                                     AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp cp USING (doc_id)
+    """,
+)
+def q_sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: documents are split by their
+    NEAR-DUP CLUSTER, not individually — a plain per-doc hash split
+    puts two 0.9-Jaccard near-duplicates of the same page on opposite
+    sides of the train/test fence, silently contaminating every eval.
+    Group key = connected-component label of the J >= 0.5 pair graph
+    (isolated docs key by themselves), then the same md5 80/10/10
+    assignment as sample_hash_split on the group key, so every member
+    of a cluster lands in the same split by construction.
+
+    Scale shape: the CC fixpoint runs on the PAIR GRAPH (|pairs| <<
+    corpus); the labels join back onto the corpus broadcast (near-dup
+    clusters are a small fraction of any curated corpus), and the
+    split itself stays a pure projection."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components, jaccard_pairs
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(jaccard_pairs(docs, 0.5))
+    grouped = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_key"),
+        )
+    )
+    return hash_split(
+        grouped, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
