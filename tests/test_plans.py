@@ -521,3 +521,24 @@ def test_connected_components_cut_under_any_policy(spark):
     finally:
         spark.conf.set("spark.trading212.materialize", "local")
     assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (8, 7)}
+
+
+def test_model_quality_filter_zero_shuffle_no_python(spark):
+    """The hashing-trick classifier application must be a pure
+    projection: no exchange (it is a per-row score) and no Python in
+    the row path (the weight lookup is a Catalyst lambda)."""
+    p = plan(spark, "text_model_quality_filter")
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    # no keyed exchange or join — the round-robin fan_out repartition
+    # is the documented test-scale parallelism lever, not a data shuffle
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_asof_tolerance_single_exchange_on_key(spark):
+    """The tolerance variant must keep the backward as-of plan: one
+    exchange on the join key, no extra shuffle for the staleness
+    projection."""
+    p = plan(spark, "join_asof_tolerance")
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1, p

@@ -389,6 +389,64 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def _bucket_weight(tok: Column) -> Column:
+    """Deterministic per-token weight in [-128, 127] from the first
+    two hex chars of md5(token) — the stand-in for a learned weight
+    vector indexed by the hashing trick. md5 because it is the one
+    hash both engines compute identically (module portability note);
+    a production model swaps this expression for a broadcast
+    ``bucket -> weight`` array lookup with the identical plan shape.
+    """
+    h = F.md5(tok)
+    hi = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo - 128).cast("long")
+
+
+def model_quality_filter(docs: DataFrame, threshold_milli: int = -50) -> DataFrame:
+    """Model-based quality filter: score each document with a linear
+    classifier over hashing-trick token features and keep documents
+    above a threshold — the fastText/logistic-regression quality-gate
+    step of every LLM data pipeline (CCNet, RefinedWeb), which the
+    heuristic ``quality_score`` approximates without a model.
+
+    The "model" here is a deterministic weight per hash bucket
+    (md5-derived, so the DuckDB oracle reproduces it bit-exactly); a
+    real deployment broadcasts the trained weight array and indexes it
+    inside the same lambda. Everything is integer arithmetic — the
+    keep decision compares ``total_weight * 1000`` against
+    ``n_tokens * threshold_milli`` so no engine ever divides.
+
+    Plan shape: tokenize once behind a projection boundary, transform
+    tokens to weights, aggregate the weight array — a pure projection,
+    zero shuffles, zero Python. At 100 TB this is the cheapest possible
+    classifier application: one parquet-scan-speed pass, and the model
+    (any size up to executor memory) rides along as a broadcast
+    variable instead of a join.
+    """
+    toks = F.col("__toks")
+    total = F.aggregate(
+        F.transform(toks, _bucket_weight),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return _with_tokens(docs, "doc_id").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        total.alias("total_weight"),
+    ).withColumn(
+        "keep",
+        (F.col("n_tokens") > 0)
+        & (
+            F.col("total_weight") * 1000
+            >= F.col("n_tokens").cast("long") * threshold_milli
+        ),
+    )
+
+
 def chunk_windows(
     docs: DataFrame, size: int = 64, stride: int = 48
 ) -> DataFrame:

@@ -5674,6 +5674,94 @@ def q_sample_leakage_safe_split(spark, sf_dir):
     )
 
 
+@register(
+    "text_model_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CASE WHEN toks IS NULL THEN NULL
+                  ELSE CAST(coalesce(list_sum(list_transform(toks, t ->
+                    (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1
+                    - 128)), 0) AS BIGINT) END AS total_weight
+      FROM t
+    )
+    SELECT doc_id, n_tokens, total_weight,
+           n_tokens > 0 AND total_weight * 1000 >= n_tokens * -50 AS keep
+    FROM w
+    """,
+)
+def q_text_model_quality_filter(spark, sf_dir):
+    """Model-based quality gate: linear classifier over hashing-trick
+    token features, applied as a pure projection (operators/textual.py:
+    model_quality_filter). The md5-derived bucket weights stand in for
+    a trained fastText/LR weight vector — a real model broadcasts its
+    weight array into the identical lambda. Integer-only scoring (the
+    keep test cross-multiplies instead of dividing) keeps it oracle-
+    exact; zero shuffles, zero Python at any corpus size."""
+    from .operators.textual import model_quality_filter
+
+    return model_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ),
+    m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey, o.o_totalprice, o.o_orderdate
+      FROM e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderdate >= ts - INTERVAL 7 DAY
+                THEN o_orderkey END AS last_orderkey_7d,
+           CASE WHEN o_orderdate >= ts - INTERVAL 7 DAY
+                THEN o_totalprice END AS last_totalprice_7d,
+           CASE WHEN o_orderdate >= ts - INTERVAL 7 DAY
+                THEN o_orderdate END AS last_orderdate_7d
+    FROM m
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a tolerance (pandas ``merge_asof(...,
+    tolerance=7d)``): the latest order at or before each event, but
+    only when it is at most 7 days stale — the staleness guard every
+    price-as-of query needs (a quote from last month must not price
+    today's fill). Same single-shuffle tagged-union window as
+    join_asof_backward; the tolerance is a post-window projection that
+    nulls out stale matches, so the plan cost is identical
+    (operators/asof.py:asof_join)."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        e, o, "ts", "o_orderdate", "user_id", "o_custkey",
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_order="o_orderkey",
+    )
+    fresh = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("o_orderkey")).alias("last_orderkey_7d"),
+        F.when(fresh, F.col("o_totalprice")).alias("last_totalprice_7d"),
+        F.when(fresh, F.col("o_orderdate")).alias("last_orderdate_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
