@@ -542,3 +542,20 @@ def test_asof_tolerance_single_exchange_on_key(spark):
     projection."""
     p = plan(spark, "join_asof_tolerance")
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1, p
+
+
+def test_point_in_time_join_is_hash_not_nested_loop(spark):
+    """The SCD2 point-in-time lookup must keep its equi-key hash join
+    with the validity range as residual — a nested-loop here is the
+    O(n*m) scale killer interval_range_join exists to avoid."""
+    p = plan(spark, "join_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_profile_quantiles_single_agg_exchange(spark):
+    """Exact quantiles shuffle once on the group key — partial_
+    percentile map-side state, one hashpartitioning exchange."""
+    p = plan(spark, "profile_quantiles")
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1, p

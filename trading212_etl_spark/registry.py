@@ -5762,6 +5762,129 @@ def q_join_asof_tolerance(spark, sf_dir):
     )
 
 
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH obs AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+             lag(o_orderstatus) OVER w AS ps,
+             lag(o_orderpriority) OVER w AS pp,
+             row_number() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderstatus, o_orderpriority)
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority
+      FROM obs
+      WHERE rn = 1
+         OR ps IS DISTINCT FROM o_orderstatus
+         OR pp IS DISTINCT FROM o_orderpriority
+    ),
+    dim AS (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w2 AS effective_to
+      FROM chg
+      WINDOW w2 AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderstatus, o_orderpriority)
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           d.o_orderstatus AS status_at_event,
+           d.o_orderpriority AS priority_at_event
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.o_custkey
+     AND e.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR e.ts < d.effective_to)
+    """,
+)
+def q_join_point_in_time(spark, sf_dir):
+    """Point-in-time dimension lookup — the consumption half of the
+    SCD2 pattern: each event resolves the customer's (status,
+    priority) state VALID AT the event's timestamp against the
+    validity intervals scd2_customer_history builds. The warehouse
+    rule this enforces: never join a fact to a dimension's current
+    row, join it to the row that was current then.
+
+    Plan: equi-key on the customer key keeps it a hash join (the
+    validity-range test is the residual condition, same shape as
+    join_range_interval — never a nested loop); intervals are disjoint
+    per key by SCD2 construction, so each event matches at most one
+    row and the left join preserves event cardinality. At 100 TB the
+    dimension history is small relative to facts — Spark broadcasts
+    it; bucket both sides by the key to drop even that exchange
+    (operators/relational.py:scd2_build, operators/asof.py:
+    interval_range_join)."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import interval_range_join
+    from .operators.relational import scd2_build
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = scd2_build(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        attrs=["o_orderstatus", "o_orderpriority"],
+    ).drop("is_current")
+    joined = interval_range_join(
+        e,
+        dim,
+        on=F.col("user_id") == F.col("o_custkey"),
+        lower=F.col("ts") >= F.col("effective_from"),
+        upper=F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to")),
+        how="left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderstatus").alias("status_at_event"),
+        F.col("o_orderpriority").alias("priority_at_event"),
+    )
+
+
+@register(
+    "profile_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 2) AS p90,
+           round(max(o_totalprice), 2) AS p100
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_profile_quantiles(spark, sf_dir):
+    """Exact continuous quantiles (linear interpolation) of order
+    value per status — the distribution profile behind partition
+    sizing and outlier fences, computed EXACTLY where
+    agg_approx_sketches uses KLL/t-digest-style bounds. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    index = p*(n-1) interpolation definition, so the oracle matches to
+    the cent. Exact quantiles need the group's values together — one
+    shuffle on the 3-value status key; at 100 TB you run this on a
+    stratified sample or switch to the sketch entry (the documented
+    trade: this is the calibration oracle, the sketch is the scale
+    path)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    pct = [
+        F.round(
+            F.expr(f"percentile(o_totalprice, {p})"), 2
+        ).alias(f"p{int(p * 100)}")
+        for p in (0.25, 0.50, 0.75, 0.90)
+    ]
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        *pct,
+        F.round(F.max("o_totalprice"), 2).alias("p100"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
