@@ -72,6 +72,8 @@ HEADLINE = [
     "sink_zorder_layout",         # Morton range-shuffle + sorted write
     "events_rollup_hierarchy",    # hierarchical re-aggregation chain
     "events_markov_transitions",  # keyed lead window + matrix agg
+    "join_point_in_time",         # SCD2 validity-interval fact lookup
+    "text_model_quality_filter",  # hashing-trick classifier, projection-only
 ]
 
 
