@@ -5885,6 +5885,82 @@ def q_profile_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_semantic_clusters",
+    oracle=None,  # installed below — built from the seeded planes
+)
+def q_dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster embeddings whose
+    cosine similarity >= 0.4 (transitively) and keep one canonical
+    representative per cluster — the embedding-space twin of the
+    text near-dup chain, built from the same two verified pieces:
+    LSH-bucketed candidate pairs (operators/similarity.py:
+    embedding_near_dup_pairs_lsh — banded sign-bit buckets, exact
+    cosine confirm, no all-pairs join) and the exact connected-
+    components closure (operators/dedup.py:connected_components).
+    Survivor rule: min vec_id of the cluster, the same canonical
+    choice the text pipeline uses.
+
+    Scale: the pair graph is a small fraction of the corpus, so the CC
+    fixpoint runs on |pairs| rows; cluster labels join back broadcast
+    and the keep flag is a projection. Every vec not in any pair is
+    its own cluster."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components
+    from .operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_lsh(emb, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs).withColumnRenamed("doc_id", "vec_id")
+    cluster = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(comp), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            cluster.alias("cluster"),
+            (cluster == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+ORACLES["dedup_semantic_clusters"] = f"""
+    WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    banded AS ({_lsh_oracle_banded()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bkt = b.bkt
+      WHERE a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT cand.vec_a, cand.vec_b
+      FROM cand
+      JOIN v va ON va.vec_id = cand.vec_a
+      JOIN v vb ON vb.vec_id = cand.vec_b
+      WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= 0.4
+    ),
+    edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT e.vec_id, e.label,
+           coalesce(c.component, e.vec_id) AS cluster,
+           coalesce(c.component, e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
