@@ -295,3 +295,23 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     crossed = pairs.join(a, "doc_a").join(b, "doc_b")
     assert crossed.filter("split_a <> split_b").count() == 0
     assert crossed.count() > 0  # the guarantee is exercised, not vacuous
+
+
+def test_semantic_dedup_survivors_are_cluster_minima(spark, sf_dir):
+    """dedup_semantic_clusters invariants: every row's cluster label is
+    <= its vec_id (min-label closure), keep <=> vec_id == cluster, and
+    each cluster keeps exactly one survivor — the cluster's minimum
+    member."""
+    from trading212_etl_spark import registry
+
+    rows = registry.QUERIES["dedup_semantic_clusters"](spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r.cluster <= r.vec_id
+        assert r.keep == (r.vec_id == r.cluster)
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for label, members in by_cluster.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, label
+        assert keepers[0].vec_id == min(m.vec_id for m in members) == label

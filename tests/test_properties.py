@@ -366,3 +366,70 @@ def test_sessionize_matches_pandas_gap_scan(spark, events, gap_minutes):
         seq += 1
         expect.append((user, seq, len(cur), cur[0].ts, cur[-1].ts))
     assert got == sorted(expect)
+
+
+@PROP
+@given(
+    quotes=quotes_st,
+    trades=trades_st,
+    tol=st.integers(min_value=0, max_value=10),
+)
+def test_asof_tolerance_matches_pandas(spark, quotes, trades, tol):
+    """The tolerance post-projection over asof_join must equal pandas
+    merge_asof(tolerance=tol) for every random shape, including
+    tolerance=0 (exact-ts matches only) and keys with no quotes."""
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.operators.asof import asof_join
+
+    qdf = (
+        pd.DataFrame(quotes, columns=["key", "ts", "qval"])
+        .groupby(["key", "ts"], as_index=False)["qval"]
+        .max()
+    )
+    tdf = pd.DataFrame(trades, columns=["key", "ts"]).drop_duplicates()
+    tdf["trade_id"] = range(len(tdf))
+
+    left = spark.createDataFrame(tdf, schema="key long, ts long, trade_id long")
+    rq = qdf.rename(columns={"ts": "qts"})
+    if len(rq):
+        right = spark.createDataFrame(rq, schema="key long, qts long, qval long")
+    else:
+        right = spark.createDataFrame([], schema="key long, qts long, qval long")
+    joined = asof_join(
+        left,
+        right,
+        left_ts="ts",
+        right_ts="qts",
+        left_by="key",
+        right_by="key",
+        value_cols=["qval", "qts"],
+    )
+    fresh = F.col("qts") >= F.col("ts") - F.lit(tol)
+    got = (
+        joined.select("trade_id", F.when(fresh, F.col("qval")).alias("qval"))
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+    if len(qdf):
+        expect = pd.merge_asof(
+            tdf.sort_values("ts", kind="stable"),
+            qdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="key",
+            direction="backward",
+            tolerance=tol,
+        )
+    else:
+        expect = tdf.copy()
+        expect["qval"] = pd.NA
+    expect = expect.sort_values("trade_id").reset_index(drop=True)
+
+    assert list(got["trade_id"]) == list(expect["trade_id"])
+    for g, e in zip(got["qval"].tolist(), expect["qval"].tolist()):
+        if pd.isna(e):
+            assert pd.isna(g), (g, e, tol)
+        else:
+            assert g == e, (g, e, tol)
