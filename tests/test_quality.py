@@ -1,0 +1,121 @@
+"""Unit + plan tests for the governance suite (operators/quality.py):
+constraint-report semantics on crafted frames (including NULLs and
+violations the clean testdata can't exercise), snapshot-diff
+classification with NULL compare columns, and the scale-shape plan
+properties (single aggregate pass, broadcast FK probe)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from trading212_etl_spark.operators.quality import (
+    constraint_report,
+    referential_orphans,
+    snapshot_diff,
+)
+
+
+def _report_dict(df):
+    return {r["check_name"]: (r["metric"], r["passed"]) for r in df.collect()}
+
+
+def test_constraint_report_detects_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, None, -5.0),
+            (2, "b", 20.0),
+            (3, "zz", 30.0),
+        ],
+        "id INT, tag STRING, amount DOUBLE",
+    )
+    rep = _report_dict(
+        constraint_report(
+            df,
+            completeness=["tag"],
+            unique=["id"],
+            bounds={"amount": (0.0, None)},
+            in_set={"tag": ["a", "b"]},
+        )
+    )
+    assert rep["completeness(tag)"] == (0.75, False)
+    assert rep["unique(id)"] == (0.75, False)
+    assert rep["bounds(amount)"] == (0.75, False)
+    # NULL tag fails in_set too: 2 of 4 rows are in {a, b}
+    assert rep["in_set(tag)"] == (0.5, False)
+
+
+def test_constraint_report_clean_data_passes(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, tag STRING"
+    )
+    rep = _report_dict(
+        constraint_report(df, completeness=["tag"], unique=["id"])
+    )
+    assert all(passed for _, passed in rep.values())
+    assert all(metric == 1.0 for metric, _ in rep.values())
+
+
+def test_referential_orphans_counts(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,), (9,)], "fk INT")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk INT")
+    row = referential_orphans(fact, "fk", dim, "pk").collect()[0]
+    assert row["check_name"] == "referential(fk)"
+    assert row["metric"] == 0.5  # 2 of 4 fact rows orphaned
+    assert row["passed"] is False
+
+
+def test_snapshot_diff_classification_with_nulls(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)],
+        "k INT, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 31.0), (5, 50.0)],
+        "k INT, v DOUBLE",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    # k=1 unchanged (dropped); k=2 NULL==NULL unchanged (dropped —
+    # the presence-marker guard: a NULL value must not read as a
+    # missing row); k=3 changed; k=4 removed; k=5 added.
+    assert out == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_constraint_report_single_scan_plan(spark):
+    """All declared single-table metrics must ride ONE aggregate over
+    one scan — the plan may contain exactly one parquet/LocalTableScan
+    leaf and no join."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    )
+    rep = constraint_report(
+        df,
+        completeness=["bucket"],
+        unique=["id"],
+        bounds={"id": (0.0, None)},
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "Join" not in p
+    assert p.count("Scan") <= 1 or p.count("Range") <= 1
+
+
+def test_referential_probe_broadcasts_dim(spark):
+    """The FK probe must broadcast the dimension — the fact side never
+    shuffles."""
+    fact = spark.range(1000).select(F.col("id").alias("fk"))
+    dim = spark.range(100).select(F.col("id").alias("pk"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        referential_orphans(fact, "fk", dim, "pk").explain(mode="formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -5962,6 +5962,346 @@ ORACLES["dedup_semantic_clusters"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Governance / reconciliation suite (operators/quality.py): Deequ-style
+# constraint audit, FK orphans, CDC snapshot diff — plus finance-grade
+# event analytics (VWAP, attribution), weighted sampling, and an
+# inverted-index build. North-star extensions; the reference's only
+# quality rule is the Buy/Sell IN-filter (trading212.py:120).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraints",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(count(*) AS DOUBLE) AS total,
+             CAST(count(o_orderpriority) AS DOUBLE) AS c_prio,
+             CAST(count(o_orderdate) AS DOUBLE) AS c_date,
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS d_key,
+             CAST(sum(CASE WHEN o_totalprice >= 0.0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b_price,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS s_status
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ltotal,
+             CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS orphans
+      FROM lineitem li
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        ON li.l_orderkey = ok.o_orderkey
+    )
+    SELECT * FROM (
+      SELECT 'bounds(o_totalprice)' AS check_name,
+             round(b_price/total, 6) AS metric,
+             b_price/total >= 1.0 - 1e-12 AS passed FROM o
+      UNION ALL
+      SELECT 'completeness(o_orderdate)', round(c_date/total, 6),
+             c_date/total >= 1.0 - 1e-12 FROM o
+      UNION ALL
+      SELECT 'completeness(o_orderpriority)', round(c_prio/total, 6),
+             c_prio/total >= 1.0 - 1e-12 FROM o
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', round(s_status/total, 6),
+             s_status/total >= 1.0 - 1e-12 FROM o
+      UNION ALL
+      SELECT 'unique(o_orderkey)', round(d_key/total, 6),
+             d_key/total >= 1.0 - 1e-12 FROM o
+      UNION ALL
+      SELECT 'referential(l_orderkey)', round(1.0 - orphans/ltotal, 6),
+             orphans = 0 FROM l
+    ) ORDER BY check_name
+    """,
+)
+def q_dq_constraints(spark, sf_dir):
+    """Deequ-style data-quality audit: six declared constraints over
+    orders + lineitem, measured in TWO jobs total — all five
+    single-table metrics ride one aggregate pass over orders (adding
+    a constraint adds an expression, not a scan), and referential
+    integrity is a broadcast anti-join orphan probe on lineitem.
+    North star: the reference trusts its CSV blindly
+    (trading212.py:108-136, no checks); a 100 TB lake cannot."""
+    from pyspark.sql import functions as F
+
+    from .operators.quality import constraint_report, referential_orphans
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    report = constraint_report(
+        orders,
+        completeness=["o_orderpriority", "o_orderdate"],
+        unique=["o_orderkey"],
+        bounds={"o_totalprice": (0.0, None)},
+        in_set={"o_orderstatus": ["O", "F", "P"]},
+    )
+    fk = referential_orphans(lineitem, "l_orderkey", orders, "o_orderkey")
+    return report.unionByName(fk).orderBy("check_name")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             o_orderstatus
+      FROM orders
+    ),
+    old AS (
+      SELECT * FROM base WHERE o_orderkey % 97 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 97 <> 5
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """,
+)
+def q_snapshot_diff_orders(spark, sf_dir):
+    """CDC snapshot reconciliation: two deterministic variants of the
+    orders table (keys ≡3 mod 97 absent from old → added; ≡5 mod 97
+    absent from new → removed; keys ≡0 mod 11 status-amended → changed)
+    diffed with one full-outer join; unchanged rows never leave the
+    join projection. At 100 TB the output is sized by churn, and
+    bucketed snapshots make the join shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from .operators.quality import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    old = orders.where(F.col("o_orderkey") % 97 != 3)
+    new = orders.where(F.col("o_orderkey") % 97 != 5).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@register(
+    "events_vwap_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))
+                    * CAST(props->>'$.k' AS BIGINT)) * 1000000
+                AS BIGINT)
+             // sum(CAST(props->>'$.k' AS BIGINT)) AS vwap_micro,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             // count(*) AS twap_micro,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS volume,
+           count(*) AS n_trades
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 0
+    GROUP BY 1, 2
+    """,
+)
+def q_events_vwap_hourly(spark, sf_dir):
+    """Volume-weighted average price per (hour, instrument): the
+    canonical market-data rollup the reference's portfolio sheet
+    implies but never computes (it stores raw fills only,
+    trading212.py:128-136). value = price, props.k = fill quantity.
+    JSON field extraction + groupBy — one shuffle of partial sums;
+    at 100 TB the group keys (hour × instrument) are tiny, so the
+    partial-agg reduction is near-total map-side. Prices are emitted
+    as exact integer micro-prices (the tf-idf integer-surrogate
+    idiom): sums ride DECIMAL(18,6) — order-independent — and the
+    per-group ratio is integer floor-division, so no engine's float
+    rounding ever touches the output (hourly groups are small enough
+    that double averages land exactly on round boundaries where
+    Spark and DuckDB disagree). BIGINT micro-sums cap at ~9.2e18 —
+    per-(hour, instrument) groups stay far under that at any SF."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+    ).where(F.col("qty") > 0)
+    agged = e.groupBy("hour", "event_type").agg(
+        (F.sum(F.col("value") * F.col("qty")) * 1000000)
+        .cast("long")
+        .alias("_pv_micro"),
+        (F.sum("value") * 1000000).cast("long").alias("_p_micro"),
+        F.sum("qty").cast("long").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    return agged.select(
+        "hour",
+        "event_type",
+        F.expr("_pv_micro DIV volume").alias("vwap_micro"),
+        F.expr("_p_micro DIV n_trades").alias("twap_micro"),
+        "volume",
+        "n_trades",
+    )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH attributed AS (
+      SELECT event_type, value,
+             coalesce(
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS channel
+      FROM events
+    )
+    SELECT channel, count(*) AS purchases,
+           round(sum(value), 2) AS revenue
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent non-purchase event (else 'direct'). One
+    keyed window (shuffle on user_id) + a tiny group-by — the same
+    single-exchange shape as the as-of join; no self-join, no
+    per-purchase subquery. Ties broken by event_id so the credit is
+    deterministic under any partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = _t(spark, sf_dir, "events").withColumn(
+        "channel",
+        F.coalesce(
+            F.last(
+                F.when(
+                    F.col("event_type") != "purchase", F.col("event_type")
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ),
+    )
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) + 1)
+                / 4294967296.0) / n_chars AS score
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM scored
+    ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirtsas
+    exponential keys): P(doc in sample) ∝ n_chars, decided by
+    score = ln(u)/w with u a pure md5 hash of the key — RNG-free, so
+    the sample is identical under task retries and re-runs (the
+    sampling-layer design rule, operators/sampling.py). Top-k by
+    score is TakeOrderedAndProject: no global sort, each partition
+    ships only its local top 100."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    scored = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("score")
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+               lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS df,
+           (list(doc_id ORDER BY doc_id))[1:10] AS postings
+    FROM toks GROUP BY token HAVING count(*) >= 50
+    ORDER BY df DESC, token
+    """,
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index build (token → document-frequency + capped
+    posting list), the retrieval-side counterpart of tf-idf. Explode
+    the shared tokenizer, per-doc DISTINCT before the global groupBy
+    so the shuffle carries each (token, doc) edge once, and postings
+    are capped via slice AFTER sort_array — bounded output rows even
+    for stop-words. At 100 TB the df>=50 HAVING filter rides the
+    same aggregate; no second pass."""
+    from pyspark.sql import functions as F
+
+    from .operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (
+        docs.select(
+            "doc_id", F.explode(tokens("text")).alias("token")
+        )
+        .distinct()
+    )
+    return (
+        edges.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                "postings"
+            ),
+        )
+        .where(F.col("df") >= 50)
+        .orderBy(F.col("df").desc(), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
 # exactly the first 50 in registration order), so registration order is
