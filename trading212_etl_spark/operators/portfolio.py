@@ -1,0 +1,113 @@
+"""Portfolio accounting — FIFO lot matching and realized P&L, the
+computation a Trading212-style fill ledger exists to feed.
+
+The reference stores raw fills in a sheet and stops
+(trading212.py:128-136); computing FIFO P&L is left to the
+spreadsheet user. The textbook implementation is a per-account
+sequential scan with a lot queue — O(1) state machine, hostile to
+distribution. This module re-derives it as pure relational algebra:
+
+**FIFO matching is an interval-overlap join on the cumulative-quantity
+axis.** Number every unit of quantity an account ever bought
+0,1,2,… in fill order; number every unit sold the same way. FIFO
+("each sold unit consumes the earliest unconsumed bought unit") is
+then exactly: sold unit #i consumes bought unit #i. So each buy fill
+owns the half-open unit interval [cum_before, cum_after) on the buy
+axis, each sell fill owns its interval on the sell axis, and the
+matched quantity between a (buy, sell) pair is the length of the
+intersection of their intervals. That turns the sequential queue into:
+
+  1. one keyed window per side (cumulative sums — single shuffle on
+     the account key, the same single-exchange shape as the as-of
+     join, operators/asof.py:23);
+  2. one equi-join on account with a range residual
+     (b_lo < s_hi AND s_lo < b_hi) — a hash join with a residual
+     filter, NOT a nested loop (the interval-join shape proven in
+     tests/test_plans.py for join_range_interval);
+  3. an ordinary aggregate of matched_qty * (sell_px - buy_px).
+
+At 100 TB the join key (account) bounds the pair fan-out to
+per-account fill counts; a hot account is a standard skew problem
+(AQE skew-join / salting, operators/relational.py). Prices ride
+DECIMAL so P&L is an exact decimal sum — order-independent, no float
+accumulation drift across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cumulative_units(
+    fills: DataFrame, account: str, ts: str, tiebreak: str, qty: str
+) -> DataFrame:
+    """Attach the half-open unit interval [u_lo, u_hi) each fill owns
+    on its side's cumulative-quantity axis, in (ts, tiebreak) fill
+    order within the account."""
+    w = (
+        Window.partitionBy(account)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return fills.withColumn("u_hi", F.sum(qty).over(w)).withColumn(
+        "u_lo", F.col("u_hi") - F.col(qty)
+    )
+
+
+def fifo_realized_pnl(
+    fills: DataFrame,
+    *,
+    account: str = "account",
+    side: str = "side",
+    ts: str = "ts",
+    tiebreak: str = "fill_id",
+    qty: str = "qty",
+    price: str = "price",
+) -> DataFrame:
+    """Realized P&L per account under FIFO lot matching.
+
+    ``fills`` needs (account, side in {'buy','sell'}, ts, tiebreak,
+    qty > 0, price as an exact DECIMAL). Sells beyond the total bought
+    quantity (shorts) stay unmatched and contribute nothing, matching
+    long-only FIFO semantics.
+
+    Output: (account, matched_qty BIGINT, realized_pnl DOUBLE cast
+    from an exact decimal sum, n_matches BIGINT).
+    """
+    buys = _cumulative_units(
+        fills.where(F.col(side) == "buy"), account, ts, tiebreak, qty
+    ).select(
+        F.col(account),
+        F.col("u_lo").alias("b_lo"),
+        F.col("u_hi").alias("b_hi"),
+        F.col(price).alias("b_px"),
+    )
+    sells = _cumulative_units(
+        fills.where(F.col(side) == "sell"), account, ts, tiebreak, qty
+    ).select(
+        F.col(account).alias("_s_acct"),
+        F.col("u_lo").alias("s_lo"),
+        F.col("u_hi").alias("s_hi"),
+        F.col(price).alias("s_px"),
+    )
+    pairs = buys.join(
+        sells,
+        (buys[account] == sells["_s_acct"])
+        & (F.col("b_lo") < F.col("s_hi"))
+        & (F.col("s_lo") < F.col("b_hi")),
+    )
+    matched = F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")
+    return (
+        pairs.select(
+            F.col(account),
+            matched.alias("m_qty"),
+            ((F.col("s_px") - F.col("b_px")) * matched).alias("m_pnl"),
+        )
+        .groupBy(account)
+        .agg(
+            F.sum("m_qty").cast("long").alias("matched_qty"),
+            F.sum("m_pnl").cast("double").alias("realized_pnl"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )

@@ -6301,6 +6301,88 @@ def q_text_inverted_index(spark, sf_dir):
     )
 
 
+@register(
+    "portfolio_fifo_pnl",
+    oracle="""
+    WITH fills AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN 'buy'
+                  ELSE 'sell' END AS side,
+             CAST(value AS DECIMAL(18,2)) AS price,
+             CAST(props->>'$.k' AS BIGINT) AS qty
+      FROM events
+      WHERE event_type IN ('click', 'view')
+        AND CAST(props->>'$.k' AS BIGINT) > 0
+    ),
+    b AS (
+      SELECT user_id, price AS b_px,
+             sum(qty) OVER w AS b_hi,
+             sum(qty) OVER w - qty AS b_lo
+      FROM fills WHERE side = 'buy'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT user_id, price AS s_px,
+             sum(qty) OVER w AS s_hi,
+             sum(qty) OVER w - qty AS s_lo
+      FROM fills WHERE side = 'sell'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT b.user_id,
+             least(b_hi, s_hi) - greatest(b_lo, s_lo) AS m_qty,
+             (s_px - b_px)
+               * (least(b_hi, s_hi) - greatest(b_lo, s_lo)) AS m_pnl
+      FROM b JOIN s ON b.user_id = s.user_id
+        AND b_lo < s_hi AND s_lo < b_hi
+    )
+    SELECT user_id,
+           CAST(sum(m_qty) AS BIGINT) AS matched_qty,
+           CAST(sum(m_pnl) AS DOUBLE) AS realized_pnl,
+           count(*) AS n_matches
+    FROM m GROUP BY user_id
+    """,
+)
+def q_portfolio_fifo_pnl(spark, sf_dir):
+    """FIFO realized P&L over the fill ledger the reference merely
+    stores (trading212.py:128-136) — click fills = buys, view fills =
+    sells, props.k = quantity. The textbook per-account lot queue is
+    re-derived as an interval-overlap join on the cumulative-quantity
+    axis (see operators/portfolio.py): two keyed windows + one
+    equi-join with a range residual + one aggregate. Fully
+    distributed, and P&L sums ride exact decimals."""
+    from pyspark.sql import functions as F
+
+    from .operators.portfolio import fifo_realized_pnl
+
+    fills = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "click", F.lit("buy"))
+            .otherwise(F.lit("sell"))
+            .alias("side"),
+            F.col("value").cast("decimal(18,2)").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    return fifo_realized_pnl(
+        fills,
+        account="user_id",
+        side="side",
+        ts="ts",
+        tiebreak="event_id",
+        qty="qty",
+        price="price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
