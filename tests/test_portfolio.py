@@ -152,3 +152,110 @@ def test_fifo_plan_is_hash_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def _simulate_open(rows):
+    """Sequential FIFO queue ground truth for remaining inventory."""
+    by_acct: dict[int, list] = {}
+    for acct, fid, ts, side, qty, px in sorted(
+        rows, key=lambda r: (r[0], r[2], r[1])
+    ):
+        by_acct.setdefault(acct, []).append((side, qty, Decimal(px)))
+    out = {}
+    for acct, fills in by_acct.items():
+        lots: deque = deque()
+        for side, qty, px in fills:
+            if side == "buy":
+                lots.append([qty, px])
+            else:
+                remaining = qty
+                while remaining > 0 and lots:
+                    lot = lots[0]
+                    take = min(lot[0], remaining)
+                    lot[0] -= take
+                    remaining -= take
+                    if lot[0] == 0:
+                        lots.popleft()
+        oq = sum(lot[0] for lot in lots)
+        cost = sum(lot[0] * lot[1] for lot in lots)
+        if oq:
+            out[acct] = (oq, round(float(cost), 6))
+    return out
+
+
+def test_open_lots_hand_worked(spark):
+    from trading212_etl_spark.operators.portfolio import fifo_open_lots
+
+    # buy 10 @ 5, buy 10 @ 7, sell 15 → open: 5 units of the @7 lot
+    rows = [
+        (1, 1, 1, "buy", 10, Decimal("5.00")),
+        (1, 2, 2, "buy", 10, Decimal("7.00")),
+        (1, 3, 3, "sell", 15, Decimal("8.00")),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = fifo_open_lots(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open_qty"], r["open_cost"], r["avg_cost_micro"]) == (
+        5,
+        35.0,
+        7_000_000,
+    )
+
+
+def test_open_lots_fuzz_matches_simulator_when_no_oversell(spark):
+    import random
+
+    from trading212_etl_spark.operators.portfolio import fifo_open_lots
+
+    rng = random.Random(7)
+    rows = []
+    fid = 0
+    for acct in range(6):
+        bought = 0
+        for ts in range(1, 30):
+            fid += 1
+            # keep sells within inventory so quantity-priority and
+            # time-priority FIFO agree exactly
+            if bought > 5 and rng.random() < 0.4:
+                qty = rng.randint(1, min(bought, 15))
+                rows.append(
+                    (acct, fid, ts, "sell", qty,
+                     Decimal(rng.randint(100, 9999)) / 100)
+                )
+                bought -= qty
+            else:
+                qty = rng.randint(1, 20)
+                rows.append(
+                    (acct, fid, ts, "buy", qty,
+                     Decimal(rng.randint(100, 9999)) / 100)
+                )
+                bought += qty
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["account"]: (r["open_qty"], round(r["open_cost"], 6))
+        for r in fifo_open_lots(df).collect()
+    }
+    assert got == _simulate_open(rows)
+
+
+def test_equity_drawdown_hand_worked(spark):
+    from trading212_etl_spark.operators.portfolio import equity_drawdown
+
+    # flows: +10, -4, +2, -7 → equity 10, 6, 8, 1
+    # peaks: 10, 10, 10, 10 → drawdowns 0, 4, 2, 9 → max 9
+    rows = [
+        (1, 1, 1, Decimal("10.00")),
+        (1, 2, 2, Decimal("-4.00")),
+        (1, 3, 3, Decimal("2.00")),
+        (1, 4, 4, Decimal("-7.00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "account INT, fill_id INT, ts INT, amount DECIMAL(18,2)"
+    )
+    r = equity_drawdown(df).collect()[0]
+    assert (r["max_drawdown"], r["final_equity"], r["peak_equity"]) == (
+        9.0,
+        1.0,
+        10.0,
+    )

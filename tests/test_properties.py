@@ -433,3 +433,60 @@ def test_asof_tolerance_matches_pandas(spark, quotes, trades, tol):
             assert pd.isna(g), (g, e, tol)
         else:
             assert g == e, (g, e, tol)
+
+
+@PROP
+@given(quotes=quotes_st, trades=trades_st)
+def test_asof_nearest_matches_pandas_merge_asof(spark, quotes, trades):
+    """asof_join_nearest == pandas merge_asof(direction='nearest'),
+    including the equal-distance tie (both prefer the backward match)
+    and keys with no quotes (null join)."""
+    from trading212_etl_spark.operators.asof import asof_join_nearest
+
+    qdf = (
+        pd.DataFrame(quotes, columns=["key", "ts", "qval"])
+        .groupby(["key", "ts"], as_index=False)["qval"]
+        .max()
+    )
+    tdf = pd.DataFrame(trades, columns=["key", "ts"]).drop_duplicates()
+    tdf["trade_id"] = range(len(tdf))
+
+    left = spark.createDataFrame(tdf, schema="key long, ts long, trade_id long")
+    if len(qdf):
+        right = spark.createDataFrame(qdf, schema="key long, ts long, qval long")
+    else:
+        right = spark.createDataFrame([], schema="key long, ts long, qval long")
+    got = (
+        asof_join_nearest(
+            left,
+            right,
+            left_ts="ts",
+            right_ts="ts",
+            left_by="key",
+            right_by="key",
+            value_cols=["qval"],
+        )
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+    if len(qdf):
+        expect = pd.merge_asof(
+            tdf.sort_values("ts", kind="stable"),
+            qdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="key",
+            direction="nearest",
+        )
+    else:
+        expect = tdf.copy()
+        expect["qval"] = pd.NA
+    expect = expect.sort_values("trade_id").reset_index(drop=True)
+
+    assert list(got["trade_id"]) == list(expect["trade_id"])
+    for g, e in zip(got["qval"].tolist(), expect["qval"].tolist()):
+        if pd.isna(e):
+            assert pd.isna(g), (g, e)
+        else:
+            assert g == e, (g, e)

@@ -95,6 +95,108 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_by: str,
+    right_by: str,
+    value_cols: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each left row gains the right row whose timestamp
+    is closest in absolute time at equal key; equal distance prefers
+    the backward (earlier-or-equal) match, the pandas tie rule.
+
+    Built on the same single spine as :func:`asof_join`: both the
+    backward carry (``last(ignorenulls)`` over unbounded-preceding)
+    and the forward carry (``first(ignorenulls)`` over
+    unbounded-following) run over ONE exchange on the key — the two
+    window frames differ only in sort tiebreak, so the plan is one
+    shuffle + two sorts, never a range join. The carried struct
+    includes the right timestamp so the pick is a pure projection.
+
+    ``right_order`` breaks ties among right rows sharing (key, ts):
+    both directions pick the max (matching an oracle that pre-dedupes
+    to the greatest tiebreak value).
+    """
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in value_cols],
+    ).alias("__rv")
+    r = right.select(
+        F.col(right_by).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("__rord"),
+        rv,
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        F.col(left_by).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(0).alias("__rord"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # Backward: right(0) before left(1) at equal ts ⇒ ties land in the
+    # preceding frame with distance 0 — they win the nearest pick, so
+    # the forward frame correctly excluding them is immaterial.
+    # __rord asc ⇒ last() keeps the max at equal (key, ts); the
+    # forward sort flips to __rord desc so first() also keeps the max.
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        r.unionByName(l)
+        .withColumn("__back", F.last("__rv", ignorenulls=True).over(wb))
+        .withColumn("__fwd", F.first("__rv", ignorenulls=True).over(wf))
+    )
+
+    # Exact integer time axis for the distance compare: µs for
+    # timestamps, days for dates, the raw value for numerics — a
+    # double axis would let sub-µs representation error flip a tie.
+    from pyspark.sql import types as T
+
+    ts_type = right.schema[right_ts].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        def _axis(c):
+            return F.unix_micros(c)
+    elif isinstance(ts_type, T.DateType):
+        def _axis(c):
+            return F.unix_date(c)
+    else:
+        def _axis(c):
+            return c.cast("long")
+
+    dist_b = _axis(F.col("__ts")) - _axis(F.col("__back")["__rts"])
+    dist_f = _axis(F.col("__fwd")["__rts"]) - _axis(F.col("__ts"))
+    match = (
+        F.when(F.col("__back").isNull(), F.col("__fwd"))
+        .when(F.col("__fwd").isNull(), F.col("__back"))
+        .when(dist_b <= dist_f, F.col("__back"))
+        .otherwise(F.col("__fwd"))
+    )
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .withColumn("__match", match)
+        .select(
+            *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+            *[F.col("__match")[c].alias(c) for c in value_cols],
+        )
+    )
+
+
 def interval_range_join(
     left: DataFrame,
     right: DataFrame,

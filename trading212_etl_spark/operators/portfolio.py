@@ -111,3 +111,109 @@ def fifo_realized_pnl(
             F.count(F.lit(1)).alias("n_matches"),
         )
     )
+
+
+def fifo_open_lots(
+    fills: DataFrame,
+    *,
+    account: str = "account",
+    side: str = "side",
+    ts: str = "ts",
+    tiebreak: str = "fill_id",
+    qty: str = "qty",
+    price: str = "price",
+) -> DataFrame:
+    """Remaining FIFO inventory per account: open quantity and its
+    exact cost basis after all fills.
+
+    The unit-axis view makes this a projection, not a replay: FIFO
+    consumes buy units [0, min(B, S)) where B/S are the account's
+    total bought/sold quantities, so the open inventory is exactly
+    the buy units in [min(B, S), B). Each buy lot's open quantity is
+    its interval's overlap with that tail — one window pass for the
+    lot intervals, one tiny per-account totals aggregate joined back
+    (same key, so it rides the window's exchange), one aggregate.
+
+    Output: (account, open_qty BIGINT, open_cost DOUBLE — exact
+    decimal cast, avg_cost_micro BIGINT = floor(cost/qty * 1e6)).
+    Accounts with nothing open are omitted.
+    """
+    lots = _cumulative_units(
+        fills.where(F.col(side) == "buy"), account, ts, tiebreak, qty
+    )
+    totals = fills.groupBy(account).agg(
+        F.sum(F.when(F.col(side) == "buy", F.col(qty)).otherwise(0)).alias(
+            "_bought"
+        ),
+        F.sum(F.when(F.col(side) == "sell", F.col(qty)).otherwise(0)).alias(
+            "_sold"
+        ),
+    )
+    cutoff = F.least("_bought", "_sold")
+    open_qty = F.greatest(
+        F.lit(0), F.col("u_hi") - F.greatest(F.col("u_lo"), cutoff)
+    )
+    agged = (
+        lots.join(totals, on=account)
+        .select(
+            F.col(account),
+            open_qty.alias("_oq"),
+            (F.col(price) * open_qty).alias("_ocost"),
+        )
+        .groupBy(account)
+        .agg(
+            F.sum("_oq").cast("long").alias("open_qty"),
+            F.sum("_ocost").alias("_cost_dec"),
+        )
+        .where(F.col("open_qty") > 0)
+    )
+    return agged.select(
+        F.col(account),
+        "open_qty",
+        F.col("_cost_dec").cast("double").alias("open_cost"),
+        F.expr("CAST(_cost_dec * 1000000 AS BIGINT) DIV open_qty").alias(
+            "avg_cost_micro"
+        ),
+    )
+
+
+def equity_drawdown(
+    flows: DataFrame,
+    *,
+    account: str = "account",
+    ts: str = "ts",
+    tiebreak: str = "fill_id",
+    amount: str = "amount",
+) -> DataFrame:
+    """Max drawdown per account over the cash-flow equity curve:
+    equity = running sum of signed ``amount`` in time order, peak =
+    running max of equity, drawdown = peak − equity; report each
+    account's worst drawdown plus its final and peak equity.
+
+    Two window functions over ONE keyed sort (same partition + order
+    ⇒ one exchange, one sort) and a final tiny aggregate. Amounts
+    must be exact decimals — running sums are then
+    accumulation-order-independent, and the output doubles are casts
+    of identical exact values on any engine.
+    """
+    w = (
+        Window.partitionBy(account)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = flows.withColumn("_equity", F.sum(amount).over(w)).withColumn(
+        "_peak", F.max("_equity").over(w)
+    )
+    # final equity == total flow sum (the running sum's last value) and
+    # peak == max equity — both expressible as order-independent
+    # aggregates; F.last() in an agg would be partition-order-dependent.
+    return (
+        curve.groupBy(account)
+        .agg(
+            F.max(F.col("_peak") - F.col("_equity"))
+            .cast("double")
+            .alias("max_drawdown"),
+            F.sum(amount).cast("double").alias("final_equity"),
+            F.max("_equity").cast("double").alias("peak_equity"),
+        )
+    )

@@ -6383,6 +6383,234 @@ def q_portfolio_fifo_pnl(spark, sf_dir):
     )
 
 
+@register(
+    "portfolio_open_lots",
+    oracle="""
+    WITH fills AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN 'buy'
+                  ELSE 'sell' END AS side,
+             CAST(value AS DECIMAL(18,2)) AS price,
+             CAST(props->>'$.k' AS BIGINT) AS qty
+      FROM events
+      WHERE event_type IN ('click', 'view')
+        AND CAST(props->>'$.k' AS BIGINT) > 0
+    ),
+    lots AS (
+      SELECT user_id, price,
+             sum(qty) OVER w AS u_hi,
+             sum(qty) OVER w - qty AS u_lo
+      FROM fills WHERE side = 'buy'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (
+      SELECT user_id,
+             sum(CASE WHEN side = 'buy' THEN qty ELSE 0 END) AS bought,
+             sum(CASE WHEN side = 'sell' THEN qty ELSE 0 END) AS sold
+      FROM fills GROUP BY user_id
+    ),
+    opened AS (
+      SELECT l.user_id,
+             greatest(0, u_hi - greatest(u_lo, least(bought, sold)))
+               AS oq,
+             price
+      FROM lots l JOIN totals t ON l.user_id = t.user_id
+    ),
+    agged AS (
+      SELECT user_id,
+             CAST(sum(oq) AS BIGINT) AS open_qty,
+             sum(price * oq) AS cost_dec
+      FROM opened GROUP BY user_id HAVING sum(oq) > 0
+    )
+    SELECT user_id, open_qty,
+           CAST(cost_dec AS DOUBLE) AS open_cost,
+           CAST(cost_dec * 1000000 AS BIGINT) // open_qty
+             AS avg_cost_micro
+    FROM agged
+    """,
+)
+def q_portfolio_open_lots(spark, sf_dir):
+    """Open FIFO inventory + exact cost basis per account — the
+    position snapshot the reference's portfolio sheet shows as a
+    static grid (trading212.py:128-136). On the cumulative-unit axis
+    the remaining inventory is just the buy units in
+    [min(bought, sold), bought), so no lot replay: one window, one
+    totals aggregate re-joined on the same key, one aggregate
+    (operators/portfolio.py:fifo_open_lots). Average cost emitted as
+    an exact integer micro-price (floor division), never a float
+    ratio."""
+    from pyspark.sql import functions as F
+
+    from .operators.portfolio import fifo_open_lots
+
+    fills = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "click", F.lit("buy"))
+            .otherwise(F.lit("sell"))
+            .alias("side"),
+            F.col("value").cast("decimal(18,2)").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    return fifo_open_lots(
+        fills,
+        account="user_id",
+        side="side",
+        ts="ts",
+        tiebreak="event_id",
+        qty="qty",
+        price="price",
+    )
+
+
+@register(
+    "portfolio_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2))
+                  ELSE -CAST(value AS DECIMAL(18,2)) END AS amount
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    running AS (
+      SELECT user_id, event_id, ts, amount,
+             sum(amount) OVER w AS equity
+      FROM flows
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    curve AS (
+      SELECT user_id, amount, equity,
+             max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS peak
+      FROM running
+    )
+    SELECT user_id,
+           CAST(max(peak - equity) AS DOUBLE) AS max_drawdown,
+           CAST(sum(amount) AS DOUBLE) AS final_equity,
+           CAST(max(equity) AS DOUBLE) AS peak_equity
+    FROM curve GROUP BY user_id
+    """,
+)
+def q_portfolio_max_drawdown(spark, sf_dir):
+    """Max drawdown per account over the signed cash-flow equity
+    curve (purchases credit, clicks debit): running sum → running
+    max → worst peak-to-trough gap. Two stacked window functions
+    over one keyed sort (one exchange) + a tiny aggregate
+    (operators/portfolio.py:equity_drawdown). Exact decimal flows ⇒
+    the doubles are casts of identical exact values on both
+    engines."""
+    from pyspark.sql import functions as F
+
+    from .operators.portfolio import equity_drawdown
+
+    flows = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("user_id"),
+            F.col("event_id"),
+            F.col("ts"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            )
+            .otherwise(-F.col("value").cast("decimal(18,2)"))
+            .alias("amount"),
+        )
+    )
+    return equity_drawdown(
+        flows,
+        account="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        amount="amount",
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS b_key, o.o_totalprice AS b_price,
+             o.o_orderdate AS b_date
+      FROM e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ),
+    f AS (
+      SELECT e.event_id,
+             o.o_orderkey AS f_key, o.o_totalprice AS f_price,
+             o.o_orderdate AS f_date
+      FROM e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN b_date IS NULL THEN f_key
+                WHEN f_date IS NULL THEN b_key
+                WHEN epoch_us(b.ts) - epoch_us(b_date)
+                     <= epoch_us(f_date) - epoch_us(b.ts)
+                THEN b_key ELSE f_key END AS near_orderkey,
+           CASE WHEN b_date IS NULL THEN f_price
+                WHEN f_date IS NULL THEN b_price
+                WHEN epoch_us(b.ts) - epoch_us(b_date)
+                     <= epoch_us(f_date) - epoch_us(b.ts)
+                THEN b_price ELSE f_price END AS near_totalprice,
+           CASE WHEN b_date IS NULL THEN f_date
+                WHEN f_date IS NULL THEN b_date
+                WHEN epoch_us(b.ts) - epoch_us(b_date)
+                     <= epoch_us(f_date) - epoch_us(b.ts)
+                THEN b_date ELSE f_date END AS near_orderdate
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """§2.3 extension — nearest-direction as-of join
+    (merge_asof(direction='nearest')): each event gains the user's
+    order closest in absolute time, equal distance preferring the
+    earlier order (pandas tie rule). One spine, one exchange, two
+    window carries (operators/asof.py:asof_join_nearest); the oracle
+    composes DuckDB's backward and forward ASOF joins with the same
+    tie arithmetic. Ties on (key, ts) pre-deduped to the max orderkey
+    on both sides, as in join_asof_backward."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join_nearest
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join_nearest(
+        e, o, "ts", "o_orderdate", "user_id", "o_custkey",
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+        right_order="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.col("o_totalprice").alias("near_totalprice"),
+        F.col("o_orderdate").alias("near_orderdate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
