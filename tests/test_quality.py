@@ -119,3 +119,51 @@ def test_referential_probe_broadcasts_dim(spark):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_entity_pairs_blocked_pairs_and_blocks(spark):
+    from trading212_etl_spark.operators.quality import entity_pairs_blocked
+
+    ents = spark.createDataFrame(
+        [
+            (1, "Acme Corp", "US"),
+            (2, "Acme Crop", "US"),   # 2 edits from Acme Corp (transposition)
+            (3, "Acme Corp", "DE"),   # identical name, different block
+            (4, "Zenith Ltd", "US"),  # same block, far name
+            (5, "Acme Co", "US"),     # 2 edits from Acme Corp
+        ],
+        "id INT, name STRING, country STRING",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in entity_pairs_blocked(
+            ents, "id", "name", ["country"], max_edit=2
+        ).collect()
+    }
+    # (1,2), (1,5) and (2,5) ("Crop"→"Co" = delete r, p) are all
+    # within 2 edits; 3 is blocked apart despite the identical name;
+    # 4 matches nothing.
+    assert pairs == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_entity_resolution_clusters_are_transitive(spark):
+    """A typo chain a-b-c where a-c exceeds the edit cap must still
+    land in ONE cluster via connected components — the property the
+    one-round closed form can't give on chain graphs."""
+    from trading212_etl_spark.operators.dedup import connected_components
+    from trading212_etl_spark.operators.quality import entity_pairs_blocked
+
+    ents = spark.createDataFrame(
+        [
+            (10, "abcdef", "X"),
+            (11, "abcdxx", "X"),  # 2 from abcdef
+            (12, "abxxxx", "X"),  # 2 from abcdxx, 4 from abcdef
+        ],
+        "id INT, name STRING, country STRING",
+    )
+    pairs = entity_pairs_blocked(ents, "id", "name", ["country"], max_edit=2)
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(10, 10), (11, 10), (12, 10)}

@@ -182,3 +182,42 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def entity_pairs_blocked(
+    entities: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_edit: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: blocked self-join +
+    edit-distance filter.
+
+    The classic ER quadratic trap is the all-pairs name comparison;
+    blocking turns it into an equi-self-join on cheap deterministic
+    keys (here: caller-chosen ``block_cols``), so the pair fan-out is
+    bounded by the largest block, not n². Levenshtein runs as the
+    join's post-filter — JVM-side, codegen'd, only within blocks. A
+    hot block is the standard skew problem (salt the block key or let
+    AQE split it). Output: (doc_a, doc_b) with doc_a < doc_b, ready
+    for :func:`~..dedup.connected_components` clustering.
+    """
+    a = entities.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(name_col).alias("__na"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    )
+    b = entities.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(name_col).alias("__nb"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    )
+    cond = F.col("doc_a") < F.col("doc_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    return (
+        a.join(b, cond)
+        .where(F.levenshtein("__na", "__nb") <= max_edit)
+        .select("doc_a", "doc_b")
+    )

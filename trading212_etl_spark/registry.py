@@ -6611,6 +6611,107 @@ def q_join_asof_nearest(spark, sf_dir):
     )
 
 
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH ents AS (
+      SELECT c_custkey * 4 AS ent_id, c_name AS name,
+             c_nationkey AS nation
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 4 + 1,
+             replace(c_name, 'Customer', 'Custmer'), c_nationkey
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey * 4 + 2,
+             replace(c_name, 'Customer', 'Cstomer'), c_nationkey
+      FROM customer WHERE c_custkey % 6 = 0
+    ),
+    keyed AS (
+      SELECT *, regexp_extract(name, '([0-9]+)$', 1) AS bkey FROM ents
+    ),
+    pairs AS (
+      SELECT a.ent_id AS ea, b.ent_id AS eb
+      FROM keyed a JOIN keyed b
+        ON a.nation = b.nation AND a.bkey = b.bkey
+       AND a.ent_id < b.ent_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    nbrmin AS (
+      SELECT ent_id, min(nbr) AS m FROM (
+        SELECT ea AS ent_id, eb AS nbr FROM pairs
+        UNION ALL
+        SELECT eb, ea FROM pairs
+      ) GROUP BY ent_id
+    )
+    SELECT e.ent_id, e.name,
+           least(e.ent_id, coalesce(n.m, e.ent_id)) AS cluster,
+           least(e.ent_id, coalesce(n.m, e.ent_id)) = e.ent_id
+             AS is_canonical
+    FROM ents e LEFT JOIN nbrmin n USING (ent_id)
+    """,
+)
+def q_entity_resolution_customers(spark, sf_dir):
+    """Entity resolution end-to-end: a dirty registry (deterministic
+    typo variants injected per customer — 'Custmer'/'Cstomer', ids
+    base*4+{1,2}) is resolved by blocking on (nation, trailing digit
+    run), levenshtein <= 2 within blocks
+    (operators/quality.py:entity_pairs_blocked), and EXACT
+    connected-components clustering (operators/dedup.py) with the min
+    id as the canonical record. The digit-run block key is unique per
+    customer here, so every cluster is a star around its base record
+    — which is what lets the oracle use the one-round
+    min-over-neighbors closed form; the Spark side still runs the
+    general fixpoint."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components
+    from .operators.quality import entity_pairs_blocked
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 4).alias("ent_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    v1 = c.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 4 + 1).alias("ent_id"),
+        F.regexp_replace("c_name", "Customer", "Custmer").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    v2 = c.where(F.col("c_custkey") % 6 == 0).select(
+        (F.col("c_custkey") * 4 + 2).alias("ent_id"),
+        F.regexp_replace("c_name", "Customer", "Cstomer").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    ents = base.unionByName(v1).unionByName(v2)
+    keyed = ents.withColumn(
+        "bkey", F.regexp_extract("name", "([0-9]+)$", 1)
+    )
+    pairs = entity_pairs_blocked(
+        keyed, "ent_id", "name", ["nation", "bkey"], max_edit=2
+    )
+    comp = connected_components(pairs)
+    return (
+        ents.join(
+            comp.select(
+                F.col("doc_id").alias("ent_id"),
+                F.col("component").alias("__comp"),
+            ),
+            on="ent_id",
+            how="left",
+        )
+        .select(
+            "ent_id",
+            "name",
+            F.coalesce("__comp", "ent_id").alias("cluster"),
+            (F.coalesce("__comp", "ent_id") == F.col("ent_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
