@@ -490,3 +490,40 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, quotes, trades):
             assert pd.isna(g), (g, e)
         else:
             assert g == e, (g, e)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),     # group key
+            st.integers(min_value=-10000, max_value=10000),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_incremental_state_merge_equals_recompute(spark, rows, n_batches):
+    """merge(partial states of any batch split) == one-pass recompute,
+    bit-exact — the algebraic-IVM invariant."""
+    from trading212_etl_spark.operators.aggregates import (
+        agg_partial_states,
+        finalize_agg_states,
+        merge_agg_states,
+    )
+
+    pdf = [(k, i, v / 100.0) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(pdf, "k INT, rid INT, v DOUBLE")
+    full = finalize_agg_states(
+        agg_partial_states(df, ["k"], "v")
+    ).collect()
+    states = [
+        agg_partial_states(df.where(F.col("rid") % n_batches == b), ["k"], "v")
+        for b in range(n_batches)
+    ]
+    merged = finalize_agg_states(merge_agg_states(*states)).collect()
+    canon = lambda res: sorted(  # noqa: E731
+        (r["k"], r["total"], r["n"], r["mean_micro"]) for r in res
+    )
+    assert canon(merged) == canon(full)

@@ -160,3 +160,53 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key")
         .limit(top_k)
     )
+
+
+def agg_partial_states(
+    df: DataFrame, keys: list[str], measure: str
+) -> DataFrame:
+    """Algebraic aggregate state per group: (sum as exact decimal,
+    count) — the mergeable partial that makes incremental view
+    maintenance possible. sum/count/min/max are algebraic: the state
+    of (base ∪ delta) is a pure merge of the two states, so an
+    append-only 100 TB fact table never needs re-scanning — each
+    ingest batch contributes |groups| state rows.
+
+    The measure rides DECIMAL(18,6): merged sums are then exact and
+    accumulation-order independent, so a view maintained through any
+    number of incremental merges is bit-identical to a full
+    recompute."""
+    return df.groupBy(*keys).agg(
+        F.sum(F.col(measure).cast("decimal(18,6)")).alias("_sum"),
+        F.count(measure).alias("_cnt"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of :func:`agg_partial_states` outputs into
+    one state table: union + re-aggregate of the states themselves —
+    input sizes are |groups| per state, not row counts, so the merge
+    cost is independent of the underlying data volume."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c not in ("_sum", "_cnt")]
+    return merged.groupBy(*keys).agg(
+        F.sum("_sum").alias("_sum"), F.sum("_cnt").alias("_cnt")
+    )
+
+
+def finalize_agg_states(states: DataFrame) -> DataFrame:
+    """Project the user-facing aggregate from a state table:
+    sum (exact decimal → double cast), count, and the mean as an
+    exact integer micro-value (floor division — no float ratio, see
+    the VWAP rationale in the registry)."""
+    keys = [c for c in states.columns if c not in ("_sum", "_cnt")]
+    return states.select(
+        *keys,
+        F.col("_sum").cast("double").alias("total"),
+        F.col("_cnt").alias("n"),
+        F.expr("CAST(_sum * 1000000 AS BIGINT) DIV _cnt").alias(
+            "mean_micro"
+        ),
+    )
