@@ -6756,6 +6756,106 @@ def q_incremental_agg_merge(spark, sf_dir):
     return finalize_agg_states(merge_agg_states(base, delta))
 
 
+@register(
+    "clean_winsorize_prices",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+             quantile_disc(o_totalprice, 0.99) AS hi
+      FROM orders
+    )
+    SELECT o.o_orderkey,
+           round(o.o_totalprice, 2) AS raw_price,
+           round(least(greatest(o.o_totalprice, c.lo), c.hi), 2)
+             AS winsorized,
+           o.o_totalprice < c.lo OR o.o_totalprice > c.hi AS clamped
+    FROM orders o CROSS JOIN cuts c
+    """,
+)
+def q_clean_winsorize(spark, sf_dir):
+    """Winsorization — the robust-stats outlier clamp every feature
+    pipeline needs before training: values outside [p01, p99] are
+    clamped to the cut points. Cut points are EXACT order statistics
+    (percentile_disc = a value present in the data, so both engines
+    agree bit-for-bit — no interpolation float drift), computed in one
+    aggregate and broadcast back as a 1-row cross join; the clamp
+    itself is a projection. Two passes total at any scale, the second
+    embarrassingly parallel."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("hi"),
+    )
+    return o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("raw_price"),
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")),
+            2,
+        ).alias("winsorized"),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (F.col("o_totalprice") > F.col("hi"))
+        ).alias("clamped"),
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT (day + r.i * INTERVAL 1 DAY) AS w_day, user_id, r.i
+      FROM seen CROSS JOIN (
+        SELECT unnest(range(0, 7)) AS i
+      ) r
+    ),
+    wau AS (
+      SELECT w_day AS day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY w_day
+    ),
+    dau AS (
+      SELECT day, count(*) AS dau FROM seen GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_events_dau_wau(spark, sf_dir):
+    """Rolling active-user counts: DAU and trailing-7-day WAU per
+    day. Exact sliding-window COUNT DISTINCT does not decompose into
+    window frames, so the scale-correct form is contribution
+    explosion: each (user, day) activity row fans out to the 7 window
+    days it keeps the user active in, then one groupBy counts
+    distincts — shuffle volume is 7x the DISTINCT (user, day) pairs
+    (already tiny vs raw events), never a per-day rescan. Only days
+    with activity are reported (the day grid join is a separate
+    gap-fill concern, see events_gapfill_hourly)."""
+    from pyspark.sql import functions as F
+
+    seen = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = seen.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = seen.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, on="day")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
