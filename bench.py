@@ -74,6 +74,12 @@ HEADLINE = [
     "events_markov_transitions",  # keyed lead window + matrix agg
     "join_point_in_time",         # SCD2 validity-interval fact lookup
     "text_model_quality_filter",  # hashing-trick classifier, projection-only
+    "portfolio_fifo_pnl",         # FIFO matching as interval-overlap join
+    "events_vwap_hourly",         # decimal-exact market rollup
+    "entity_resolution_customers",  # blocked levenshtein + components
+    "dq_constraints",             # single-pass constraint audit
+    "text_inverted_index",        # per-doc-distinct explode + capped postings
+    "incremental_agg_merge",      # mergeable partial-state maintenance
 ]
 
 

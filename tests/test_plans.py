@@ -559,3 +559,52 @@ def test_profile_quantiles_single_agg_exchange(spark):
     percentile map-side state, one hashpartitioning exchange."""
     p = plan(spark, "profile_quantiles")
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1, p
+
+
+def test_sample_weighted_is_take_ordered(spark):
+    """Weighted-sample top-k must compile to TakeOrderedAndProject —
+    each partition ships its local top 100, never a global sort."""
+    p = plan(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_vwap_single_exchange(spark):
+    """The VWAP rollup is scan -> partial agg -> ONE exchange ->
+    final agg; the JSON extraction must not add a shuffle."""
+    import re
+
+    p = plan(spark, "events_vwap_hourly")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_fifo_pnl_plan_shape(spark):
+    """FIFO P&L: the buy/sell interval join must be a real join (sort
+    -merge or hash), never a broadcast nested loop, and the whole
+    chain stays JVM-side."""
+    p = plan(spark, "portfolio_fifo_pnl")
+    assert "NestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "BatchEvalPython" not in p
+
+
+def test_drawdown_single_exchange(spark):
+    """Equity-curve drawdown: two stacked windows + final agg over ONE
+    exchange on the account key (window partitioning == agg key, so
+    the aggregate reuses the window's shuffle)."""
+    import re
+
+    p = plan(spark, "portfolio_max_drawdown")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_winsorize_broadcasts_cuts(spark):
+    """The percentile cut points join back as a broadcast — the fact
+    side never shuffles for the clamp."""
+    p = plan(spark, "clean_winsorize_prices")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # the clamp pass itself must not shuffle the fact table
+    assert "Exchange hashpartitioning(o_orderkey" not in p
