@@ -6105,7 +6105,8 @@ def q_snapshot_diff_orders(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(18,6))
                     * CAST(props->>'$.k' AS BIGINT)) * 1000000
                 AS BIGINT)
-             // sum(CAST(props->>'$.k' AS BIGINT)) AS vwap_micro,
+             // CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+             AS vwap_micro,
            CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
              // count(*) AS twap_micro,
            CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS volume,
