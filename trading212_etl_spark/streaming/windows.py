@@ -445,3 +445,56 @@ def run_streaming_cdc_apply(
     finally:
         q.stop()
     return spark.read.parquet(base_path)
+
+
+def streaming_vwap_agg(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming VWAP/TWAP: the market-data rollup
+    (registry:events_vwap_hourly) as a watermarked windowed aggregate.
+
+    State per (window, instrument) is three numbers (decimal
+    price*qty sum, decimal price sum, counts) — the same algebraic
+    states batch IVM uses (operators/aggregates.py:agg_partial_states),
+    which is exactly why the streaming and batch results are
+    bit-identical: the integer micro-price projection runs on the
+    merged state, never on per-batch floats.
+    """
+    priced = (
+        stream.where(
+            F.get_json_object("props", "$.k").cast("long") > 0
+        )
+        .select(
+            "ts",
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("px"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    agged = priced.groupBy(
+        F.window("ts", duration).alias("w"), "event_type"
+    ).agg(
+        (F.sum(F.col("px") * F.col("qty")) * 1000000)
+        .cast("long")
+        .alias("_pv_micro"),
+        (F.sum("px") * 1000000).cast("long").alias("_p_micro"),
+        F.sum("qty").cast("long").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    return agged.select(
+        F.col("w.start").alias("hour"),
+        "event_type",
+        F.expr("_pv_micro DIV volume").alias("vwap_micro"),
+        F.expr("_p_micro DIV n_trades").alias("twap_micro"),
+        "volume",
+        "n_trades",
+    )
+
+
+def run_streaming_vwap(
+    spark: SparkSession, events_dir: str, duration: str = "1 hour"
+) -> DataFrame:
+    """Drive :func:`streaming_vwap_agg` to completion over the static
+    events parquet; the converged complete-mode output must equal the
+    batch VWAP rollup exactly (integer micro-prices on both paths)."""
+    agg = streaming_vwap_agg(_events_stream(spark, events_dir), duration)
+    return _run_to_memory(spark, agg, "stream_vwap_out", "complete")
