@@ -145,6 +145,8 @@ NESTED_LOOP_BY_DESIGN = {
     "delete_propagation",
     # 1-row broadcast of the global order count onto the pair frame
     "orders_basket_affinity",
+    # 1-row broadcast of the [p01, p99] cut points onto the orders scan
+    "clean_winsorize_prices",
 }
 
 
