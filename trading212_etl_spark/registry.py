@@ -6889,6 +6889,347 @@ def q_streaming_vwap(spark, sf_dir):
     return run_streaming_vwap(spark, sf_dir, "1 hour")
 
 
+@register(
+    "events_twap_hourly",
+    oracle="""
+    WITH seq AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+               AS v_micro,
+             coalesce(
+               lead(epoch_us(ts)) OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts, event_id),
+               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT hour, event_type,
+           CAST(sum(v_micro * dt_us) // CAST(sum(dt_us) AS HUGEINT)
+                AS BIGINT) AS twap_micro,
+           count(*) AS n_ticks
+    FROM seq
+    GROUP BY hour, event_type
+    HAVING sum(dt_us) > 0
+    """,
+)
+def q_events_twap(spark, sf_dir):
+    """Time-weighted average price per (hour, instrument): each tick's
+    value is weighted by the microseconds until the next tick (hour end
+    for the last tick), the textbook TWAP a trading pipeline reports
+    next to the volume-weighted rollup (streaming_vwap_hourly). All
+    arithmetic is integer-exact — value is lifted to micro units in
+    DECIMAL(38,0), weights are epoch-microsecond deltas, and the final
+    ratio is a single integral DIV — so both engines agree bit-for-bit
+    with no float summation-order drift. One keyed window (lead) plus
+    one groupBy on the same (event_type, hour) key: Catalyst reuses the
+    window's exchange for the aggregate, so the whole query is ONE
+    shuffle at any scale. Ties on ts are broken by event_id in both
+    engines (the tied earlier row gets a zero weight —
+    deterministic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("decimal(38,0)")
+            .alias("v_micro"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .withColumn(
+            "nxt_us",
+            F.coalesce(
+                F.lead("t_us").over(w),
+                F.unix_micros(F.col("hour") + F.expr("INTERVAL 1 HOUR")),
+            ),
+        )
+        .withColumn("dt_us", F.col("nxt_us") - F.col("t_us"))
+    )
+    return (
+        seq.groupBy("hour", "event_type")
+        .agg(
+            F.sum(
+                F.col("v_micro") * F.col("dt_us").cast("decimal(38,0)")
+            ).alias("num"),
+            F.sum("dt_us").alias("den"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "hour",
+            "event_type",
+            F.expr("CAST(num DIV den AS BIGINT)").alias("twap_micro"),
+            "n_ticks",
+        )
+    )
+
+
+@register(
+    "events_rolling_volatility",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, event_type,
+             count(*) OVER w AS n_win,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY t_s
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, n_win,
+           CAST(s1 // CAST(n_win AS HUGEINT) AS BIGINT) AS ma_micro,
+           CAST((CAST(n_win AS HUGEINT) * s2 - s1 * s1)
+                // CAST(n_win * n_win AS HUGEINT) AS BIGINT)
+             AS var_micro2
+    FROM win
+    """,
+)
+def q_events_rolling_volatility(spark, sf_dir):
+    """Per-tick trailing 1-hour moving average and population variance
+    ("Bollinger" inputs) per instrument, as an event-time RANGE frame.
+    The frame is anchored on epoch SECONDS in both engines (the
+    window_range_frame lesson: interval frames over raw timestamps
+    disagree with integer frames once sub-second neighbors appear at
+    density). Values are lifted to integer micro units and the
+    variance uses the algebraic identity (n*Σv² − (Σv)²)/n² entirely
+    in DECIMAL(38,0)/HUGEINT, so there is no float accumulation at
+    all; the only division is the final integral DIV. One shuffle
+    (the per-instrument sort); at 100 TB the frame state is O(window
+    rows) per task and spills via UnsafeExternalSorter."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_seconds("ts").alias("t_s"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    win = base.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    return win.select(
+        "event_id",
+        "event_type",
+        "n_win",
+        F.expr("CAST(s1 DIV n_win AS BIGINT)").alias("ma_micro"),
+        F.expr(
+            "CAST((n_win * s2 - s1 * s1) DIV (n_win * n_win) AS BIGINT)"
+        ).alias("var_micro2"),
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(date_trunc('month', o_orderdate) AS DATE))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                - (year(f.cohort_month) * 12 + month(f.cohort_month))
+                AS BIGINT) AS month_offset,
+           count(DISTINCT o.o_custkey) AS active_customers,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: customers are cohorted by the month of
+    their first order; each cohort reports active customers and
+    revenue per month offset — the retention/LTV triangle every
+    growth dashboard draws. The cohort frame is a self-aggregation of
+    orders joined back on o_custkey: both sides hash-partition on the
+    same key, so Catalyst reuses one exchange and the join adds no
+    second shuffle of the fact table. Revenue sums in DECIMAL(18,2)
+    (exact, order-free) and is cast to DOUBLE only at the boundary;
+    the month offset is pure integer calendar arithmetic, identical
+    in both engines."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    joined = o.join(firsts, "o_custkey")
+    month_offset = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("bigint")
+    return joined.groupBy(
+        "cohort_month", month_offset.alias("month_offset")
+    ).agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "features_ntile_bins",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice,
+             CAST(ntile(10) OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice, o.o_orderkey) AS INT) AS decile
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM ranked GROUP BY segment, decile
+    """,
+)
+def q_features_ntile_bins(spark, sf_dir):
+    """Equal-frequency decile binning of order value within market
+    segment — the feature-engineering discretizer (quantile bucketing)
+    a training pipeline applies before crossing features. ntile(10)
+    over a TOTAL order (price, then orderkey as tiebreak) makes bin
+    assignment deterministic in both engines even with duplicate
+    prices; per-bin min/max are raw input doubles (no summation, no
+    drift). The dimension join broadcasts customer; the ntile is the
+    one per-segment sort shuffle. At 100 TB, swap ntile for
+    approx-quantile cut points + a projection (profile_quantiles has
+    the exact-cut machinery) to avoid the global per-segment sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey")
+    w = Window.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.select(
+        "segment",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    return ranked.groupBy("segment", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH freq AS (
+      SELECT p.p_brand, count(*) AS cnt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (
+      SELECT p_brand, cnt, sum(cnt) OVER () AS total FROM freq
+    )
+    SELECT p_brand, cnt,
+           CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm
+    FROM tot WHERE cnt * 100 >= total
+    """,
+)
+def q_agg_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters: brands carrying ≥ 1% of lineitem volume,
+    with their share in parts-per-million (integer-exact — no float
+    division). The frequency pass is a map-side-combinable groupBy on
+    a LOW-cardinality key after a broadcast dimension join, so the
+    shuffle carries one row per (task, brand); the global total is a
+    window over the already-aggregated 25-row frame — never a rescan
+    or a second pass over the fact table. This exact two-level
+    aggregate IS the 100 TB plan for bounded key domains; for
+    unbounded domains the streaming analog is a Misra-Gries /
+    space-saving sketch, which trades the exact gate for O(k)
+    state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    freq = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = freq.select(
+        "p_brand", "cnt", F.sum("cnt").over(Window.partitionBy()).alias("total")
+    )
+    return tot.where(F.col("cnt") * 100 >= F.col("total")).select(
+        "p_brand",
+        "cnt",
+        F.expr("CAST((cnt * 1000000) DIV total AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_heatmap(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the seasonality
+    profile behind load forecasting and anomaly baselines. Calendar
+    keys use ISO day numbering (Spark's weekday()+1 == DuckDB's
+    isodow; the engines' bare dayofweek functions DISAGREE on Sunday
+    — 1 vs 0 — which is exactly the cross-engine trap this entry
+    pins). A single map-side-combinable groupBy over at most 7×24
+    keys: shuffle volume is one row per task per cell regardless of
+    input scale. Value sums ride DECIMAL(18,6) so the hash-gate sees
+    identical bits."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
