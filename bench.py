@@ -80,6 +80,11 @@ HEADLINE = [
     "dq_constraints",             # single-pass constraint audit
     "text_inverted_index",        # per-doc-distinct explode + capped postings
     "incremental_agg_merge",      # mergeable partial-state maintenance
+    "events_twap_hourly",         # integer-exact time-weighted rollup
+    "events_rolling_volatility",  # trailing RANGE-frame integer variance
+    "orders_cohort_ltv",          # cohort LTV triangle, exchange-reuse join
+    "agg_heavy_hitters",          # low-cardinality exact heavy hitters
+    "graph_triangle_count",       # oriented node-iterator triangle join
 ]
 
 
