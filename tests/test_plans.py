@@ -329,6 +329,15 @@ def test_asof_join_single_exchange_on_key(spark):
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
 
 
+def test_twap_single_exchange_reuse(spark):
+    """events_twap_hourly's lead window and its groupBy share the
+    (event_type, hour) key, so the aggregate must reuse the window's
+    exchange — exactly one shuffle for the whole query."""
+    p = plan(spark, "events_twap_hourly")
+    assert "Window" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
 def test_salted_join_spreads_hot_key(spark):
     """salted_join must (a) explode the build side into n_salts
     replicas and (b) shuffle both sides on (key, __salt) — the hot key

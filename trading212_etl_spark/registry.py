@@ -7292,6 +7292,218 @@ def q_graph_triangle_count(spark, sf_dir):
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
 
 
+@register(
+    "events_session_paths",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                          > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT path, count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_events_session_paths(spark, sf_dir):
+    """Top navigation paths: sessionize (30-min gap, the
+    events_sessionize_30m machinery), concatenate each session's
+    ordered event types into a path string, and rank paths by session
+    count — the clickstream-mining complement to events_funnel (which
+    checks ONE fixed sequence; this discovers which sequences
+    dominate). In-session ordering is pinned by array_sort over
+    (ts, event_id, event_type) structs — Spark's collect_list is
+    order-nondeterministic under retries/AQE, so sorting INSIDE the
+    aggregate value, not the input, is what makes the path string
+    reproducible (same lesson as string_agg_first8). The top-20 cut
+    is totally ordered by (count, path) so the limit boundary is
+    deterministic. Two shuffles at scale: user sessionization (reused
+    across both window passes) and the path re-aggregation — path
+    cardinality, not event volume."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        by_user
+    )
+    is_new = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_churn_labels",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(o_orderdate) AS cur_us,
+             lead(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS nxt_us
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST((nxt_us - cur_us) // 86400000000 AS BIGINT)
+             AS days_to_next,
+           (nxt_us IS NULL OR (nxt_us - cur_us) // 86400000000 > 30)
+             AS churned_30d
+    FROM seq
+    """,
+)
+def q_orders_churn_labels(spark, sf_dir):
+    """Churn labeling for supervised training: every order gets the
+    days until the customer's next order (NULL for the last) and a
+    churned-within-30-days label — the point-in-time-safe way to
+    build churn targets (each label uses only FUTURE behavior of the
+    same key, never aggregate leakage across the split boundary; pair
+    with sample_leakage_safe_split). One keyed window (lead) = one
+    shuffle on o_custkey; the gap is integer epoch-microsecond
+    arithmetic so both engines agree exactly, including NULL
+    propagation for final orders."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("cur_us"),
+        F.lead(F.unix_micros("o_orderdate")).over(w).alias("nxt_us"),
+    )
+    gap_days = F.expr("CAST((nxt_us - cur_us) DIV 86400000000 AS BIGINT)")
+    return seq.select(
+        "o_orderkey",
+        "o_custkey",
+        gap_days.alias("days_to_next"),
+        (F.col("nxt_us").isNull() | (gap_days > 30)).alias("churned_30d"),
+    )
+
+
+@register(
+    "events_ewma_smoothed",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+      FROM events
+    ),
+    lags AS (
+      SELECT event_id, user_id, v,
+             lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+             lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+             lag(v, 5) OVER w AS v5, lag(v, 6) OVER w AS v6,
+             lag(v, 7) OVER w AS v7
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST((v * 128
+                 + coalesce(v1, 0) * 64 + coalesce(v2, 0) * 32
+                 + coalesce(v3, 0) * 16 + coalesce(v4, 0) * 8
+                 + coalesce(v5, 0) * 4 + coalesce(v6, 0) * 2
+                 + coalesce(v7, 0))
+                // (128
+                    + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+                    + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+                    + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+                    + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+                    + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+                    + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+                    + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS ewma_micro
+    FROM lags
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (half-life = one
+    event, depth 8): the classic smoothing feature that is normally
+    impossible to oracle across engines because (1-α)^k powers drift
+    in float. With α = 1/2 the weights are exact powers of two, so
+    the whole EWMA is INTEGER arithmetic — numerator in value-micros
+    × binary weights, denominator only counting the weights of lags
+    that exist — and both engines agree bit-for-bit. Expressed as 8
+    lag() columns over ONE keyed window (one shuffle, whole-stage
+    codegen keeps all 8 in a single pass); the general-α production
+    form is the same shape with float weights, or
+    applyInPandasWithState for unbounded depth in streaming."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("v")
+    )
+    base = ev.select("event_id", "user_id", "ts", v)
+    lagged = base.select(
+        "event_id",
+        "user_id",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v{k}") for k in range(1, 8)],
+    )
+    weights = [64, 32, 16, 8, 4, 2, 1]
+    num = F.col("v") * 128
+    den = F.lit(128)
+    for k, wt in enumerate(weights, start=1):
+        num = num + F.coalesce(F.col(f"v{k}"), F.lit(0)) * wt
+        den = den + F.when(F.col(f"v{k}").isNull(), 0).otherwise(wt)
+    return lagged.select(
+        "event_id", "user_id", num.alias("num"), den.alias("den")
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(num DIV den AS BIGINT)").alias("ewma_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
