@@ -527,3 +527,168 @@ def test_incremental_state_merge_equals_recompute(spark, rows, n_batches):
         (r["k"], r["total"], r["n"], r["mean_micro"]) for r in res
     )
     assert canon(merged) == canon(full)
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user/instrument key
+        st.integers(min_value=0, max_value=7300),  # offset seconds (ties + hour boundaries)
+        st.integers(min_value=0, max_value=500),   # integer-valued price
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_parquet(spark, tmpdir, rows):
+    """Materialize an events.parquet a registry entry can read: the
+    entries take (spark, sf_dir) and scan {sf_dir}/events.parquet with
+    the pinned schema, so property inputs go through the same path the
+    driver exercises. Integer-valued prices keep the double→decimal
+    lift unambiguous (binary-exact), isolating the property under test
+    from decimal-rounding concerns the oracle suite already covers."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            i,
+            base + datetime.timedelta(seconds=off),
+            key,
+            f"type_{key}",
+            float(px),
+            "{}",
+        )
+        for i, (key, off, px) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@PROP
+@given(rows=events_st)
+def test_twap_matches_integer_reference(spark, tmp_path_factory, rows):
+    """events_twap_hourly == an arbitrary-precision Python reference:
+    per (instrument, hour), floor(Σ v_micro·Δt_us / Σ Δt_us) with the
+    last tick weighted to the hour end. Hypothesis drives ties
+    (identical ts → zero-weight rows) and single-tick hours."""
+    import datetime
+
+    from trading212_etl_spark import registry
+
+    tmpdir = _events_parquet(
+        spark, str(tmp_path_factory.mktemp("twap")), rows
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["twap_micro"], r["n_ticks"])
+        for r in registry.QUERIES["events_twap_hourly"](spark, tmpdir).collect()
+    }
+
+    base = datetime.datetime(2024, 1, 1)
+    groups: dict = {}
+    for i, (key, off, px) in enumerate(rows):
+        ts = base + datetime.timedelta(seconds=off)
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((hour, f"type_{key}"), []).append(
+            (ts, i, px * 10**6)
+        )
+    want = {}
+    for (hour, etype), ticks in groups.items():
+        ticks.sort()
+        end_us = int(
+            (hour + datetime.timedelta(hours=1) - base).total_seconds() * 10**6
+        )
+        num = den = 0
+        for j, (ts, _i, v_micro) in enumerate(ticks):
+            t_us = int((ts - base).total_seconds() * 10**6)
+            nxt_us = (
+                int((ticks[j + 1][0] - base).total_seconds() * 10**6)
+                if j + 1 < len(ticks)
+                else end_us
+            )
+            num += v_micro * (nxt_us - t_us)
+            den += nxt_us - t_us
+        if den > 0:
+            want[(hour, etype)] = (num // den, len(ticks))
+    assert got == want
+
+
+@PROP
+@given(rows=events_st)
+def test_ewma_matches_integer_reference(spark, tmp_path_factory, rows):
+    """events_ewma_smoothed == the exact binary-weight EWMA computed
+    in arbitrary-precision Python per user over (ts, event_id) order.
+    Hypothesis reaches short histories (< 8 events) where the
+    denominator must only count weights that exist."""
+    from trading212_etl_spark import registry
+
+    tmpdir = _events_parquet(
+        spark, str(tmp_path_factory.mktemp("ewma")), rows
+    )
+    got = {
+        r["event_id"]: r["ewma_micro"]
+        for r in registry.QUERIES["events_ewma_smoothed"](
+            spark, tmpdir
+        ).collect()
+    }
+
+    per_user: dict = {}
+    for i, (key, off, px) in enumerate(rows):
+        per_user.setdefault(key, []).append((off, i, px * 10**6))
+    want = {}
+    for key, evs in per_user.items():
+        evs.sort()
+        hist = [v for (_o, _i, v) in evs]
+        for j, (_off, eid, _v) in enumerate(evs):
+            num = den = 0
+            for k in range(8):
+                if j - k < 0:
+                    break
+                w = 1 << (7 - k)
+                num += hist[j - k] * w
+                den += w
+            want[eid] = num // den
+    assert got == want
+
+
+@PROP
+@given(rows=events_st)
+def test_rolling_volatility_matches_quadratic_reference(
+    spark, tmp_path_factory, rows
+):
+    """events_rolling_volatility == an O(n²) Python scan of the
+    trailing-3599-second frame per instrument: same n / floor-mean /
+    floor-variance in integer micro-units. Hypothesis supplies
+    duplicate epochs (RANGE peers must all enter the frame) and
+    sparse series (frames of size 1 → variance 0)."""
+    from trading212_etl_spark import registry
+
+    tmpdir = _events_parquet(
+        spark, str(tmp_path_factory.mktemp("vol")), rows
+    )
+    got = {
+        r["event_id"]: (r["n_win"], r["ma_micro"], r["var_micro2"])
+        for r in registry.QUERIES["events_rolling_volatility"](
+            spark, tmpdir
+        ).collect()
+    }
+
+    per_type: dict = {}
+    epoch0 = 1704067200  # 2024-01-01T00:00:00Z
+    for i, (key, off, px) in enumerate(rows):
+        per_type.setdefault(f"type_{key}", []).append(
+            (epoch0 + off, i, px * 10**6)
+        )
+    want = {}
+    for _etype, evs in per_type.items():
+        for t_s, eid, _v in evs:
+            frame = [v for (t2, _i2, v) in evs if t_s - 3599 <= t2 <= t_s]
+            n = len(frame)
+            s1, s2 = sum(frame), sum(v * v for v in frame)
+            want[eid] = (n, s1 // n, (n * s2 - s1 * s1) // (n * n))
+    assert got == want
