@@ -338,6 +338,16 @@ def test_twap_single_exchange_reuse(spark):
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
 
 
+def test_market_feature_frame_single_exchange(spark):
+    """features_market_hourly computes six statistics (TWAP, VWAP,
+    mean, variance, volume, count) in one window + one groupBy on the
+    same key — the whole feature frame must cost exactly one
+    shuffle."""
+    p = plan(spark, "features_market_hourly")
+    assert "Window" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
 def test_salted_join_spreads_hot_key(spark):
     """salted_join must (a) explode the build side into n_salts
     replicas and (b) shuffle both sides on (key, __salt) — the hot key

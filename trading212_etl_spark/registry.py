@@ -7551,6 +7551,180 @@ def q_events_presence_bitmap(spark, sf_dir):
     )
 
 
+@register(
+    "features_market_hourly",
+    oracle="""
+    WITH seq AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+               AS v,
+             CAST(props->>'$.k' AS BIGINT) AS qty,
+             coalesce(
+               lead(epoch_us(ts)) OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts, event_id),
+               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+             ) - epoch_us(ts) AS dt_us
+      FROM events
+      WHERE CAST(props->>'$.k' AS BIGINT) > 0
+    )
+    SELECT hour, event_type,
+           CAST(sum(v * dt_us) // CAST(sum(dt_us) AS HUGEINT) AS BIGINT)
+             AS twap_micro,
+           CAST(sum(v * qty) // CAST(sum(qty) AS HUGEINT) AS BIGINT)
+             AS vwap_micro,
+           CAST(sum(v) // CAST(count(*) AS HUGEINT) AS BIGINT)
+             AS mean_micro,
+           CAST((CAST(count(*) AS HUGEINT) * sum(v * v)
+                 - sum(v) * sum(v))
+                // CAST(count(*) * count(*) AS HUGEINT) AS BIGINT)
+             AS var_micro2,
+           CAST(sum(qty) AS BIGINT) AS volume,
+           count(*) AS n_trades
+    FROM seq
+    GROUP BY hour, event_type
+    HAVING sum(dt_us) > 0
+    """,
+)
+def q_features_market_hourly(spark, sf_dir):
+    """The hourly market feature frame — the feature-store
+    materialization a trading-model pipeline trains on: time-weighted
+    TWAP, volume-weighted VWAP, plain mean, population variance,
+    volume, and tick count per (hour, instrument), all integer-exact
+    in micro units. The composition is the point: the lead window
+    (for time weights) and the aggregate share the (event_type, hour)
+    key, and every statistic folds into the SAME groupBy, so the
+    entire six-feature frame costs ONE shuffle — versus the naive
+    feature-store pattern of computing each feature as its own query
+    and joining (3+ shuffles and 3 scans). At 100 TB this is the
+    difference between one pass over the tick stream and five."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+            "event_id",
+            "ts",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("decimal(38,0)")
+            .alias("v"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        .where(F.col("qty") > 0)
+        .withColumn(
+            "dt_us",
+            F.coalesce(
+                F.lead("t_us").over(w),
+                F.unix_micros(F.col("hour") + F.expr("INTERVAL 1 HOUR")),
+            )
+            - F.col("t_us"),
+        )
+    )
+    agged = (
+        seq.groupBy("hour", "event_type")
+        .agg(
+            F.sum(F.col("v") * F.col("dt_us").cast("decimal(38,0)")).alias(
+                "num_t"
+            ),
+            F.sum("dt_us").alias("den_t"),
+            F.sum(F.col("v") * F.col("qty").cast("decimal(38,0)")).alias(
+                "num_q"
+            ),
+            F.sum("qty").alias("volume"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .where(F.col("den_t") > 0)
+    )
+    return agged.select(
+        "hour",
+        "event_type",
+        F.expr("CAST(num_t DIV den_t AS BIGINT)").alias("twap_micro"),
+        F.expr("CAST(num_q DIV volume AS BIGINT)").alias("vwap_micro"),
+        F.expr("CAST(s1 DIV n_trades AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((n_trades * s2 - s1 * s1) DIV (n_trades * n_trades)"
+            " AS BIGINT)"
+        ).alias("var_micro2"),
+        F.col("volume").cast("bigint").alias("volume"),
+        "n_trades",
+    )
+
+
+@register(
+    "orders_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+               AS rev_rank,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(rev_cents) OVER () AS total_cents
+      FROM rev
+    )
+    SELECT o_custkey, rev_cents, rev_rank,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           ((cum_cents - rev_cents) * 5 < total_cents * 4) AS in_top80
+    FROM ranked
+    """,
+)
+def q_orders_pareto_8020(spark, sf_dir):
+    """Pareto revenue concentration: rank customers by revenue and
+    flag the head segment that carries 80% of total revenue (a
+    customer is in_top80 while the cumulative share BEFORE them is
+    under 80%, so the flag set is the minimal covering prefix). Money
+    rides DECIMAL(18,2) → integer cents, and the 80% test is the
+    cross-multiplied integer inequality 5·cum_before < 4·total — no
+    percentage float ever materializes, so both engines agree
+    exactly. The ordered cumulative window runs on the per-customer
+    AGGREGATE (catalog-sized, not fact-sized); its single-partition
+    sort is the documented trade-off at this output size — for a
+    billion-customer catalog swap in repartitionByRange +
+    per-partition offsets (the sink_zorder_layout machinery)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    ordered = Window.orderBy(F.desc("rev_cents"), "o_custkey")
+    ranked = rev.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(ordered).alias("rev_rank"),
+        F.sum("rev_cents")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("total_cents"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "rev_cents",
+        "rev_rank",
+        "cum_cents",
+        (
+            (F.col("cum_cents") - F.col("rev_cents")) * 5
+            < F.col("total_cents") * 4
+        ).alias("in_top80"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
