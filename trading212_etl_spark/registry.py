@@ -7725,6 +7725,106 @@ def q_orders_pareto_8020(spark, sf_dir):
     )
 
 
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_window_running_distinct(spark, sf_dir):
+    """Exact running COUNT DISTINCT per key — the window aggregate
+    Spark (and ANSI SQL) refuse to express directly because naive
+    per-row distinct state is O(frame). The scale-correct rewrite:
+    flag each (user, event_type)'s FIRST occurrence with row_number,
+    then a plain running SUM of flags — distinct-ness becomes a
+    1-bit column and the running state collapses to one counter.
+    Two keyed windows, and because the second window's (user_id)
+    partitioning is a prefix of the first's (user_id, event_type),
+    at most two shuffles at any scale. The same trick powers the
+    trailing-window DAU/WAU entry (events_dau_wau) — this is its
+    cumulative form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    per_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(per_type) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen")
+        .over(per_user)
+        .cast("bigint")
+        .alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "source_csv_gzip_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_source_csv_gzip(spark, sf_dir):
+    """Compressed-text ingest: header CSV written with the gzip codec
+    and scanned back with a pinned schema. The codec is a reader
+    OPTION, not an operator — the engine point is the scale
+    consequence spelled out here: gzip text is NOT splittable, so one
+    .gz shard = one task regardless of size; a 100 TB drop of fat
+    .gz files serializes the scan. The write side therefore controls
+    shard size (many small gz parts parallelize fine), and the
+    preferred landing format remains zstd parquet
+    (sources/writers.py default) — this entry exists to prove the
+    compressed-text path works AND to pin where its scaling cliff
+    is."""
+    from pyspark.sql import types as T
+
+    from .sources.readers import read_csv_pinned
+
+    path = _scratch(sf_dir, "csv_gz_nation")
+    (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_csv_pinned(spark, path, schema)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
