@@ -85,6 +85,13 @@ HEADLINE = [
     "orders_cohort_ltv",          # cohort LTV triangle, exchange-reuse join
     "agg_heavy_hitters",          # low-cardinality exact heavy hitters
     "graph_triangle_count",       # oriented node-iterator triangle join
+    "features_market_hourly",     # six-stat feature frame, one shuffle
+    "events_session_paths",       # sessionize + ordered path re-agg
+    "events_ewma_smoothed",       # 8-lag binary-weight EWMA window
+    "orders_churn_labels",        # lead-window churn targets
+    "events_user_presence_bitmap",  # bit_or day-presence masks
+    "window_running_distinct",    # first-seen flag + running sum
+    "orders_pareto_8020",         # integer-cents concentration curve
 ]
 
 
