@@ -7256,32 +7256,37 @@ def q_graph_triangle_count(spark, sf_dir):
     already oriented low-id → high-id, so a < b < c: each triangle is
     emitted EXACTLY once and, at scale, the orientation bounds join
     fanout by the graph's degeneracy rather than its max raw degree —
-    the standard distributed-triangle trick. Pair generation reuses
-    the basket-affinity skeleton: a self-join CO-PARTITIONED on
-    l_orderkey (quadratic only in basket size), then the ≥ 2 support
-    filter prunes the long tail before any graph join runs. The edge
-    list after pruning is tiny relative to the fact table (3.4k edges
-    from 60k lineitems at sf0.01), so the three-way join broadcasts;
-    on a 100 TB corpus the same joins fall back to shuffle-hash on u
-    and (a, c) respectively."""
+    the standard distributed-triangle trick. Pair generation avoids
+    a self-join entirely: collect_set the basket per order (ONE
+    shuffle on l_orderkey — also subsumes the distinct), then emit
+    the ordered pairs with a flatten/transform expression — pure
+    whole-stage-codegen, quadratic only in basket size, and one
+    fewer exchange than the co-partitioned self-join form (the
+    basket-affinity entry keeps that form since it reuses the items
+    frame for per-item frequencies). The ≥ 2 support filter prunes
+    the long tail before any graph join runs; the pruned edge list
+    is tiny relative to the fact table (3.4k edges from 60k
+    lineitems at sf0.01), so the three-way join broadcasts; on a
+    100 TB corpus the same joins fall back to shuffle-hash on u and
+    (a, c) respectively."""
     from pyspark.sql import functions as F
 
-    op = (
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a, b = op.alias("a"), op.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
