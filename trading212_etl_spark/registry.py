@@ -7899,6 +7899,62 @@ def q_orders_trend_residual(spark, sf_dir):
     )
 
 
+@register(
+    "events_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.50), 2) AS p50_s,
+           round(quantile_cont(gap_s, 0.90), 2) AS p90_s,
+           round(quantile_cont(gap_s, 0.99), 2) AS p99_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_gap_percentiles(spark, sf_dir):
+    """Inter-arrival-time distribution: exact p50/p90/p99 of the gap
+    (seconds) between a user's consecutive events, profiled per event
+    type — the latency/engagement-cadence profile that calibrates
+    sessionization gaps (is 30 min past the p99 idle time?) and
+    streaming watermarks (how late is late?). Two stages: a keyed lag
+    window derives integer second gaps (first event per user drops
+    out as NULL), then exact interpolated percentiles per type.
+    Gaps are BIGINTs and Spark's percentile() shares DuckDB's
+    quantile_cont index = p·(n−1) definition, so interpolated
+    midpoints are dyadic rationals — exact in both engines' doubles.
+    Same scale stance as profile_quantiles: exact percentiles shuffle
+    each group's gaps together; at 100 TB run the sketch twin
+    (agg_approx_sketches) and keep this as the calibration oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_s = F.unix_seconds("ts")
+    gaps = ev.select(
+        "event_type", (t_s - F.lag(t_s).over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    pct = [
+        F.round(F.expr(f"percentile(gap_s, {p})"), 2).alias(
+            f"p{int(p * 100)}_s"
+        )
+        for p in (0.50, 0.90, 0.99)
+    ]
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        *pct,
+        F.max("gap_s").alias("max_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
