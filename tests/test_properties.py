@@ -546,10 +546,14 @@ def _events_parquet(spark, tmpdir, rows):
     the pinned schema, so property inputs go through the same path the
     driver exercises. Integer-valued prices keep the double→decimal
     lift unambiguous (binary-exact), isolating the property under test
-    from decimal-rounding concerns the oracle suite already covers."""
+    from decimal-rounding concerns the oracle suite already covers.
+    Timestamps are tz-AWARE UTC: naive datetimes would be interpreted
+    in the HOST timezone on write, so on a non-whole-hour-offset host
+    (e.g. +05:30) the entries' UTC hour buckets would land on :30
+    boundaries relative to the naive reference keys."""
     import datetime
 
-    base = datetime.datetime(2024, 1, 1)
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     data = [
         (
             i,
@@ -584,12 +588,19 @@ def test_twap_matches_integer_reference(spark, tmp_path_factory, rows):
     tmpdir = _events_parquet(
         spark, str(tmp_path_factory.mktemp("twap")), rows
     )
+    # collect() renders TimestampType as naive HOST-local datetimes;
+    # re-anchor to aware UTC so the comparison is host-tz-independent
+    # (astimezone on a naive datetime assumes host-local — exactly the
+    # inverse of what collect applied).
     got = {
-        (r["hour"], r["event_type"]): (r["twap_micro"], r["n_ticks"])
+        (
+            r["hour"].astimezone(datetime.timezone.utc),
+            r["event_type"],
+        ): (r["twap_micro"], r["n_ticks"])
         for r in registry.QUERIES["events_twap_hourly"](spark, tmpdir).collect()
     }
 
-    base = datetime.datetime(2024, 1, 1)
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     groups: dict = {}
     for i, (key, off, px) in enumerate(rows):
         ts = base + datetime.timedelta(seconds=off)

@@ -37,24 +37,36 @@ def tumbling_agg(
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
-    """Gap-based sessionization: a new session starts when the gap to
-    the previous event of the same user exceeds ``gap_minutes``.
+def label_sessions(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Row-level session labeling: append ``session_seq`` (per-user
+    session ordinal) to every event. A new session starts when the gap
+    to the previous event of the same user exceeds ``gap_minutes``
+    (strict ``>``; ties broken by event_id).
 
-    lag → gap flag → running sum = session id; two window passes over
-    the same (user_id, ts) partitioning, so Catalyst reuses one
-    shuffle. This is the batch twin of Structured Streaming's
-    ``session_window`` (see streaming/windows.py).
+    This is THE sessionization rule — :func:`sessionize` and the
+    session-path miner (registry ``events_session_paths``) both build
+    on it, so a change to the gap comparison or tiebreak lands
+    everywhere at once. lag → gap flag → running sum; both window
+    passes share the (user_id, ts) partitioning, so Catalyst reuses
+    one shuffle.
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
     is_new = F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
-    with_session = events.withColumn(
+    return events.withColumn(
         "session_seq",
         F.sum(is_new).over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """Gap-based sessionization: per-session aggregate over
+    :func:`label_sessions` labels. This is the batch twin of
+    Structured Streaming's ``session_window`` (see
+    streaming/windows.py).
+    """
     return (
-        with_session.groupBy("user_id", "session_seq")
+        label_sessions(events, gap_minutes).groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),

@@ -7342,21 +7342,11 @@ def q_events_session_paths(spark, sf_dir):
     deterministic. Two shuffles at scale: user sessionization (reused
     across both window passes) and the path re-aggregation — path
     cardinality, not event volume."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = _t(spark, sf_dir, "events")
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
-        by_user
-    )
-    is_new = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_seq",
-        F.sum(is_new).over(
-            by_user.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    from .operators.events import label_sessions
+
+    sess = label_sessions(_t(spark, sf_dir, "events"), 30)
     paths = sess.groupBy("user_id", "session_seq").agg(
         F.array_join(
             F.transform(
@@ -7517,6 +7507,8 @@ def q_events_ewma(spark, sf_dir):
              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
                AS day_idx
       FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 63
     )
     SELECT user_id,
            bit_or(CAST(1 AS BIGINT) << day_idx) AS presence_mask,
@@ -7540,12 +7532,20 @@ def q_events_presence_bitmap(spark, sf_dir):
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        ).alias("day_idx"),
-    ).distinct()
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        # 64-bit contract guard: outside [0, 63] Spark's shiftleft
+        # wraps (Java mod-64 shifts) while DuckDB's << does not —
+        # clamp the domain so a regenerated corpus fails loudly (row
+        # drop → count drift) instead of silently diverging.
+        .where(F.col("day_idx").between(0, 63))
+        .distinct()
+    )
     mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)"))
     return days.groupBy("user_id").agg(
         mask.alias("presence_mask"),
