@@ -7955,6 +7955,78 @@ def q_events_gap_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "clean_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderstatus
+    ),
+    dev AS (
+      SELECT o.o_orderstatus, o.o_totalprice, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m USING (o_orderstatus)
+    ),
+    mad AS (
+      SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 2) AS median_price,
+           round(max(m.mad), 2) AS mad_price,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderstatus)
+    GROUP BY d.o_orderstatus
+    """,
+)
+def q_clean_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives exactly the contamination that breaks the
+    z-score entry (events_anomaly_zscore: one 10^9 glitch inflates
+    the stddev until nothing is an outlier; the median pair has a 50%
+    breakdown point). Classic two-pass shape: per-group median, join
+    back (3-row broadcast), per-group median of absolute deviations,
+    flag |x−med| > 3·1.4826·MAD (the Gaussian-consistency constant).
+    Both engines share the percentile interpolation and evaluate the
+    identical float expression tree on identical doubles, so counts
+    match exactly. Two aggregate shuffles on the same low-cardinality
+    key + broadcast joins — the winsorize entry's pattern, one
+    quantile deeper."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 2).alias("median_price"),
+            F.round(F.max("mad"), 2).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
