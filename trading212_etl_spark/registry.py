@@ -8027,6 +8027,40 @@ def q_clean_mad_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_presence_bitmap",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day_idx
+      FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            BETWEEN 0 AND 63
+    )
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << day_idx) AS presence_mask,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << day_idx))
+                AS INT) AS days_active,
+           CAST(max(day_idx) - min(day_idx) + 1 AS BIGINT) AS span_days
+    FROM days GROUP BY user_id
+    """,
+)
+def q_streaming_presence_bitmap(spark, sf_dir):
+    """§2.9 streaming — the per-user day-presence bitmap as an
+    unwindowed streaming aggregate. bit_or / min / max are
+    commutative AND idempotent merges, so duplicate deliveries and
+    any micro-batch interleaving converge to the same (mask, span)
+    state — no distinct pass needed on the stream where the batch
+    twin (events_user_presence_bitmap) uses one. Complete-mode output
+    over the finite source equals the batch oracle bit-for-bit,
+    giving the streaming path a driver-checked row rather than a
+    rows-only check (the streaming_vwap_hourly pattern)."""
+    from .streaming.windows import run_streaming_presence_bitmap
+
+    return run_streaming_presence_bitmap(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each

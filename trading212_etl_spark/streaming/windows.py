@@ -498,3 +498,44 @@ def run_streaming_vwap(
     batch VWAP rollup exactly (integer micro-prices on both paths)."""
     agg = streaming_vwap_agg(_events_stream(spark, events_dir), duration)
     return _run_to_memory(spark, agg, "stream_vwap_out", "complete")
+
+
+def streaming_presence_bitmap(stream: DataFrame) -> DataFrame:
+    """Streaming per-user day-presence bitmap
+    (registry:events_user_presence_bitmap as an unwindowed streaming
+    aggregate): bit_or, bit-counting, and day-index min/max are all
+    COMMUTATIVE + IDEMPOTENT merges, so the state per user is one
+    (mask, min, max) triple that any micro-batch order converges to
+    the identical value — the same reason the VWAP stream equals its
+    batch rollup bit-for-bit. No window: the aggregate is keyed by
+    user alone, state is O(|users|)·16 bytes, and complete-mode
+    output over a finite source IS the batch result. The [0, 63]
+    day-domain guard matches the batch entry (shiftleft wraps mod 64
+    in the JVM)."""
+    days = (
+        stream.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .where(F.col("day_idx").between(0, 63))
+    )
+    mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)"))
+    return days.groupBy("user_id").agg(
+        mask.alias("presence_mask"),
+        F.bit_count(mask).cast("int").alias("days_active"),
+        (F.max("day_idx") - F.min("day_idx") + 1)
+        .cast("bigint")
+        .alias("span_days"),
+    )
+
+
+def run_streaming_presence_bitmap(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Drive :func:`streaming_presence_bitmap` to completion over the
+    static events parquet; converged complete-mode output must equal
+    the batch bitmap exactly."""
+    agg = streaming_presence_bitmap(_events_stream(spark, events_dir))
+    return _run_to_memory(spark, agg, "stream_presence_out", "complete")
