@@ -92,6 +92,9 @@ HEADLINE = [
     "events_user_presence_bitmap",  # bit_or day-presence masks
     "window_running_distinct",    # first-seen flag + running sum
     "orders_pareto_8020",         # integer-cents concentration curve
+    "orders_trend_residual_daily",  # centered RANGE trend/residual
+    "events_gap_percentiles",     # exact inter-arrival percentiles
+    "clean_mad_outliers",         # two-pass robust MAD fences
 ]
 
 
