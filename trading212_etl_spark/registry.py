@@ -8061,6 +8061,101 @@ def q_streaming_presence_bitmap(spark, sf_dir):
     return run_streaming_presence_bitmap(spark, sf_dir)
 
 
+@register(
+    "drift_priority_mix_monthly",
+    oracle="""
+    WITH counts AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS month_idx,
+             o_orderpriority AS cat,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT month_idx, CAST(sum(n) AS BIGINT) AS total FROM counts
+      GROUP BY month_idx
+    ),
+    seq AS (
+      SELECT c.month_idx, c.cat, c.n, t.total,
+             lag(c.month_idx) OVER w AS prev_idx,
+             lag(c.n) OVER w AS prev_n,
+             lag(t.total) OVER w AS prev_total
+      FROM counts c JOIN totals t USING (month_idx)
+      WINDOW w AS (PARTITION BY c.cat ORDER BY c.month_idx)
+    )
+    SELECT month_idx,
+           CAST(max(total) AS BIGINT) AS n_cur,
+           CAST(max(prev_total) AS BIGINT) AS n_prev,
+           CAST(CAST(500000 AS HUGEINT)
+                * sum(abs(CAST(n AS HUGEINT) * prev_total
+                          - CAST(prev_n AS HUGEINT) * total))
+                // (CAST(max(total) AS HUGEINT) * max(prev_total))
+                AS BIGINT) AS tv_ppm
+    FROM seq
+    WHERE prev_idx = month_idx - 1
+    GROUP BY month_idx
+    """,
+)
+def q_drift_priority_mix(spark, sf_dir):
+    """Distribution-drift monitor: month-over-month total-variation
+    distance of the order-priority mix, in exact integer ppm — the
+    drift gate a training pipeline puts in front of retraining and
+    the data-quality twin of dq_constraints. PSI/KL need ln() and
+    libm differs across engines in the last ulp (the tf-idf
+    integer-surrogate lesson), so the metric is total variation
+    TV = ½·Σ|p−q| with the common denominator kept symbolic:
+    500000·Σ|n·N_prev − n_prev·N| // (N·N_prev), pure DECIMAL(38)/
+    HUGEINT arithmetic — bit-identical in both engines and immune to
+    category-share floats entirely. Consecutive months pair via a
+    per-category lag; a category absent from either month drops out
+    identically on both engines (documented under-count, not a
+    divergence). Two small aggregates + one keyed window over the
+    (month × category) frame — hundreds of rows at any corpus
+    scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    month_idx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).alias("month_idx")
+    counts = o.groupBy(
+        month_idx, F.col("o_orderpriority").alias("cat")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("month_idx").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    w = Window.partitionBy("cat").orderBy("month_idx")
+    seq = (
+        counts.join(F.broadcast(totals), "month_idx")
+        .withColumn("prev_idx", F.lag("month_idx").over(w))
+        .withColumn("prev_n", F.lag("n").over(w))
+        .withColumn("prev_total", F.lag("total").over(w))
+        .where(F.col("prev_idx") == F.col("month_idx") - 1)
+    )
+    term = F.abs(
+        F.col("n").cast("decimal(38,0)") * F.col("prev_total")
+        - F.col("prev_n").cast("decimal(38,0)") * F.col("total")
+    )
+    return (
+        seq.groupBy("month_idx")
+        .agg(
+            F.max("total").cast("bigint").alias("n_cur"),
+            F.max("prev_total").cast("bigint").alias("n_prev"),
+            F.sum(term).alias("_s"),
+        )
+        .select(
+            "month_idx",
+            "n_cur",
+            "n_prev",
+            F.expr(
+                "CAST((CAST(500000 AS DECIMAL(38,0)) * _s)"
+                " DIV (CAST(n_cur AS DECIMAL(38,0)) * n_prev)"
+                " AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
