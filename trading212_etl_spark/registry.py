@@ -8156,6 +8156,199 @@ def q_drift_priority_mix(spark, sf_dir):
     )
 
 
+@register(
+    "stats_returns_rate_wilson",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, k,
+           round((k * 1.0 / n + 1.9208 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           round((k * 1.0 / n + 1.9208 / n
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM base
+    """,
+)
+def q_stats_returns_wilson(spark, sf_dir):
+    """Wilson 95% confidence interval on the per-brand return rate —
+    the uncertainty-aware version of a rate metric, which is what
+    separates '3 returns out of 4' from '300 out of 400' when
+    ranking problem SKUs. Numerically this entry marks the exact
+    boundary of cross-engine float determinism: sqrt() is CORRECTLY
+    ROUNDED by IEEE 754 (bit-identical everywhere), so the whole
+    Wilson expression tree — built only from +,−,×,÷,sqrt on
+    identical doubles with z, z², z²/2 as literals — hashes
+    identically in Spark and DuckDB, while ln/exp-based intervals
+    (Jeffreys, PSI) would drift in the last ulp (see
+    drift_priority_mix_monthly). One broadcast dim join + one
+    low-cardinality groupBy; the interval math is projection-only."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    base = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    phat = F.col("k") * 1.0 / F.col("n")
+    half = 1.96 * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + 0.9604 / (F.col("n") * F.col("n"))
+    )
+    center = phat + 1.9208 / F.col("n")
+    denom = 1 + 3.8416 / F.col("n")
+    return base.select(
+        "p_brand",
+        "n",
+        "k",
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, event_type,
+             count(*) OVER (PARTITION BY event_type ORDER BY t_s
+               RANGE BETWEEN 299 PRECEDING AND CURRENT ROW) AS n_5m,
+             count(*) OVER (PARTITION BY event_type ORDER BY t_s
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h
+      FROM base
+    )
+    SELECT event_id, event_type, n_5m, n_1h,
+           (n_5m * 3600 > 3 * n_1h * 300) AS is_burst
+    FROM win
+    """,
+)
+def q_events_burst_detection(spark, sf_dir):
+    """Burst detection: an event is flagged when its instrument's
+    trailing 5-minute arrival RATE exceeds 3× the trailing 1-hour
+    rate — the multi-resolution CEP primitive behind spike alerts,
+    complementing events_anomaly_zscore (which fences VALUES, not
+    arrival intensity). Both frames are RANGE windows over the SAME
+    (event_type, epoch-second) ordering, so Spark computes them in
+    one WindowExec over one shuffle — two frame states, zero extra
+    exchanges. The rate comparison is cross-multiplied to integers
+    (n_5m·3600 > 3·n_1h·300): no per-window float rate ever exists,
+    so the burst flag is bit-deterministic in both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", F.unix_seconds("ts").alias("t_s")
+    )
+    by_type = Window.partitionBy("event_type").orderBy("t_s")
+    n_5m = F.count(F.lit(1)).over(
+        by_type.rangeBetween(-299, Window.currentRow)
+    )
+    n_1h = F.count(F.lit(1)).over(
+        by_type.rangeBetween(-3599, Window.currentRow)
+    )
+    win = base.select(
+        "event_id",
+        "event_type",
+        n_5m.alias("n_5m"),
+        n_1h.alias("n_1h"),
+    )
+    return win.select(
+        "event_id",
+        "event_type",
+        "n_5m",
+        "n_1h",
+        (F.col("n_5m") * 3600 > 3 * F.col("n_1h") * 300).alias(
+            "is_burst"
+        ),
+    )
+
+
+@register(
+    "stats_supplier_concentration_hhi",
+    oracle="""
+    WITH shares AS (
+      SELECT l_partkey, l_suppkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sum_sq,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM shares GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_suppliers, total,
+           CAST(CAST(1000000 AS HUGEINT) * sum_sq
+                // (CAST(total AS HUGEINT) * total) AS BIGINT)
+             AS hhi_ppm
+    FROM per_part
+    """,
+)
+def q_stats_supplier_hhi(spark, sf_dir):
+    """Supply-concentration screening: the Herfindahl–Hirschman index
+    of each part's supplier mix, in exact integer ppm — HHI = Σ
+    share² distilled to 10⁶·Σn_i² // N², so the quadratic
+    concentration metric (10⁶ = single supplier, 10⁶/k = k equal
+    suppliers) never touches a float. The procurement-risk twin of
+    profile_key_skew: skew profiles the KEY distribution for shuffle
+    planning, HHI profiles a BUSINESS dimension for single-source
+    risk. Two stacked aggregates: the fact-sized shuffle is the
+    first, on (part, supplier); the second groupBy re-shuffles only
+    the already-aggregated (part, supplier) counts — hash(part,
+    supplier) does NOT satisfy a hash(part) requirement, so Spark
+    correctly keeps it — and that second exchange carries one row
+    per pair, negligible at any scale."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    shares = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_part = shares.groupBy("l_partkey").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias(
+            "sum_sq"
+        ),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        "total",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_sq)"
+            " DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
