@@ -95,6 +95,9 @@ HEADLINE = [
     "orders_trend_residual_daily",  # centered RANGE trend/residual
     "events_gap_percentiles",     # exact inter-arrival percentiles
     "clean_mad_outliers",         # two-pass robust MAD fences
+    "events_burst_detection",     # dual RANGE frames, one WindowExec
+    "drift_priority_mix_monthly", # integer-ppm total-variation drift
+    "stats_supplier_concentration_hhi",  # stacked-agg HHI
 ]
 
 
