@@ -139,3 +139,34 @@ def test_null_and_empty_text_rows(spark):
     assert exact_dedup(docs).count() == 3  # null text is its own group
     assert jaccard_pairs(docs, 0.5).count() == 0
     assert curate_corpus(docs).count() == 0  # filtered, not crashed
+
+
+def test_registry_event_entries_on_empty_events_parquet(spark, tmp_path):
+    """The inline registry entries (which scan {sf_dir}/events.parquet
+    through the pinned-schema reader, not a passed DataFrame) must
+    return schema-stable zero-row frames on an EMPTY events file —
+    the freshly-truncated-table case. Covers the round-3 additions:
+    TWAP, rolling volatility, EWMA, gap percentiles, burst detection,
+    presence bitmap, session paths, heatmap, and the running
+    distinct."""
+    from trading212_etl_spark import registry
+    from trading212_etl_spark.sources.readers import SCHEMAS
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame([], SCHEMAS["events"]).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/events.parquet")
+    for name in (
+        "events_twap_hourly",
+        "events_rolling_volatility",
+        "events_ewma_smoothed",
+        "events_gap_percentiles",
+        "events_burst_detection",
+        "events_user_presence_bitmap",
+        "events_session_paths",
+        "events_heatmap_dow_hour",
+        "window_running_distinct",
+    ):
+        df = registry.QUERIES[name](spark, sf_dir)
+        assert df.count() == 0, name
+        assert len(df.schema.fields) >= 2, name
