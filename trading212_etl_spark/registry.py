@@ -8349,6 +8349,138 @@ def q_stats_supplier_hhi(spark, sf_dir):
     )
 
 
+@register(
+    "orders_yoy_growth_monthly",
+    oracle="""
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS month_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT month_idx, rev_cents,
+             lag(month_idx, 12) OVER (ORDER BY month_idx) AS prev_idx,
+             lag(rev_cents, 12) OVER (ORDER BY month_idx)
+               AS prev_cents
+      FROM monthly
+    )
+    SELECT month_idx, rev_cents, prev_cents,
+           CAST(((rev_cents - prev_cents) * CAST(1000000 AS HUGEINT))
+                // prev_cents AS BIGINT) AS yoy_growth_ppm
+    FROM seq WHERE prev_idx = month_idx - 12
+    """,
+)
+def q_orders_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth in exact signed ppm —
+    the seasonality-adjusted growth metric (December vs December, not
+    December vs November), completing the time-series kit next to
+    orders_trend_residual_daily (intra-month shape) and
+    drift_priority_mix_monthly (mix shift). The 12-row lag is guarded
+    by prev_idx = idx − 12, so a gap month drops the pair on both
+    engines rather than silently comparing to the wrong year. Signed
+    integer division TRUNCATES toward zero identically in Spark's
+    DIV and DuckDB's // (probed, not assumed), so negative growth
+    months hash identically too. The window runs over the
+    month-level aggregate — dozens of rows regardless of fact
+    scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "month_idx"
+        )
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month_idx")
+    seq = monthly.select(
+        "month_idx",
+        "rev_cents",
+        F.lag("month_idx", 12).over(w).alias("prev_idx"),
+        F.lag("rev_cents", 12).over(w).alias("prev_cents"),
+    ).where(F.col("prev_idx") == F.col("month_idx") - 12)
+    return seq.select(
+        "month_idx",
+        "rev_cents",
+        "prev_cents",
+        F.expr(
+            "CAST(((rev_cents - prev_cents)"
+            " * CAST(1000000 AS DECIMAL(38,0))) DIV prev_cents"
+            " AS BIGINT)"
+        ).alias("yoy_growth_ppm"),
+    )
+
+
+@register(
+    "eval_lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','a','and','of','to','in','is'], t))) AS INTEGER) AS score_en,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['der','die','das','und','ist','ein'], t))) AS INTEGER) AS score_de,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['el','los','de','y','que','una'], t))) AS INTEGER) AS score_es,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['le','la','et','les','des','un'], t))) AS INTEGER) AS score_fr
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+           CASE WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+      FROM s
+    ),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang)
+                AS BIGINT) AS row_share_ppm
+    FROM cells
+    """,
+)
+def q_eval_lang_id_confusion(spark, sf_dir):
+    """Model-eval harness: the confusion matrix of the stopword
+    language-ID model (text_lang_id) against the labeled ``lang``
+    column, with per-true-class shares in integer ppm (the diagonal
+    is recall). This is the evaluation loop every classifier in the
+    curation stack needs — the same aggregate works for the quality
+    gate (text_model_quality_filter) by swapping the prediction
+    column. Reuses the lang_id operator verbatim, so the entry also
+    pins that the oracled per-document predictions AGGREGATE
+    consistently: predictions groupBy to ≤ K² cells (map-side
+    combinable), the share window runs over the tiny cell frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.textual import lang_id
+
+    pred = lang_id(_t(spark, sf_dir, "documents"))
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr(
+            "CAST((n * 1000000) DIV (sum(n) OVER (PARTITION BY lang))"
+            " AS BIGINT)"
+        ).alias("row_share_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
