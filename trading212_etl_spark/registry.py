@@ -8481,6 +8481,68 @@ def q_eval_lang_id_confusion(spark, sf_dir):
     )
 
 
+@register(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS frontier_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN t_s < frontier_s - 1800 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_30m,
+           CAST(sum(CASE WHEN t_s < frontier_s - 7200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_2h,
+           CAST(max(frontier_s - t_s) AS BIGINT) AS max_lateness_s
+    FROM arr GROUP BY event_type
+    """,
+)
+def q_events_watermark_lateness(spark, sf_dir):
+    """Watermark sizing audit: replay the stream's ARRIVAL order
+    (event_id is the ingest sequence) and count, per instrument, how
+    many events a 30-minute vs 2-hour watermark would have DROPPED —
+    an event is late by (event-time frontier so far − its own ts).
+    This is the batch query you run BEFORE choosing the watermark the
+    streaming entries hard-code (streaming/windows.py uses 2 hours;
+    this audit shows what that costs), closing the loop with
+    events_gap_percentiles (which calibrates session gaps, while
+    this calibrates allowed lateness). The frontier is a running max
+    over arrival order — one keyed window, integer epoch seconds
+    end-to-end — and the per-type aggregate rides the same
+    partitioning, so Catalyst reuses a single exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t_s = F.unix_seconds("ts")
+    arr = ev.select(
+        "event_type",
+        t_s.alias("t_s"),
+        F.max(t_s).over(w).alias("frontier_s"),
+    )
+    late = F.col("frontier_s") - F.col("t_s")
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late > 1800, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_30m"),
+        F.sum(F.when(late > 7200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_2h"),
+        F.max(late).cast("bigint").alias("max_lateness_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
