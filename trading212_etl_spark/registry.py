@@ -8543,6 +8543,119 @@ def q_events_watermark_lateness(spark, sf_dir):
     )
 
 
+@register(
+    "portfolio_sharpe_monthly",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    rets AS (
+      SELECT day_idx, rev_cents,
+             lag(day_idx) OVER (ORDER BY day_idx) AS prev_idx,
+             lag(rev_cents) OVER (ORDER BY day_idx) AS prev_cents
+      FROM daily
+    ),
+    r AS (
+      SELECT day_idx,
+             CAST(((rev_cents - prev_cents) * CAST(1000000 AS HUGEINT))
+                  // prev_cents AS BIGINT) AS r_ppm
+      FROM rets WHERE prev_idx = day_idx - 1
+    ),
+    m AS (
+      SELECT CAST(day_idx // 30 AS BIGINT) AS window_idx,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(r_ppm AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(r_ppm AS HUGEINT) * r_ppm) AS HUGEINT) AS s2
+      FROM r GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT window_idx, n_days,
+           CAST(s1 // CAST(n_days AS HUGEINT) AS BIGINT) AS mean_r_ppm,
+           CAST(floor(
+             1000.0 * (CAST(s1 AS DOUBLE) / n_days)
+             / sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+           ) AS BIGINT) AS sharpe_milli
+    FROM m
+    WHERE n_days * s2 > s1 * s1
+    """,
+)
+def q_portfolio_sharpe(spark, sf_dir):
+    """Sharpe ratio (un-annualized, zero risk-free) of day-over-day
+    revenue returns per 30-day window — the risk-adjusted-return
+    summary that ranks strategies where raw P&L (portfolio_fifo_pnl)
+    and drawdown (portfolio_max_drawdown) each tell half the story.
+    Numerically it composes the repo's two determinism idioms:
+    returns are integer ppm with gap-guarded consecutive days (the
+    yoy entry's pattern), their sums ride HUGEINT/DECIMAL(38)
+    exactly, and the final mean/σ ratio uses only ÷ and sqrt —
+    IEEE-correctly-rounded ops — on doubles CAST from those exact
+    integers, so both engines evaluate the identical expression tree
+    on identical bits (the Wilson entry's boundary). Degenerate
+    windows (constant returns → zero variance, or < 3 points) are
+    excluded by integer predicates before any float exists."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_idx")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day_idx")
+    r = (
+        daily.select(
+            "day_idx",
+            "rev_cents",
+            F.lag("day_idx").over(w).alias("prev_idx"),
+            F.lag("rev_cents").over(w).alias("prev_cents"),
+        )
+        .where(F.col("prev_idx") == F.col("day_idx") - 1)
+        .select(
+            "day_idx",
+            F.expr(
+                "CAST(((rev_cents - prev_cents)"
+                " * CAST(1000000 AS DECIMAL(38,0))) DIV prev_cents"
+                " AS BIGINT)"
+            ).alias("r_ppm"),
+        )
+    )
+    m = (
+        r.groupBy(
+            F.expr("CAST(day_idx DIV 30 AS BIGINT)").alias("window_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("r_ppm").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                F.col("r_ppm").cast("decimal(38,0)") * F.col("r_ppm")
+            ).alias("s2"),
+        )
+        .where(
+            (F.col("n_days") >= 3)
+            & (F.col("n_days") * F.col("s2") > F.col("s1") * F.col("s1"))
+        )
+    )
+    return m.select(
+        "window_idx",
+        "n_days",
+        F.expr("CAST(s1 DIV n_days AS BIGINT)").alias("mean_r_ppm"),
+        F.expr(
+            "CAST(floor(1000.0 * (CAST(s1 AS DOUBLE) / n_days)"
+            " / sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+            " / (CAST(n_days AS DOUBLE) * (n_days - 1)))) AS BIGINT)"
+        ).alias("sharpe_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
