@@ -8656,6 +8656,147 @@ def q_portfolio_sharpe(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_shipment_lead_time",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(lead_days AS BIGINT))
+                // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_days,
+           round(quantile_cont(lead_days, 0.50), 2) AS p50_days,
+           round(quantile_cont(lead_days, 0.90), 2) AS p90_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def q_lineitem_lead_time(spark, sf_dir):
+    """Shipment lead time (order date → ship date, in whole days) per
+    order priority: the logistics SLA profile — does URGENT actually
+    ship faster, and what does the p90 tail look like? The join is
+    the corpus's canonical fact-fact shape (lineitem ⋈ orders on
+    l_orderkey, both shuffled on the same key, AQE free to pick
+    shuffle-hash), the lead time is integer calendar-day arithmetic,
+    and the profile reuses the exact-percentile idiom
+    (profile_quantiles): floor-mean in integers, interpolated
+    p50/p90 identical across engines on integer inputs."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lead_days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(sum(CAST(lead_days AS BIGINT)) DIV count(*) AS BIGINT)"
+        ).alias("mean_days"),
+        F.round(F.expr("percentile(lead_days, 0.50)"), 2).alias(
+            "p50_days"
+        ),
+        F.round(F.expr("percentile(lead_days, 0.90)"), 2).alias(
+            "p90_days"
+        ),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+    )
+
+
+@register(
+    "events_funnel_conversion_ppm",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 ELSE 0 END AS s2,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_buy > t_click THEN 1 ELSE 0 END AS s3
+      FROM stages
+    )
+    SELECT CAST(sum(s1) AS BIGINT) AS n_view,
+           CAST(sum(s2) AS BIGINT) AS n_click,
+           CAST(sum(s3) AS BIGINT) AS n_purchase,
+           CAST(sum(s2) * 1000000 // sum(s1) AS BIGINT)
+             AS conv_view_click_ppm,
+           CAST(sum(s3) * 1000000 // sum(s2) AS BIGINT)
+             AS conv_click_buy_ppm,
+           CAST(sum(s3) * 1000000 // sum(s1) AS BIGINT)
+             AS conv_overall_ppm
+    FROM flags
+    """,
+)
+def q_events_funnel_conversion(spark, sf_dir):
+    """Funnel conversion rates in integer ppm — the scalar summary on
+    top of events_funnel's per-user stage flags: view→click,
+    click→purchase, and overall, each an integer ratio of ORDERED
+    stage completions (a later stage only counts if it happened
+    after the earlier one — min-timestamp semantics shared with the
+    funnel entry). One groupBy on user (min timestamps are
+    map-side-combinable), then a single global aggregate row; the
+    ppm ratios are integral division so the driver hash is exact.
+    The strict '>' between stages means same-timestamp stage pairs
+    do not convert — identical on both engines."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+        1,
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_buy") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = stages.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    return flags.agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_click"),
+        F.sum("s3").cast("bigint").alias("n_purchase"),
+        F.expr(
+            "CAST(sum(s2) * 1000000 DIV sum(s1) AS BIGINT)"
+        ).alias("conv_view_click_ppm"),
+        F.expr(
+            "CAST(sum(s3) * 1000000 DIV sum(s2) AS BIGINT)"
+        ).alias("conv_click_buy_ppm"),
+        F.expr(
+            "CAST(sum(s3) * 1000000 DIV sum(s1) AS BIGINT)"
+        ).alias("conv_overall_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
@@ -8669,6 +8810,22 @@ def q_portfolio_sharpe(spark, sf_dir):
 # battery) and rows-only streaming entries are demoted behind the
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
+#
+# r04 rotation candidates (round-3 additions, all local+sim green at
+# sf0.01/sf0.1/hostile-TZ but without a driver row yet): the
+# behavioral/feature family (events_twap_hourly,
+# events_rolling_volatility, features_market_hourly,
+# events_ewma_smoothed, events_session_paths, orders_churn_labels,
+# orders_cohort_ltv, features_ntile_bins, events_user_presence_bitmap,
+# window_running_distinct), the statistical-monitoring family
+# (drift_priority_mix_monthly, stats_returns_rate_wilson,
+# events_burst_detection, clean_mad_outliers, events_gap_percentiles,
+# orders_trend_residual_daily, orders_yoy_growth_monthly,
+# stats_supplier_concentration_hhi, portfolio_sharpe_monthly,
+# events_watermark_lateness_audit, eval_lang_id_confusion,
+# agg_heavy_hitters, events_heatmap_dow_hour, orders_pareto_8020,
+# graph_triangle_count), and streaming_presence_bitmap (oracled
+# streaming row). Swap them for the TPC-H block once r03 proves it.
 _DRIVER_WINDOW = [
     # round-2 ts-bug victims: green in r01, red in r02, fixed now
     "events_tumbling_1h",
