@@ -8797,6 +8797,47 @@ def q_events_funnel_conversion(spark, sf_dir):
     )
 
 
+@register(
+    "events_error_rate_sli",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS err_ppm,
+           (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            * 1000 > count(*)) AS budget_burn
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_error_sli(spark, sf_dir):
+    """Reliability SLI: hourly error rate in integer ppm with a
+    budget-burn flag against a 99.9% objective (error share > 0.1%,
+    cross-multiplied to the integer predicate n_error·1000 > n_total
+    — no rate float exists, so the alert boundary is exact in both
+    engines). This is the ops-monitoring face of the events table —
+    the same single map-side-combinable groupBy as the heatmap
+    entry, with the SLO arithmetic the alerting layer would
+    otherwise do downstream. At 100 TB the partial aggregation
+    reduces each task to one row per hour before the shuffle."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_err).cast("bigint").alias("n_error"),
+        F.expr(
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("err_ppm"),
+        (
+            F.sum(is_err) * 1000 > F.count(F.lit(1))
+        ).alias("budget_burn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
