@@ -8963,6 +8963,89 @@ def q_dq_freshness_skew(spark, sf_dir):
     )
 
 
+@register(
+    "drift_value_ks_distance",
+    oracle="""
+    WITH tagged AS (
+      SELECT value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT value,
+             CAST(sum(in_a) AS BIGINT) AS c1,
+             CAST(sum(1 - in_a) AS BIGINT) AS c2
+      FROM tagged GROUP BY value
+    ),
+    ecdf AS (
+      SELECT CAST(sum(c1) OVER w AS HUGEINT) AS cum1,
+             CAST(sum(c2) OVER w AS HUGEINT) AS cum2,
+             CAST(sum(c1) OVER () AS HUGEINT) AS n1,
+             CAST(sum(c2) OVER () AS HUGEINT) AS n2
+      FROM per_value
+      WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) * 1000000
+                // (max(n1) * max(n2)) AS BIGINT) AS ks_ppm
+    FROM ecdf
+    """,
+)
+def q_drift_value_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance between the first
+    and second half of January's value distributions — the
+    CONTINUOUS-distribution drift test beside the categorical
+    total-variation entry (drift_priority_mix_monthly): KS catches a
+    shifted price distribution that category mixes can't see. The
+    whole statistic is integer-exact: group by distinct value (so the
+    ECDF steps at true jump points — ties collapse before the scan),
+    running counts per sample via one ordered window, and
+    D = max|cum1·N2 − cum2·N1| with the denominator N1·N2 kept
+    symbolic until the final ppm division. No ECDF fraction ever
+    floats. The ordered scan runs over the DISTINCT-value frame;
+    at 100 TB repartitionByRange on value + per-partition offsets
+    (the pareto entry's documented scale path) replaces the single
+    sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    in_a = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1
+    ).otherwise(0)
+    per_value = ev.select("value", in_a.alias("in_a")).groupBy("value").agg(
+        F.sum("in_a").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_value.select(
+        F.sum("c1").over(w).cast("decimal(38,0)").alias("cum1"),
+        F.sum("c2").over(w).cast("decimal(38,0)").alias("cum2"),
+        F.sum("c1")
+        .over(Window.partitionBy())
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum("c2")
+        .over(Window.partitionBy())
+        .cast("decimal(38,0)")
+        .alias("n2"),
+    )
+    return ecdf.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+        .cast("bigint")
+        .alias("ks_num"),
+        F.expr(
+            "CAST((max(abs(cum1 * n2 - cum2 * n1)) * 1000000)"
+            " DIV (max(n1) * max(n2)) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
