@@ -348,6 +348,22 @@ def test_market_feature_frame_single_exchange(spark):
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
 
 
+def test_lateness_audit_single_exchange_reuse(spark):
+    """events_watermark_lateness_audit's frontier window and per-type
+    aggregate share the event_type key — one shuffle total."""
+    p = plan(spark, "events_watermark_lateness_audit")
+    assert "Window" in p
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
+
+
+def test_running_distinct_two_exchanges(spark):
+    """window_running_distinct: the (user, type) first-seen window and
+    the (user) running sum cannot share a hash partitioning — exactly
+    two exchanges, no more (a third would mean a lost reuse)."""
+    p = plan(spark, "window_running_distinct")
+    assert len([l for l in p.splitlines() if ") Exchange" in l]) == 2
+
+
 def test_salted_join_spreads_hot_key(spark):
     """salted_join must (a) explode the build side into n_salts
     replicas and (b) shuffle both sides on (key, __salt) — the hot key
