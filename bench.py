@@ -98,6 +98,14 @@ HEADLINE = [
     "events_burst_detection",     # dual RANGE frames, one WindowExec
     "drift_priority_mix_monthly", # integer-ppm total-variation drift
     "stats_supplier_concentration_hhi",  # stacked-agg HHI
+    "stats_returns_rate_wilson",  # sqrt-only deterministic CIs
+    "portfolio_sharpe_monthly",   # integer returns -> sharpe_milli
+    "lineitem_shipment_lead_time",  # fact-fact join + percentiles
+    "events_error_rate_sli",      # integer budget-burn SLI
+    "drift_value_ks_distance",    # integer-ECDF KS statistic
+    "orders_fiscal_445_rollup",   # pure-integer fiscal calendar
+    "events_watermark_lateness_audit",  # frontier replay audit
+    "eval_lang_id_confusion",     # classifier confusion/recall ppm
 ]
 
 
