@@ -9135,6 +9135,71 @@ def q_orders_seasonal_dow(spark, sf_dir):
     )
 
 
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+                     AS HUGEINT) AS i
+      FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(x) AS BIGINT) AS total_cents,
+           CAST((2 * sum(i * x) - (count(*) + 1) * sum(CAST(x AS HUGEINT)))
+                * 1000000
+                // (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT)))
+                AS BIGINT) AS gini_ppm
+    FROM ranked
+    """,
+)
+def q_orders_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue in exact integer ppm —
+    the single-number inequality summary completing the
+    concentration kit (orders_pareto_8020 gives the covering prefix,
+    customer_order_count_distribution the histogram; Gini is what
+    goes on the KPI dashboard). Uses the rank-weighted identity
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over revenues sorted
+    ascending with a deterministic (x, custkey) tiebreak: one global
+    sort of the CUSTOMER-level aggregate (catalog-sized; the pareto
+    entry's repartitionByRange note applies) and every term stays in
+    HUGEINT/DECIMAL(38) until the final ppm division. i·x peaks at
+    n·max_rev — ~10²³ at a billion customers, comfortably inside 38
+    digits."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .cast("decimal(38,0)")
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * sum(i * x)"
+            " - (count(*) + 1) * sum(CAST(x AS DECIMAL(38,0))))"
+            " * 1000000)"
+            " DIV (CAST(count(*) AS DECIMAL(38,0))"
+            " * sum(CAST(x AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
