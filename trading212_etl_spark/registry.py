@@ -9200,6 +9200,98 @@ def q_orders_gini(spark, sf_dir):
     )
 
 
+@register(
+    "stats_qty_price_independence",
+    oracle="""
+    WITH banded AS (
+      SELECT CASE WHEN l_quantity <= 10 THEN 'low'
+                  WHEN l_quantity <= 25 THEN 'mid'
+                  ELSE 'high' END AS qty_band,
+             CASE WHEN l_extendedprice < 20000 THEN 'cheap'
+                  WHEN l_extendedprice < 50000 THEN 'normal'
+                  ELSE 'premium' END AS price_band
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT qty_band, price_band, CAST(count(*) AS BIGINT) AS o
+      FROM banded GROUP BY qty_band, price_band
+    ),
+    tot AS (
+      SELECT qty_band, price_band, o,
+             CAST(sum(o) OVER (PARTITION BY qty_band) AS HUGEINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY price_band) AS HUGEINT)
+               AS c,
+             CAST(sum(o) OVER () AS HUGEINT) AS n
+      FROM cells
+    )
+    SELECT qty_band, price_band, o,
+           CAST(r * c * 1000 // n AS BIGINT) AS expected_milli,
+           CAST((o * n - r * c) * (o * n - r * c) * 1000000
+                // (r * c * n) AS BIGINT) AS chi2_contrib_ppm
+    FROM tot
+    """,
+)
+def q_stats_independence(spark, sf_dir):
+    """Chi-square independence screen on the quantity-band ×
+    price-band contingency table — the feature-redundancy test a
+    training pipeline runs before crossing two features (a high χ²
+    means the cross carries signal; near-zero means one is
+    redundant). The whole table derives from ONE fact-sized groupBy:
+    row totals, column totals, and the grand total are windows over
+    the 9-cell frame, and each cell's χ² contribution uses the
+    cross-multiplied form (O·N − R·C)²·10⁶ // (R·C·N) — the
+    expected-count fraction never floats, so the driver hash is
+    exact (the drift-TV idiom applied to 2-D independence). Band
+    edges are integer-comparable literals, identical in both
+    engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.when(F.col("l_quantity") <= 10, "low")
+        .when(F.col("l_quantity") <= 25, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.when(F.col("l_extendedprice") < 20000, "cheap")
+        .when(F.col("l_extendedprice") < 50000, "normal")
+        .otherwise("premium")
+        .alias("price_band"),
+    )
+    cells = banded.groupBy("qty_band", "price_band").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.select(
+        "qty_band",
+        "price_band",
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("qty_band"))
+        .cast("decimal(38,0)")
+        .alias("r"),
+        F.sum("o")
+        .over(Window.partitionBy("price_band"))
+        .cast("decimal(38,0)")
+        .alias("c"),
+        F.sum("o")
+        .over(Window.partitionBy())
+        .cast("decimal(38,0)")
+        .alias("n"),
+    )
+    return tot.select(
+        "qty_band",
+        "price_band",
+        "o",
+        F.expr("CAST((r * c * 1000) DIV n AS BIGINT)").alias(
+            "expected_milli"
+        ),
+        F.expr(
+            "CAST(((o * n - r * c) * (o * n - r * c) * 1000000)"
+            " DIV (r * c * n) AS BIGINT)"
+        ).alias("chi2_contrib_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
