@@ -9292,6 +9292,101 @@ def q_stats_independence(spark, sf_dir):
     )
 
 
+@register(
+    "events_user_lifecycle_weekly",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             (date_diff('day', DATE '2023-12-25', CAST(ts AS DATE)))
+               // 7 AS week_seq
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, week_seq,
+             lag(week_seq) OVER (PARTITION BY user_id
+                                 ORDER BY week_seq) AS prev_week,
+             lead(week_seq) OVER (PARTITION BY user_id
+                                  ORDER BY week_seq) AS next_week,
+             max(week_seq) OVER () AS last_week
+      FROM weeks
+    )
+    SELECT week_seq,
+           CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN prev_week = week_seq - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN prev_week < week_seq - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN week_seq < last_week
+                              AND (next_week IS NULL
+                                   OR next_week > week_seq + 1)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churning_after
+    FROM seq GROUP BY week_seq
+    """,
+)
+def q_events_user_lifecycle(spark, sf_dir):
+    """Growth accounting: every active (user, week) classified as NEW
+    (first week ever), RETAINED (active previous week), or
+    RESURRECTED (returning after a gap), plus how many of the week's
+    actives CHURN after it (no activity next week) — the four series
+    behind the growth quick ratio (new+resurrected)/churned. One
+    distinct (user, week) reduction of the fact table, then lag AND
+    lead over the same per-user ordering (one window exchange), and
+    the per-week rollup. The final week can't observe churn yet, so
+    churn counting is bounded by the in-data frontier (max week seen
+    — the dq_freshness_skew anchoring idiom), keeping the query
+    deterministic and oracle-able rather than wall-clock-dependent.
+    Monday-anchored integer week sequence, same arithmetic as the
+    fiscal-calendar entry."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-25')"
+            " DIV 7 AS BIGINT)"
+        ).alias("week_seq"),
+    ).distinct()
+    by_user = Window.partitionBy("user_id").orderBy("week_seq")
+    seq = weeks.select(
+        "user_id",
+        "week_seq",
+        F.lag("week_seq").over(by_user).alias("prev_week"),
+        F.lead("week_seq").over(by_user).alias("next_week"),
+        F.max("week_seq").over(Window.partitionBy()).alias("last_week"),
+    )
+    return seq.groupBy("week_seq").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_week") == F.col("week_seq") - 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(F.col("prev_week") < F.col("week_seq") - 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                (F.col("week_seq") < F.col("last_week"))
+                & (
+                    F.col("next_week").isNull()
+                    | (F.col("next_week") > F.col("week_seq") + 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_churning_after"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
