@@ -9387,6 +9387,98 @@ def q_events_user_lifecycle(spark, sf_dir):
     )
 
 
+@register(
+    "events_hourly_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+              + hour(ts)) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x,
+             lead(hour_idx) OVER (ORDER BY hour_idx) AS next_idx,
+             lead(x) OVER (ORDER BY hour_idx) AS y,
+             hour_idx
+      FROM hourly
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pairs WHERE next_idx = hour_idx + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(
+             1000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           ) AS BIGINT) AS acf1_milli
+    FROM m
+    WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def q_events_hourly_acf(spark, sf_dir):
+    """Lag-1 autocorrelation of hourly event volume — the
+    burstiness/seasonality diagnostic that says whether load
+    forecasting is even possible (acf1 ≈ 0: memoryless arrivals;
+    near 1000 milli: strong hour-to-hour persistence, provision
+    accordingly). Consecutive-hour pairs via a gap-guarded lead
+    (the yoy idiom applied at hour grain), Pearson moments as exact
+    HUGEINT/DECIMAL(38) sums of integer counts, and the final
+    correlation via ÷ and sqrt only — the Sharpe/Wilson determinism
+    boundary. Degenerate constant series are excluded by integer
+    variance predicates before any float exists. The window runs on
+    the hour-level aggregate: ~9k rows per year of data regardless
+    of event volume."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (
+            F.unix_date(F.col("ts").cast("date")) * 24 + F.hour("ts")
+        ).alias("hour_idx")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("hour_idx")
+    pairs = hourly.select(
+        "hour_idx",
+        "x",
+        F.lead("hour_idx").over(w).alias("next_idx"),
+        F.lead("x").over(w).alias("y"),
+    ).where(F.col("next_idx") == F.col("hour_idx") + 1)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * d38("x")).alias("sxx"),
+        F.sum(d38("y") * d38("y")).alias("syy"),
+        F.sum(d38("x") * d38("y")).alias("sxy"),
+    ).where(
+        (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(floor(1000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)"
+        ).alias("acf1_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
