@@ -147,6 +147,8 @@ NESTED_LOOP_BY_DESIGN = {
     "orders_basket_affinity",
     # 1-row broadcast of the [p01, p99] cut points onto the orders scan
     "clean_winsorize_prices",
+    # 1-row broadcast of the MAD fence onto the day-level residuals
+    "orders_anomalous_days",
 }
 
 
