@@ -9564,6 +9564,153 @@ def q_orders_anomalous_days(spark, sf_dir):
     )
 
 
+@register(
+    "documents_source_overlap",
+    oracle="""
+    WITH sigs AS (
+      SELECT DISTINCT source, sha256(text) AS digest
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM sigs GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sigs a JOIN sigs b
+        ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(n_common * 1000000
+                // (sa.n_docs + sb.n_docs - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def q_documents_source_overlap(spark, sf_dir):
+    """Provenance-overlap matrix: pairwise Jaccard (in integer ppm)
+    between sources' exact-content digest sets — the corpus-curation
+    audit that answers 'which feeds are re-crawling each other?'
+    before dedup budgets are set (two 40%-overlapping sources
+    contribute far fewer unique tokens than their row counts claim).
+    Only DIGESTS travel: the co-partitioned self-join on sha256
+    (dedup_exact's shuffle shape) carries 64-byte keys, never
+    documents, and only pairs that actually share content reach the
+    aggregate — a 20-source catalog yields at most 190 output rows
+    from a join whose cost is the collision count, not sources²·docs.
+    Set sizes broadcast back onto the pair frame."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sigs = d.select(
+        "source", F.sha2("text", 256).alias("digest")
+    ).distinct()
+    sizes = sigs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (na + nb - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@register(
+    "embedding_dim_variance_ranking",
+    oracle="""
+    WITH vals AS (
+      SELECT u.i AS dim,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ),
+    m AS (
+      SELECT dim, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(s1 // n AS BIGINT) AS mean_micro,
+           CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro2,
+           CAST(row_number() OVER (
+             ORDER BY (n * s2 - s1 * s1) // (n * n) DESC, dim)
+             AS INT) AS variance_rank
+    FROM m
+    """,
+)
+def q_embedding_dim_variance(spark, sf_dir):
+    """Per-dimension variance ranking of the embedding space — the
+    feature-selection / PCA-screening pass (low-variance dimensions
+    carry no signal and are truncation candidates; see
+    embedding_pca_power_iter for the rotated version). Float
+    handling is the deliberate lesson: float32 → decimal casts go
+    through SHORTEST-STRING in Spark but exact binary in DuckDB and
+    silently disagree, so values are quantized with floor(x·10⁶) on
+    the (exactly-widened) double — floor is deterministic on
+    identical doubles where round() can straddle a half-ulp — and
+    all moments then ride HUGEINT/DECIMAL(38) exactly. posexplode
+    keys the single shuffle by the 64 dimension ids; the ranking
+    window runs over 64 rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings")
+    vals = e.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.expr(
+            "CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)"
+        ).alias("v"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("v")).alias("s1"),
+        F.sum(d38("v") * d38("v")).alias("s2"),
+    )
+    var = F.expr("(n * s2 - s1 * s1) DIV (n * n)")
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_micro"),
+        var.cast("bigint").alias("var_micro2"),
+        F.row_number()
+        .over(Window.orderBy(var.desc(), "dim"))
+        .cast("int")
+        .alias("variance_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
