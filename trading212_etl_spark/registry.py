@@ -9711,6 +9711,78 @@ def q_embedding_dim_variance(spark, sf_dir):
     )
 
 
+@register(
+    "text_code_detection",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[{{}}]')) AS BIGINT)
+               AS n_braces,
+             CAST(len(regexp_extract_all(text, ';')) AS BIGINT)
+               AS n_semis,
+             CAST(len(regexp_extract_all(text, '\\n  ')) AS BIGINT)
+               AS n_indents
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, n_tokens, n_braces, n_semis, n_indents,
+           CAST((n_braces * 3 + n_semis * 2 + n_indents) * 1000
+                // (n_tokens + 1) AS BIGINT) AS code_score_milli,
+           ((n_braces * 3 + n_semis * 2 + n_indents) * 1000
+            > 50 * (n_tokens + 1)) AS is_code
+    FROM c
+    """,
+)
+def q_text_code_detection(spark, sf_dir):
+    """Code-vs-prose detection — the content-type router every
+    pretraining pipeline needs before lang-ID or quality scoring
+    (code must not be punished by prose heuristics, and code/text
+    mixture ratios are a top-level corpus knob beside
+    sample_domain_mixture). The signal is a weighted density of
+    syntax markers — braces, semicolons, and indented-line starts
+    (counted as literal newline-space bigrams so no multiline regex
+    dialect is involved) — over the shared tokenizer's count, scaled
+    to integer milli with the +1-smoothed denominator. Pure
+    projection: zero shuffles, pushes to the scan, and the
+    cross-multiplied threshold keeps the flag float-free like every
+    classifier gate in this registry."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = (
+        "CAST(size(regexp_extract_all(lower(text),"
+        " '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)"
+    )
+    c = d.select(
+        "doc_id",
+        F.expr(toks).alias("n_tokens"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[{}]', 0)) AS BIGINT)"
+        ).alias("n_braces"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, ';', 0)) AS BIGINT)"
+        ).alias("n_semis"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '\\n  ', 0)) AS BIGINT)"
+        ).alias("n_indents"),
+    )
+    score = (
+        F.col("n_braces") * 3 + F.col("n_semis") * 2 + F.col("n_indents")
+    ) * 1000
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "n_braces",
+        "n_semis",
+        "n_indents",
+        F.expr(
+            "CAST(((n_braces * 3 + n_semis * 2 + n_indents) * 1000)"
+            " DIV (n_tokens + 1) AS BIGINT)"
+        ).alias("code_score_milli"),
+        (score > 50 * (F.col("n_tokens") + 1)).alias("is_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
