@@ -101,3 +101,21 @@ def test_harness_detects_mutations(spark, oracle_con):
             "meta_dec", spark_df, pdf, oracle_desc=desc, oracle_types=types
         )
     )
+
+
+def test_no_vacuous_oracles(oracle_con):
+    """Every oracle must return at least one row at sf0.01: a 0 == 0
+    row comparison passes the differential gate while checking
+    nothing (the round-3 lesson: a fiscal-calendar anchor past the
+    corpus's date range and an exact-digest overlap matrix both
+    passed vacuously for a while). Entries whose correct output is
+    genuinely empty must register rows-only with an invariant test
+    instead."""
+    from trading212_etl_spark import registry
+
+    empty = [
+        name
+        for name, sql in registry.ORACLES.items()
+        if not oracle_con.execute(sql).fetchone()
+    ]
+    assert not empty, f"vacuous (zero-row) oracles: {empty}"

@@ -5374,7 +5374,8 @@ def q_events_funnel_windowed(spark, sf_dir):
     "join_dpp_partitioned",
     oracle="""
     WITH dim AS (
-      SELECT substr(p_brand, 1, 1) AS flag, p_partkey
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'N' ELSE 'R' END AS flag,
+             p_partkey
       FROM part WHERE p_partkey < 5
     )
     SELECT f.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
@@ -5390,10 +5391,14 @@ def q_join_dpp(spark, sf_dir):
     ``dynamicpruningexpression(l_returnflag IN <dim subquery>)`` into
     the scan's PartitionFilters — at 100 TB the runtime subquery
     eliminates whole partition directories the static planner cannot
-    (the dim's surviving keys are unknown until execution). The plan
-    property is asserted in tests/test_plans.py:
-    test_dynamic_partition_pruning_fires; this row proves the pruned
-    result stays exact."""
+    (the dim's surviving keys are unknown until execution). The dim
+    keeps only the N and R flags, so exactly one of the fact's three
+    returnflag partitions (A) is pruned and the surviving two produce
+    a NON-EMPTY exact result (a dim that matches no partition would
+    make this row a vacuous 0 == 0 — the round-3 lesson from the
+    fiscal-calendar anchor). The plan property is asserted in
+    tests/test_plans.py: test_dynamic_partition_pruning_fires; this
+    row proves the pruned result stays exact."""
     from pyspark.sql import functions as F
 
     path = _scratch(sf_dir, "dpp_lineitem")
@@ -5405,7 +5410,10 @@ def q_join_dpp(spark, sf_dir):
     dim = (
         _t(spark, sf_dir, "part")
         .select(
-            F.substring("p_brand", 1, 1).alias("flag"), "p_partkey"
+            F.when(F.col("p_partkey") % 2 == 0, "N")
+            .otherwise("R")
+            .alias("flag"),
+            "p_partkey",
         )
         .filter(F.col("p_partkey") < 5)
     )
@@ -8845,13 +8853,13 @@ def q_events_error_sli(spark, sf_dir):
       SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS rev_cents,
              CAST(count(*) AS BIGINT) AS n_orders,
-             (date_diff('day', DATE '2019-12-30',
+             (date_diff('day', DATE '1994-12-26',
                         CAST(o_orderdate AS DATE)) // 7) AS week_seq
       FROM orders
-      WHERE CAST(o_orderdate AS DATE) >= DATE '2019-12-30'
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1994-12-26'
       GROUP BY 3
     )
-    SELECT CAST(2020 + week_seq // 52 AS INT) AS fiscal_year,
+    SELECT CAST(1995 + week_seq // 52 AS INT) AS fiscal_year,
            CAST((week_seq % 52) // 13 + 1 AS INT) AS fiscal_quarter,
            CAST(CASE WHEN (week_seq % 52) % 13 < 4 THEN 1
                      WHEN (week_seq % 52) % 13 < 8 THEN 2
@@ -8867,8 +8875,9 @@ def q_orders_fiscal_445(spark, sf_dir):
     calendar (each quarter = two 4-week periods + one 5-week period,
     anchored on a Monday week boundary) that no built-in date
     function provides in ANY engine: the mapping is pure integer
-    arithmetic on a week sequence (day//7 from the 2019-12-30
-    anchor, then //52, //13, and the 4/4/5 CASE ladder), which is
+    arithmetic on a week sequence (day//7 from the 1994-12-26
+    Monday anchor, chosen just before the corpus's 1995 first
+    order, then //52, //13, and the 4/4/5 CASE ladder), which is
     exactly why it's portable — both engines compute the identical
     integers where a library calendar would disagree on week-53
     years (here weeks ≥ 52 fold into the next fiscal year, the
@@ -8879,14 +8888,14 @@ def q_orders_fiscal_445(spark, sf_dir):
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
-    anchor = F.lit("2019-12-30").cast("date")
+    anchor = F.lit("1994-12-26").cast("date")
     day = F.col("o_orderdate").cast("date")
     weekly = (
         o.where(day >= anchor)
         .groupBy(
             F.expr(
                 "CAST(datediff(CAST(o_orderdate AS DATE),"
-                " DATE '2019-12-30') DIV 7 AS BIGINT)"
+                " DATE '1994-12-26') DIV 7 AS BIGINT)"
             ).alias("week_seq")
         )
         .agg(
@@ -8899,7 +8908,7 @@ def q_orders_fiscal_445(spark, sf_dir):
     woy = F.col("week_seq") % 52
     return (
         weekly.groupBy(
-            (F.lit(2020) + F.expr("week_seq DIV 52"))
+            (F.lit(1995) + F.expr("week_seq DIV 52"))
             .cast("int")
             .alias("fiscal_year"),
             (F.expr("(week_seq % 52) DIV 13") + 1)
@@ -9566,25 +9575,34 @@ def q_orders_anomalous_days(spark, sf_dir):
 
 @register(
     "documents_source_overlap",
-    oracle="""
-    WITH sigs AS (
-      SELECT DISTINCT source, sha256(text) AS digest
-      FROM documents WHERE text IS NOT NULL
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks
+               FROM documents WHERE text IS NOT NULL),
+    sh AS (
+      SELECT source,
+             [array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+4], ' ')
+              for i in range(1, greatest(len(toks)-4, 1)+1)] AS shingles
+      FROM t
+    ),
+    sigs AS (
+      SELECT DISTINCT source,
+             list_min(list_transform(shingles, x -> md5(x))) AS fp
+      FROM sh
     ),
     sizes AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      SELECT source, CAST(count(*) AS BIGINT) AS n_fps
       FROM sigs GROUP BY source
     ),
     inter AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(count(*) AS BIGINT) AS n_common
       FROM sigs a JOIN sigs b
-        ON a.digest = b.digest AND a.source < b.source
+        ON a.fp = b.fp AND a.source < b.source
       GROUP BY 1, 2
     )
     SELECT source_a, source_b, n_common,
            CAST(n_common * 1000000
-                // (sa.n_docs + sb.n_docs - n_common) AS BIGINT)
+                // (sa.n_fps + sb.n_fps - n_common) AS BIGINT)
              AS jaccard_ppm
     FROM inter
     JOIN sizes sa ON sa.source = source_a
@@ -9593,28 +9611,37 @@ def q_orders_anomalous_days(spark, sf_dir):
 )
 def q_documents_source_overlap(spark, sf_dir):
     """Provenance-overlap matrix: pairwise Jaccard (in integer ppm)
-    between sources' exact-content digest sets — the corpus-curation
-    audit that answers 'which feeds are re-crawling each other?'
-    before dedup budgets are set (two 40%-overlapping sources
-    contribute far fewer unique tokens than their row counts claim).
-    Only DIGESTS travel: the co-partitioned self-join on sha256
-    (dedup_exact's shuffle shape) carries 64-byte keys, never
-    documents, and only pairs that actually share content reach the
-    aggregate — a 20-source catalog yields at most 190 output rows
-    from a join whose cost is the collision count, not sources²·docs.
+    between sources' winnowing-fingerprint sets (min shingle-hash =
+    1-permutation MinHash, operators/textual.py:fingerprint) — the
+    corpus-curation audit that answers 'which feeds are re-crawling
+    each other?' before dedup budgets are set. Fingerprints rather
+    than exact sha256 digests because near-duplicates across feeds
+    rarely match byte-for-byte (this corpus has ZERO exact
+    cross-source copies — an exact-digest matrix is vacuously empty,
+    the round-3 vacuous-oracle lesson) while shared min-shingles
+    surface the real overlap. Only 32-byte fingerprints travel: the
+    co-partitioned self-join carries keys, never documents, and only
+    colliding pairs reach the aggregate — cost is the collision
+    count, not sources²·docs.
     Set sizes broadcast back onto the pair frame."""
     from pyspark.sql import functions as F
 
+    from .operators.textual import fingerprint
+
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    sigs = d.select(
-        "source", F.sha2("text", 256).alias("digest")
-    ).distinct()
-    sizes = sigs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    fps = fingerprint(d, shingle_len=5).select("doc_id", "winnow_fp")
+    sigs = (
+        d.select("doc_id", "source")
+        .join(fps, "doc_id")
+        .select("source", F.col("winnow_fp").alias("fp"))
+        .distinct()
+    )
+    sizes = sigs.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
     a, b = sigs.alias("a"), sigs.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.digest") == F.col("b.digest"))
+            (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.source") < F.col("b.source")),
         )
         .groupBy(
@@ -9624,10 +9651,10 @@ def q_documents_source_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(
-        F.col("source").alias("source_a"), F.col("n_docs").alias("na")
+        F.col("source").alias("source_a"), F.col("n_fps").alias("na")
     )
     sb = sizes.select(
-        F.col("source").alias("source_b"), F.col("n_docs").alias("nb")
+        F.col("source").alias("source_b"), F.col("n_fps").alias("nb")
     )
     return (
         inter.join(F.broadcast(sa), "source_a")
@@ -9780,6 +9807,100 @@ def q_text_code_detection(spark, sf_dir):
             " DIV (n_tokens + 1) AS BIGINT)"
         ).alias("code_score_milli"),
         (score > 50 * (F.col("n_tokens") + 1)).alias("is_code"),
+    )
+
+
+@register(
+    "orders_segment_migration_matrix",
+    oracle="""
+    WITH half AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'p1' ELSE 'p2' END AS period,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT o_custkey, period,
+             CAST(ntile(4) OVER (PARTITION BY period
+                                 ORDER BY rev_cents, o_custkey)
+                  AS INT) AS quartile
+      FROM half
+    ),
+    mat AS (
+      SELECT a.quartile AS q_before, b.quartile AS q_after,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM seg a JOIN seg b
+        ON a.o_custkey = b.o_custkey
+       AND a.period = 'p1' AND b.period = 'p2'
+      GROUP BY 1, 2
+    )
+    SELECT q_before, q_after, n_customers,
+           CAST(n_customers * 1000000
+                // sum(n_customers) OVER (PARTITION BY q_before)
+                AS BIGINT) AS row_share_ppm
+    FROM mat
+    """,
+)
+def q_orders_segment_migration(spark, sf_dir):
+    """Segment migration matrix: customers quartiled by revenue in
+    each half of the corpus (before/after 1998, its midpoint), then the transition
+    counts between quartiles with per-origin shares in integer ppm —
+    the value-migration readout (are Q4 whales sticky? where do Q1
+    customers go?) that complements the event-level Markov entry
+    (events_markov_transitions) with an ENTITY-level transition
+    matrix. Quartile assignment uses the deterministic ntile
+    tiebreak (features_ntile_bins); the self-join matches each
+    customer's two period rows on the aggregated frame (one row per
+    customer per period, shuffled on o_custkey); only customers
+    active in BOTH halves appear — entries/exits are the lifecycle
+    entry's concern."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    half = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            "p1",
+        )
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    seg = half.select(
+        "o_custkey",
+        "period",
+        F.ntile(4)
+        .over(
+            Window.partitionBy("period").orderBy("rev_cents", "o_custkey")
+        )
+        .cast("int")
+        .alias("quartile"),
+    )
+    a = seg.where(F.col("period") == "p1").select(
+        "o_custkey", F.col("quartile").alias("q_before")
+    )
+    b = seg.where(F.col("period") == "p2").select(
+        "o_custkey", F.col("quartile").alias("q_after")
+    )
+    mat = a.join(b, "o_custkey").groupBy("q_before", "q_after").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return mat.select(
+        "q_before",
+        "q_after",
+        "n_customers",
+        F.expr(
+            "CAST(n_customers * 1000000"
+            " DIV (sum(n_customers) OVER (PARTITION BY q_before))"
+            " AS BIGINT)"
+        ).alias("row_share_ppm"),
     )
 
 
