@@ -9904,6 +9904,71 @@ def q_orders_segment_migration(spark, sf_dir):
     )
 
 
+@register(
+    "events_overdispersion_fano",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+              + hour(ts)) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 // n AS BIGINT) AS mean_per_hour,
+           CAST(((n * s2 - s1 * s1) * 1000) // (n * n)
+                // (s1 // n) AS BIGINT) AS fano_milli
+    FROM m
+    WHERE s1 // n > 0
+    """,
+)
+def q_events_fano(spark, sf_dir):
+    """Overdispersion (Fano factor, variance/mean of hourly arrival
+    counts) per event type in integer milli — 1000 means Poisson
+    arrivals (provision for the mean), substantially more means
+    clumped traffic (provision for bursts; see
+    events_burst_detection for the per-event flag and
+    events_hourly_autocorrelation for temporal persistence — the
+    three together are the arrival-process profile). Counts are
+    integers, so population variance and mean come from exact
+    HUGEINT moments and the ratio is two integral divisions —
+    float-free end to end, unlike the textbook var/mean which would
+    inherit summation-order drift. Two stacked aggregates, hour
+    grain then type grain."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.unix_date(F.col("ts").cast("date")) * 24 + F.hour("ts")
+        ).alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("x")).alias("s1"),
+        F.sum(d38("x") * d38("x")).alias("s2"),
+    )
+    return m.where(F.expr("s1 DIV n > 0")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_per_hour"),
+        F.expr(
+            "CAST(((n * s2 - s1 * s1) * 1000) DIV (n * n)"
+            " DIV (s1 DIV n) AS BIGINT)"
+        ).alias("fano_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
