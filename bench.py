@@ -106,6 +106,16 @@ HEADLINE = [
     "orders_fiscal_445_rollup",   # pure-integer fiscal calendar
     "events_watermark_lateness_audit",  # frontier replay audit
     "eval_lang_id_confusion",     # classifier confusion/recall ppm
+    "orders_gini_coefficient",    # rank-weighted integer inequality
+    "events_user_lifecycle_weekly",  # growth accounting lag+lead
+    "orders_segment_migration_matrix",  # quartile transition matrix
+    "events_hourly_autocorrelation",  # integer-moment Pearson + sqrt
+    "events_overdispersion_fano", # float-free var/mean profile
+    "text_code_detection",        # content-type router, projection
+    "documents_source_overlap",   # winnow-fp provenance Jaccard
+    "embedding_dim_variance_ranking",  # posexplode + exact moments
+    "orders_anomalous_days",      # trend residual + MAD fence
+    "stats_qty_price_independence",  # integer chi-square screen
 ]
 
 
