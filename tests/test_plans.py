@@ -149,6 +149,8 @@ NESTED_LOOP_BY_DESIGN = {
     "clean_winsorize_prices",
     # 1-row broadcast of the MAD fence onto the day-level residuals
     "orders_anomalous_days",
+    # 1-row broadcast of the daily-revenue median onto the day frame
+    "orders_runs_test_daily",
 }
 
 

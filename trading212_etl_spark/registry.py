@@ -9969,6 +9969,91 @@ def q_events_fano(spark, sf_dir):
     )
 
 
+@register(
+    "orders_runs_test_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT quantile_disc(rev_cents, 0.5) AS med FROM daily
+    ),
+    signs AS (
+      SELECT CASE WHEN d.rev_cents > m.med THEN 1 ELSE 0 END AS s,
+             lag(CASE WHEN d.rev_cents > m.med THEN 1 ELSE 0 END)
+               OVER (ORDER BY d.day_idx) AS prev_s
+      FROM daily d CROSS JOIN med m
+    )
+    SELECT CAST(sum(s) AS BIGINT) AS n_above,
+           CAST(sum(1 - s) AS BIGINT) AS n_below,
+           CAST(1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           CAST((2 * sum(CAST(s AS HUGEINT)) * sum(1 - s) * 1000)
+                // (sum(s) + sum(1 - s)) + 1000 AS BIGINT)
+             AS expected_runs_milli
+    FROM signs
+    """,
+)
+def q_orders_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test on daily revenue vs its median — the
+    nonparametric randomness check (too FEW sign runs = trending /
+    autocorrelated series, too MANY = oscillating), the hypothesis-
+    test reading of what events_hourly_autocorrelation measures
+    parametrically. The median cut uses quantile_disc (an actual
+    data value, no interpolation), the sign sequence's run count is
+    a lag-compare sum over one day-ordered window, and the expected
+    run count 2·n₁·n₂/(n₁+n₂)+1 is emitted in integer milli —
+    everything integer end-to-end. The 1-row median broadcasts onto
+    the day frame (winsorize's pattern, allowlisted in the plan
+    audit); the window runs over the day-level aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_idx")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    med = daily.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_cents)"
+        ).alias("med")
+    )
+    s = F.when(F.col("rev_cents") > F.col("med"), 1).otherwise(0)
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day_idx", s.alias("s")
+    )
+    w = Window.orderBy("day_idx")
+    signs = signs.select("s", F.lag("s").over(w).alias("prev_s"))
+    return signs.agg(
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+        F.expr(
+            "CAST((2 * sum(CAST(s AS DECIMAL(38,0))) * sum(1 - s)"
+            " * 1000) DIV (sum(s) + sum(1 - s)) + 1000 AS BIGINT)"
+        ).alias("expected_runs_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
