@@ -10054,6 +10054,80 @@ def q_orders_runs_test(spark, sf_dir):
     )
 
 
+@register(
+    "drift_value_mann_whitney",
+    oracle="""
+    WITH tagged AS (
+      SELECT value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    per_value AS (
+      SELECT value,
+             CAST(sum(in_a) AS BIGINT) AS c1,
+             CAST(sum(1 - in_a) AS BIGINT) AS c2
+      FROM tagged GROUP BY value
+    ),
+    scan AS (
+      SELECT CAST(c1 AS HUGEINT) AS c1, CAST(c2 AS HUGEINT) AS c2,
+             CAST(coalesce(sum(c2) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS HUGEINT) AS cum2_prev
+      FROM per_value
+    )
+    SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c2) AS BIGINT) AS n2,
+           CAST(sum(c1 * (2 * cum2_prev + c2)) AS BIGINT) AS u2,
+           CAST(sum(c1) * sum(c2) AS BIGINT) AS u2_expected
+    FROM scan
+    """,
+)
+def q_drift_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U between the two January halves' value
+    distributions — the rank-based LOCATION-shift test completing
+    the nonparametric drift kit (KS = max ECDF gap, any shape
+    change; runs test = temporal randomness; U = 'did the median
+    move'). Computed tie-correctly in DOUBLED units so it stays
+    integer: over distinct values ascending,
+    2U = Σ c₁·(2·cum₂_prev + c₂) — each sample-1 point scores 2 per
+    smaller sample-2 point and 1 per tie — with E[2U] = n₁·n₂ as
+    the no-shift reference emitted beside it. Same per-distinct-
+    value ECDF skeleton as drift_value_ks_distance: one groupBy,
+    one ordered scan over distinct values, everything
+    HUGEINT/DECIMAL(38)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    in_a = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1
+    ).otherwise(0)
+    per_value = ev.select("value", in_a.alias("in_a")).groupBy("value").agg(
+        F.sum("in_a").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("c2"),
+    )
+    prev = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = per_value.select(
+        F.col("c1").cast("decimal(38,0)").alias("c1"),
+        F.col("c2").cast("decimal(38,0)").alias("c2"),
+        F.coalesce(F.sum("c2").over(prev), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cum2_prev"),
+    )
+    return scan.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum2_prev") + F.col("c2")))
+        .cast("bigint")
+        .alias("u2"),
+        F.expr("CAST(sum(c1) * sum(c2) AS BIGINT)").alias("u2_expected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
