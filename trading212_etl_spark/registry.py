@@ -10155,8 +10155,14 @@ def q_drift_mann_whitney(spark, sf_dir):
 # stats_supplier_concentration_hhi, portfolio_sharpe_monthly,
 # events_watermark_lateness_audit, eval_lang_id_confusion,
 # agg_heavy_hitters, events_heatmap_dow_hour, orders_pareto_8020,
-# graph_triangle_count), and streaming_presence_bitmap (oracled
-# streaming row). Swap them for the TPC-H block once r03 proves it.
+# graph_triangle_count), the second wave (events_twap/vwap-family
+# features_market_hourly; error SLI, KS + Mann-Whitney + runs-test +
+# chi-square + Fano + ACF stats; fiscal-445, seasonal dow index,
+# Gini, lifecycle, migration matrix, lead time, funnel conversions,
+# YoY, Sharpe, code detection, source overlap, dim variance,
+# anomalous days, order-count distribution, freshness skew), and
+# streaming_presence_bitmap (oracled streaming row). Swap them for
+# the TPC-H block once r03 proves it.
 _DRIVER_WINDOW = [
     # round-2 ts-bug victims: green in r01, red in r02, fixed now
     "events_tumbling_1h",
