@@ -10211,6 +10211,85 @@ def q_lineitem_discount_did(spark, sf_dir):
     )
 
 
+@register(
+    "events_activation_depth",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                          > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM g
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN session_seq = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS first_depth,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM s GROUP BY user_id
+    )
+    SELECT CASE WHEN first_depth = 1 THEN '1'
+                WHEN first_depth <= 3 THEN '2-3'
+                WHEN first_depth <= 7 THEN '4-7'
+                ELSE '8+' END AS depth_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+             AS conversion_ppm
+    FROM per_user GROUP BY 1
+    """,
+)
+def q_events_activation_depth(spark, sf_dir):
+    """Activation analysis: does FIRST-session depth predict lifetime
+    conversion? Users bucket by how many events their first session
+    contained (the 'aha-moment' depth product teams tune onboarding
+    toward), each band reporting its lifetime purchase rate in
+    integer ppm. Reuses the canonical session labeling
+    (operators/events.py:label_sessions — the same rule the
+    sessionize and path-mining entries share), so a change to the
+    gap definition propagates here automatically. One user-keyed
+    window pass, a per-user reduction (first-session depth +
+    lifetime-conversion flag in the SAME aggregate — no second scan),
+    and a 4-band rollup. The observational caveat is the DiD entry's
+    lesson: this ranks bands, it doesn't prove causation."""
+    from pyspark.sql import functions as F
+
+    from .operators.events import label_sessions
+
+    s = label_sessions(_t(spark, sf_dir, "events"), 30)
+    per_user = s.groupBy("user_id").agg(
+        F.sum(F.when(F.col("session_seq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    band = (
+        F.when(F.col("first_depth") == 1, "1")
+        .when(F.col("first_depth") <= 3, "2-3")
+        .when(F.col("first_depth") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return per_user.groupBy(band.alias("depth_band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr(
+            "CAST(sum(converted) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("conversion_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
