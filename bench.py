@@ -116,6 +116,10 @@ HEADLINE = [
     "embedding_dim_variance_ranking",  # posexplode + exact moments
     "orders_anomalous_days",      # trend residual + MAD fence
     "stats_qty_price_independence",  # integer chi-square screen
+    "drift_value_mann_whitney",   # rank-sum location test
+    "orders_runs_test_daily",     # sign-run randomness test
+    "lineitem_discount_did",      # 2x2 causal cells, one groupBy
+    "events_activation_depth",    # first-session depth vs conversion
 ]
 
 
