@@ -10290,6 +10290,98 @@ def q_events_activation_depth(spark, sf_dir):
     )
 
 
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(pre AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(post AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(post AS HUGEINT) * post) AS HUGEINT) AS syy,
+             CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                AS BIGINT) AS theta_milli,
+           CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                AS BIGINT) AS var_reduction_ppm
+    FROM m
+    WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def q_events_cuped(spark, sf_dir):
+    """CUPED (controlled experiments using pre-experiment data): the
+    variance-reduction workhorse of modern A/B platforms. Each
+    user's pre-period value (first January half) serves as covariate
+    for their post-period metric; the optimal adjustment coefficient
+    θ = Cov(pre, post)/Var(pre) and the achievable variance
+    reduction (= corr², the fraction of metric noise the covariate
+    explains — directly the experiment-runtime savings) both emerge
+    from the SAME five moment sums, all exact HUGEINT/DECIMAL(38)
+    over MILLI-lifted values — milli, not the usual micro, because
+    the reduction's squared centered cross-moment must stay inside
+    128-bit/38-digit range (at billions of users, compute θ and
+    corr² from pre-divided moments instead) — finished by integral
+    divisions: θ in
+    milli as (n·Sxy−SxSy)·1000 // (n·Sxx−Sx²) and the reduction in
+    ppm as the cross-multiplied corr² — NO float exists anywhere,
+    unlike the Sharpe/ACF entries which need sqrt. One per-user
+    reduction (pre and post in a single conditional aggregate) and
+    one global moment row."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    v_milli = (
+        F.col("value").cast("decimal(18,6)") * 1000
+    ).cast("bigint")
+    is_pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_pre, v_milli).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(~is_pre, v_milli).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("pre")).alias("sx"),
+        F.sum(d38("post")).alias("sy"),
+        F.sum(d38("pre") * d38("pre")).alias("sxx"),
+        F.sum(d38("post") * d38("post")).alias("syy"),
+        F.sum(d38("pre") * d38("post")).alias("sxy"),
+    ).where(
+        (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("theta_milli"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
+            " DIV ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            " AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
