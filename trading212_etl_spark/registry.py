@@ -10382,6 +10382,76 @@ def q_events_cuped(spark, sf_dir):
     )
 
 
+@register(
+    "events_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                       < '8000'
+                  THEN 'A' ELSE 'B' END AS arm,
+             user_id
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM assigned
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+                AS BIGINT) AS srm_chi2_milli,
+           ((n_a - n_b) * (n_a - n_b) * 1000
+            > 3841 * (n_a + n_b)) AS srm_alarm
+    FROM counts
+    """,
+)
+def q_events_srm_check(spark, sf_dir):
+    """Sample-ratio mismatch — the first health check of any A/B
+    readout (an assignment that should be 50/50 but isn't means the
+    experiment is broken BEFORE you look at metrics; CUPED and DiD
+    readings are void under SRM). Users are assigned by the md5-hash
+    idiom (sample_hash_split — deterministic, retry-stable), and the
+    1-degree-of-freedom χ² = (n_A−n_B)²/(n_A+n_B) is emitted in
+    integer milli with the alarm as the cross-multiplied comparison
+    against the 3.841 critical value (p < 0.05) — alarm boundary
+    exact in both engines, no float anywhere. Here the hash split is
+    genuinely balanced, so this entry also doubles as a property
+    check on the splitter itself: a biased hash WOULD trip the
+    alarm. One distinct + one global aggregate row."""
+    from pyspark.sql import functions as F
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+        < "8000",
+        "A",
+    ).otherwise("B")
+    counts = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 1000 DIV (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("srm_chi2_milli"),
+        (
+            (F.col("n_a") - F.col("n_b"))
+            * (F.col("n_a") - F.col("n_b"))
+            * 1000
+            > 3841 * (F.col("n_a") + F.col("n_b"))
+        ).alias("srm_alarm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
