@@ -120,6 +120,8 @@ HEADLINE = [
     "orders_runs_test_daily",     # sign-run randomness test
     "lineitem_discount_did",      # 2x2 causal cells, one groupBy
     "events_activation_depth",    # first-session depth vs conversion
+    "events_cuped_adjustment",    # float-free CUPED moments
+    "events_srm_check",           # hash-split ratio health gate
 ]
 
 
