@@ -10452,6 +10452,78 @@ def q_events_srm_check(spark, sf_dir):
     )
 
 
+@register(
+    "events_power_analysis_mde",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000
+                           AS BIGINT)) AS BIGINT) AS metric
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(metric AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(metric AS HUGEINT) * metric) AS HUGEINT)
+               AS s2
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(s1 // n AS BIGINT) AS mean_milli,
+           CAST(floor(
+             2.8 * sqrt(2.0
+               * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+               / (CAST(n AS DOUBLE) / 2))
+           ) AS BIGINT) AS mde_milli
+    FROM m WHERE n * s2 > s1 * s1 AND n > 1
+    """,
+)
+def q_events_power_mde(spark, sf_dir):
+    """Power analysis: the minimal detectable effect for a 50/50
+    experiment on the per-user value metric at 80% power / 5% α —
+    MDE = (z_{α/2}+z_{power})·√(2σ²/(n/2)) with the 2.8 constant —
+    the experiment-sizing number read BEFORE launch that CUPED's
+    variance reduction then shrinks (mde·√(1−corr²)) and SRM guards
+    after launch. Variance comes from exact HUGEINT moments of
+    milli-lifted per-user sums; the finish is ÷ and sqrt only on
+    doubles cast from those exact integers (the Sharpe/Wilson
+    determinism boundary), floored to integer milli. Degenerate
+    inputs (constant metric, single user) are excluded by integer
+    predicates. One per-user reduction + one moment row."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * 1000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("metric")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("metric")).alias("s1"),
+        F.sum(d38("metric") * d38("metric")).alias("s2"),
+    ).where(
+        (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
+        & (F.col("n") > 1)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST(floor(2.8 * sqrt(2.0"
+            " * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))"
+            " / (CAST(n AS DOUBLE) / 2))) AS BIGINT)"
+        ).alias("mde_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
