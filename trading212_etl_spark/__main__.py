@@ -71,8 +71,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain(mode="formatted")
         else:
-            df.show(args.limit, truncate=False)
-            print(f"({df.count()} rows total)")
+            # One execution: take(limit+1) both feeds the display and
+            # reveals truncation — show() + count() would run the
+            # whole job twice.
+            rows = df.take(args.limit + 1)
+            shown = rows[: args.limit]
+            spark.createDataFrame(shown, df.schema).show(
+                args.limit, truncate=False
+            )
+            if len(rows) > args.limit:
+                print(f"(truncated at {args.limit} rows; more exist)")
+            else:
+                print(f"({len(rows)} rows total)")
     finally:
         spark.stop()
     return 0

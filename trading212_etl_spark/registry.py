@@ -67,6 +67,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the engine's own writers produce the files its readers are tested on.
 # ---------------------------------------------------------------------------
 
+def _d38(c: str):
+    """Column cast to DECIMAL(38,0) — the exact-moment widening idiom
+    shared by the integer-statistics entries (sums of products stay
+    inside 38 digits; see each entry's magnitude note)."""
+    from pyspark.sql import functions as F
+
+    return F.col(c).cast("decimal(38,0)")
+
+
 def _scratch(sf_dir: str, name: str) -> str:
     import os
 
@@ -9463,14 +9472,13 @@ def q_events_hourly_acf(spark, sf_dir):
         F.lead("hour_idx").over(w).alias("next_idx"),
         F.lead("x").over(w).alias("y"),
     ).where(F.col("next_idx") == F.col("hour_idx") + 1)
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = pairs.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d38("x")).alias("sx"),
-        F.sum(d38("y")).alias("sy"),
-        F.sum(d38("x") * d38("x")).alias("sxx"),
-        F.sum(d38("y") * d38("y")).alias("syy"),
-        F.sum(d38("x") * d38("y")).alias("sxy"),
+        F.sum(_d38("x")).alias("sx"),
+        F.sum(_d38("y")).alias("sy"),
+        F.sum(_d38("x") * _d38("x")).alias("sxx"),
+        F.sum(_d38("y") * _d38("y")).alias("syy"),
+        F.sum(_d38("x") * _d38("y")).alias("sxy"),
     ).where(
         (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
         & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
@@ -9514,7 +9522,6 @@ def q_events_hourly_acf(spark, sf_dir):
     SELECT d.day, d.rev_cents, d.residual_cents,
            abs(d.residual_cents) > 3 * 1.4826 * f.mad AS is_anomaly
     FROM det d CROSS JOIN fence f
-    WHERE abs(d.residual_cents) > 3 * 1.4826 * f.mad
     """,
 )
 def q_orders_anomalous_days(spark, sf_dir):
@@ -9527,9 +9534,11 @@ def q_orders_anomalous_days(spark, sf_dir):
     trend removal IS. Residuals stay integer cents (floor-mean
     trend), the MAD is an exact interpolated percentile of integers,
     and the single fence comparison is the only float — the
-    identical expression in both engines. The 1-row fence broadcasts
-    (winsorize's cut-point pattern); everything before it is the
-    trend entry's single day-level window."""
+    identical expression in both engines. The FULL day frame is
+    emitted with the flag (filtering to flagged rows would make
+    is_anomaly constant-true and the oracle one-sided — review
+    catch); the 1-row fence broadcasts (winsorize's cut-point
+    pattern)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -9559,17 +9568,13 @@ def q_orders_anomalous_days(spark, sf_dir):
     fence = det.agg(
         F.expr("percentile(abs(residual_cents), 0.5)").alias("mad")
     )
-    return (
-        det.crossJoin(F.broadcast(fence))
-        .where(F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad"))
-        .select(
-            "day",
-            "rev_cents",
-            "residual_cents",
-            (
-                F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
-            ).alias("is_anomaly"),
-        )
+    return det.crossJoin(F.broadcast(fence)).select(
+        "day",
+        "rev_cents",
+        "residual_cents",
+        (
+            F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
+        ).alias("is_anomaly"),
     )
 
 
@@ -9720,11 +9725,10 @@ def q_embedding_dim_variance(spark, sf_dir):
             "CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)"
         ).alias("v"),
     )
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = vals.groupBy("dim").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d38("v")).alias("s1"),
-        F.sum(d38("v") * d38("v")).alias("s2"),
+        F.sum(_d38("v")).alias("s1"),
+        F.sum(_d38("v") * _d38("v")).alias("s2"),
     )
     var = F.expr("(n * s2 - s1 * s1) DIV (n * n)")
     return m.select(
@@ -9883,14 +9887,24 @@ def q_orders_segment_migration(spark, sf_dir):
         .cast("int")
         .alias("quartile"),
     )
-    a = seg.where(F.col("period") == "p1").select(
-        "o_custkey", F.col("quartile").alias("q_before")
-    )
-    b = seg.where(F.col("period") == "p2").select(
-        "o_custkey", F.col("quartile").alias("q_after")
-    )
-    mat = a.join(b, "o_custkey").groupBy("q_before", "q_after").agg(
-        F.count(F.lit(1)).alias("n_customers")
+    # single-pass pivot: one scan, no self-join — filtering seg into
+    # two branches and joining would re-execute the fact groupBy and
+    # the ntile window once per branch (review catch)
+    mat = (
+        seg.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "p1", F.col("quartile"))
+            ).alias("q_before"),
+            F.max(
+                F.when(F.col("period") == "p2", F.col("quartile"))
+            ).alias("q_after"),
+        )
+        .where(
+            F.col("q_before").isNotNull() & F.col("q_after").isNotNull()
+        )
+        .groupBy("q_before", "q_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
     return mat.select(
         "q_before",
@@ -9924,10 +9938,10 @@ def q_orders_segment_migration(spark, sf_dir):
     SELECT event_type,
            CAST(n AS BIGINT) AS n_hours,
            CAST(s1 // n AS BIGINT) AS mean_per_hour,
-           CAST(((n * s2 - s1 * s1) * 1000) // (n * n)
-                // (s1 // n) AS BIGINT) AS fano_milli
+           CAST(((n * s2 - s1 * s1) * 1000) // (n * s1) AS BIGINT)
+             AS fano_milli
     FROM m
-    WHERE s1 // n > 0
+    WHERE s1 > 0
     """,
 )
 def q_events_fano(spark, sf_dir):
@@ -9938,10 +9952,11 @@ def q_events_fano(spark, sf_dir):
     events_burst_detection for the per-event flag and
     events_hourly_autocorrelation for temporal persistence — the
     three together are the arrival-process profile). Counts are
-    integers, so population variance and mean come from exact
-    HUGEINT moments and the ratio is two integral divisions —
-    float-free end to end, unlike the textbook var/mean which would
-    inherit summation-order drift. Two stacked aggregates, hour
+    integers, so variance/mean reduces algebraically to the SINGLE
+    integral division (n·Σx²−(Σx)²)·1000 // (n·Σx) — one floor at
+    the end, never a floored intermediate (a floored mean in the
+    divisor biases the factor by up to the mean's fractional part —
+    a round-3 review catch) — float-free end to end. Two stacked aggregates, hour
     grain then type grain."""
     from pyspark.sql import functions as F
 
@@ -9952,19 +9967,17 @@ def q_events_fano(spark, sf_dir):
             F.unix_date(F.col("ts").cast("date")) * 24 + F.hour("ts")
         ).alias("hour_idx"),
     ).agg(F.count(F.lit(1)).alias("x"))
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d38("x")).alias("s1"),
-        F.sum(d38("x") * d38("x")).alias("s2"),
+        F.sum(_d38("x")).alias("s1"),
+        F.sum(_d38("x") * _d38("x")).alias("s2"),
     )
-    return m.where(F.expr("s1 DIV n > 0")).select(
+    return m.where(F.col("s1") > 0).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_hours"),
         F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_per_hour"),
         F.expr(
-            "CAST(((n * s2 - s1 * s1) * 1000) DIV (n * n)"
-            " DIV (s1 DIV n) AS BIGINT)"
+            "CAST(((n * s2 - s1 * s1) * 1000) DIV (n * s1) AS BIGINT)"
         ).alias("fano_milli"),
     )
 
@@ -10234,8 +10247,10 @@ def q_lineitem_discount_did(spark, sf_dir):
       SELECT user_id,
              CAST(sum(CASE WHEN session_seq = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS first_depth,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
+             max(CASE WHEN session_seq = 1 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS converted_first,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       FROM s GROUP BY user_id
     )
     SELECT CASE WHEN first_depth = 1 THEN '1'
@@ -10243,18 +10258,25 @@ def q_lineitem_discount_did(spark, sf_dir):
                 WHEN first_depth <= 7 THEN '4-7'
                 ELSE '8+' END AS depth_band,
            CAST(count(*) AS BIGINT) AS n_users,
-           CAST(sum(converted) AS BIGINT) AS n_converted,
-           CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
-             AS conversion_ppm
+           CAST(sum(converted_first) AS BIGINT) AS n_converted_first,
+           CAST(sum(converted_first) * 1000000 // count(*) AS BIGINT)
+             AS first_conversion_ppm,
+           CAST(sum(n_purchases) * 1000 // count(*) AS BIGINT)
+             AS lifetime_purchases_milli
     FROM per_user GROUP BY 1
     """,
 )
 def q_events_activation_depth(spark, sf_dir):
-    """Activation analysis: does FIRST-session depth predict lifetime
+    """Activation analysis: does FIRST-session depth predict
     conversion? Users bucket by how many events their first session
     contained (the 'aha-moment' depth product teams tune onboarding
-    toward), each band reporting its lifetime purchase rate in
-    integer ppm. Reuses the canonical session labeling
+    toward), each band reporting its FIRST-SESSION purchase rate in
+    integer ppm plus mean lifetime purchases in milli. First-session
+    conversion rather than a lifetime-ever flag because on this
+    corpus nearly every user eventually purchases — a lifetime flag
+    is constant 1 and the oracle stops discriminating (the review's
+    non-discriminating-oracle catch; same family as the vacuous-
+    zero-row lesson). Reuses the canonical session labeling
     (operators/events.py:label_sessions — the same rule the
     sessionize and path-mining entries share), so a change to the
     gap definition propagates here automatically. One user-keyed
@@ -10272,8 +10294,17 @@ def q_events_activation_depth(spark, sf_dir):
         .cast("bigint")
         .alias("first_depth"),
         F.max(
+            F.when(
+                (F.col("session_seq") == 1)
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        ).alias("converted_first"),
+        F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted"),
+        )
+        .cast("bigint")
+        .alias("n_purchases"),
     )
     band = (
         F.when(F.col("first_depth") == 1, "1")
@@ -10283,10 +10314,14 @@ def q_events_activation_depth(spark, sf_dir):
     )
     return per_user.groupBy(band.alias("depth_band")).agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum("converted_first").cast("bigint").alias("n_converted_first"),
         F.expr(
-            "CAST(sum(converted) * 1000000 DIV count(*) AS BIGINT)"
-        ).alias("conversion_ppm"),
+            "CAST(sum(converted_first) * 1000000 DIV count(*)"
+            " AS BIGINT)"
+        ).alias("first_conversion_ppm"),
+        F.expr(
+            "CAST(sum(n_purchases) * 1000 DIV count(*) AS BIGINT)"
+        ).alias("lifetime_purchases_milli"),
     )
 
 
@@ -10296,11 +10331,13 @@ def q_events_activation_depth(spark, sf_dir):
     WITH per_user AS (
       SELECT user_id,
              CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
-                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000
-                            AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                            AS BIGINT) // 1000 ELSE 0 END)
+                  AS BIGINT) AS pre,
              CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000
-                            AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+                  THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                            AS BIGINT) // 1000 ELSE 0 END)
+                  AS BIGINT) AS post
       FROM events GROUP BY user_id
     ),
     m AS (
@@ -10344,9 +10381,13 @@ def q_events_cuped(spark, sf_dir):
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events")
-    v_milli = (
-        F.col("value").cast("decimal(18,6)") * 1000
-    ).cast("bigint")
+    # micro lift is always integral for DECIMAL(18,6); the milli
+    # reduction is then an integer DIV — a direct *1000 cast would
+    # round in DuckDB but truncate in Spark on >3-decimal values
+    v_milli = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        " DIV 1000"
+    )
     is_pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(is_pre, v_milli).otherwise(0))
@@ -10356,14 +10397,13 @@ def q_events_cuped(spark, sf_dir):
         .cast("bigint")
         .alias("post"),
     )
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = per_user.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d38("pre")).alias("sx"),
-        F.sum(d38("post")).alias("sy"),
-        F.sum(d38("pre") * d38("pre")).alias("sxx"),
-        F.sum(d38("post") * d38("post")).alias("syy"),
-        F.sum(d38("pre") * d38("post")).alias("sxy"),
+        F.sum(_d38("pre")).alias("sx"),
+        F.sum(_d38("post")).alias("sy"),
+        F.sum(_d38("pre") * _d38("pre")).alias("sxx"),
+        F.sum(_d38("post") * _d38("post")).alias("syy"),
+        F.sum(_d38("pre") * _d38("post")).alias("sxy"),
     ).where(
         (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
         & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
@@ -10457,8 +10497,8 @@ def q_events_srm_check(spark, sf_dir):
     oracle="""
     WITH per_user AS (
       SELECT user_id,
-             CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000
-                           AS BIGINT)) AS BIGINT) AS metric
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                           AS BIGINT) // 1000) AS BIGINT) AS metric
       FROM events GROUP BY user_id
     ),
     m AS (
@@ -10497,16 +10537,18 @@ def q_events_power_mde(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(
-            (F.col("value").cast("decimal(18,6)") * 1000).cast("bigint")
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+                " DIV 1000"
+            )
         )
         .cast("bigint")
         .alias("metric")
     )
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = per_user.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d38("metric")).alias("s1"),
-        F.sum(d38("metric") * d38("metric")).alias("s2"),
+        F.sum(_d38("metric")).alias("s1"),
+        F.sum(_d38("metric") * _d38("metric")).alias("s2"),
     ).where(
         (F.col("n") * F.col("s2") > F.col("s1") * F.col("s1"))
         & (F.col("n") > 1)
