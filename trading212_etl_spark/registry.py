@@ -10566,6 +10566,66 @@ def q_events_power_mde(spark, sf_dir):
     )
 
 
+@register(
+    "events_stickiness_dau_mau",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+      SELECT (day + r.i * INTERVAL 1 DAY) AS m_day, user_id
+      FROM seen CROSS JOIN (SELECT unnest(range(0, 30)) AS i) r
+    ),
+    mau AS (
+      SELECT m_day AS day, count(DISTINCT user_id) AS mau
+      FROM contrib GROUP BY m_day
+    ),
+    dau AS (
+      SELECT day, count(*) AS dau FROM seen GROUP BY day
+    )
+    SELECT d.day, d.dau, m.mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m USING (day)
+    """,
+)
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — the engagement KPI (what fraction of the
+    month's actives show up on a given day; 1 000 000 ppm = everyone
+    daily). Extends the events_dau_wau machinery from a 7- to a
+    30-day trailing COUNT DISTINCT via the same contribution
+    explosion — exact sliding distincts don't decompose into window
+    frames, so each (user, day) activity fans out to the 30 window
+    days it keeps the user counted in, and one groupBy counts
+    distincts; shuffle volume is 30× the DISTINCT (user, day) pairs,
+    still tiny against raw events. The ratio is integral ppm. The
+    first 29 days carry partial windows by construction — reported,
+    not dropped, identically in both engines."""
+    from pyspark.sql import functions as F
+
+    seen = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = seen.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
+    mau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    dau = seen.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(mau, on="day").select(
+        "day",
+        "dau",
+        "mau",
+        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
