@@ -10626,6 +10626,53 @@ def q_events_stickiness(spark, sf_dir):
     )
 
 
+@register(
+    "orders_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS d
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT d AS first_digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER ()
+                AS BIGINT) AS share_ppm
+    FROM digits GROUP BY d
+    """,
+)
+def q_orders_benford(spark, sf_dir):
+    """Benford first-digit screening of order totals — the classic
+    forensic-accounting scan (fabricated amounts over-represent
+    high first digits; organic multiplicative data tracks
+    log10(1+1/d)). The digit is extracted from the STRING of the
+    floored integer part — never from log10 (libm) and never by
+    formatting a float (engines disagree on float rendering;
+    integer-to-string is identical everywhere) — and shares are
+    integral ppm over the 9-row digit frame. Note the honest caveat
+    a screening tool must carry: bounded synthetic distributions
+    (like this corpus's uniform-ish totals) legitimately deviate
+    from Benford; the entry reports the distribution, the analyst
+    supplies the reference. One map-side-combinable groupBy."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.expr(
+            "substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV (sum(n) OVER ()) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external correctness driver checks the
 # FIRST 50 registered queries per round (CORRECTNESS_r01/r02 are each
