@@ -4,6 +4,14 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The final stdout line is kept COMPACT (<200 chars): the driver keeps
+only a bounded tail of stdout, and a ~100-query per-query dict is ~8 KB
+— it truncated mid-object in r2 and r3 (BENCH_r0{2,3}.json
+"parsed": null). The summary therefore carries the aggregate numbers
+plus a small "queries" sample, and the FULL per-query timing dict (both
+scale factors + superlinearity flags) lives in BENCH_SCALING.json,
+which survives the round as a side artifact.
+
 Each query is forced end-to-end with the ``noop`` sink (full physical
 execution, zero collect/serialize overhead on the driver), which is
 what a cluster job would look like — write-terminated, not
@@ -186,18 +194,30 @@ def main() -> None:
         except ValueError:
             return base
 
+    # Compact driver-facing summary (<200 chars, see module docstring).
+    # "queries" keeps the contract key but holds only the flagship —
+    # the full dict is in BENCH_SCALING.json["primary"]["queries"].
     result: dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {"flagship_pipeline": timings.get("flagship_pipeline")},
+        "n_queries": len(timings),
         "sf": parse_sf(sf_dir),
+        "queries_file": "BENCH_SCALING.json",
+    }
+    scaling: dict = {
+        "primary": {
+            "sf": parse_sf(sf_dir),
+            "total": total,
+            "queries": timings,
+        }
     }
 
     # Secondary scale factor (default sf0.01, 10x below the primary):
     # per-query ratios expose any superlinear operator — a query whose
     # wall scales worse than ~linear in rows fails at 100 TB even if
-    # its sf0.1 number looks fine. Written to a SIDE FILE, not the
+    # its sf0.1 number looks fine. Written to the SIDE FILE, not the
     # stdout JSON: the driver captures a bounded tail of stdout and the
     # r02 scaling block pushed the headline line past it (BENCH_r02
     # "parsed": null). Set SPARK_GRAFT_SF2_DIR=skip to disable.
@@ -217,7 +237,7 @@ def main() -> None:
             q: (round(timings[q] / t2[q], 2) if min(timings[q], t2[q]) >= 0.3 else None)
             for q in t2
         }
-        scaling = {
+        scaling["secondary"] = {
             "sf": sf2,
             "total": round(sum(t2.values()), 3),
             "queries": t2,
@@ -229,11 +249,12 @@ def main() -> None:
                 if r is not None and row_ratio is not None and r >= row_ratio
             ),
         }
-        side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
-        )
-        with open(side, "w") as fh:
-            json.dump(scaling, fh)
+
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    with open(side, "w") as fh:
+        json.dump(scaling, fh, indent=1)
 
     # The driver contract: ONE compact JSON line, last on stdout.
     sys.stdout.flush()

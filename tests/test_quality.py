@@ -167,3 +167,42 @@ def test_entity_resolution_clusters_are_transitive(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(10, 10), (11, 10), (12, 10)}
+
+
+def test_presence_bitmap_day_domain(spark):
+    """Loud domain assertion for the presence-bitmap entries (ADVICE
+    r3): the [0, 62] day-idx guard is applied IDENTICALLY by the Spark
+    entry and its DuckDB oracle, so a corpus that outgrows the 63-day
+    domain would be truncated invisibly on both sides — the parity
+    gate cannot notice dropped rows. This test is the tripwire: it
+    fails the suite the day the events corpus reaches day_idx 63
+    (where shiftleft(1L, 63) wraps into the sign bit on Spark and
+    1::BIGINT << 63 overflows on DuckDB), forcing a widening of the
+    mask (two-long bitmap) instead of a silent drop."""
+    import glob
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}"
+        if not glob.glob(os.path.join(path, "events.parquet*")):
+            continue
+        from trading212_etl_spark.sources import load_table
+
+        ev = load_table(spark, path, "events")
+        bounds = ev.select(
+            F.min(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+            ).alias("lo"),
+            F.max(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+            ).alias("hi"),
+        ).first()
+        assert bounds["lo"] >= 0 and bounds["hi"] <= 62, (
+            f"{sf}: events day_idx spans [{bounds['lo']}, {bounds['hi']}] — "
+            "outside the presence-bitmap single-BIGINT domain [0, 62]; "
+            "widen the mask rather than letting the guard drop rows"
+        )

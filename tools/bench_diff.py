@@ -1,0 +1,100 @@
+"""Bench variance guard (VERDICT r3 item 8): compare the current
+BENCH_SCALING.json per-query walls against the previous round's
+snapshot and fail loudly when any common query regresses >2x.
+
+Motivation: the r2 asof/interval "regression" turned out to be
+bench-process noise, but cost a round of attention because nothing
+diffed the numbers automatically. This tool makes a real regression a
+CI-visible event and a noisy one a one-line dismissal.
+
+Usage:
+    python tools/bench_diff.py            # diff current vs baseline
+    python tools/bench_diff.py --update   # accept current as baseline
+
+Rules:
+- queries are compared per scale factor ("primary" = sf0.1,
+  "secondary" = sf0.01 blocks of BENCH_SCALING.json);
+- a query participates only when BOTH walls clear the local
+  job-overhead noise floor (0.3 s) — below that, ratios are jitter;
+- regression threshold 2.0x (matches the driver's own "within 2x"
+  contract); exit code 1 lists every offender.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CURRENT = os.path.join(REPO, "BENCH_SCALING.json")
+BASELINE = os.path.join(REPO, "tools", "bench_baseline.json")
+NOISE_FLOOR_SEC = 0.3
+REGRESSION_RATIO = 2.0
+
+
+def _blocks(path: str) -> dict[str, dict[str, float]]:
+    """Extract {sf_label: {query: wall}} from a BENCH_SCALING.json.
+
+    Tolerates both the r4+ layout ({"primary": {...}, "secondary":
+    {...}}) and the r3 layout (a bare secondary block at top level).
+    """
+    with open(path) as fh:
+        data = json.load(fh)
+    out: dict[str, dict[str, float]] = {}
+    if "primary" in data or "secondary" in data:
+        for label in ("primary", "secondary"):
+            block = data.get(label)
+            if block and isinstance(block.get("queries"), dict):
+                out[str(block.get("sf", label))] = block["queries"]
+    elif isinstance(data.get("queries"), dict):  # r3 layout: bare block
+        out[str(data.get("sf", "secondary"))] = data["queries"]
+    return out
+
+
+def main() -> int:
+    if not os.path.exists(CURRENT):
+        print(f"bench_diff: no {CURRENT}; run bench.py first")
+        return 2
+    if "--update" in sys.argv:
+        with open(CURRENT) as src, open(BASELINE, "w") as dst:
+            dst.write(src.read())
+        print(f"bench_diff: baseline updated from {os.path.basename(CURRENT)}")
+        return 0
+    if not os.path.exists(BASELINE):
+        print("bench_diff: no baseline yet; run with --update to seed")
+        return 2
+
+    cur, base = _blocks(CURRENT), _blocks(BASELINE)
+    regressions: list[str] = []
+    improvements = 0
+    compared = 0
+    for sf, cur_q in cur.items():
+        base_q = base.get(sf, {})
+        for q, wall in cur_q.items():
+            prev = base_q.get(q)
+            if prev is None or min(wall, prev) < NOISE_FLOOR_SEC:
+                continue
+            compared += 1
+            ratio = wall / prev
+            if ratio > REGRESSION_RATIO:
+                regressions.append(
+                    f"  sf{sf} {q}: {prev:.2f}s -> {wall:.2f}s ({ratio:.2f}x)"
+                )
+            elif ratio < 1 / REGRESSION_RATIO:
+                improvements += 1
+
+    print(
+        f"bench_diff: {compared} comparable walls, "
+        f"{len(regressions)} regressions >{REGRESSION_RATIO}x, "
+        f"{improvements} improvements >{REGRESSION_RATIO}x"
+    )
+    if regressions:
+        print("REGRESSIONS:")
+        print("\n".join(regressions))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

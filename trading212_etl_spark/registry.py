@@ -7525,7 +7525,7 @@ def q_events_ewma(spark, sf_dir):
                AS day_idx
       FROM events
       WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 63
+            BETWEEN 0 AND 62
     )
     SELECT user_id,
            bit_or(CAST(1 AS BIGINT) << day_idx) AS presence_mask,
@@ -7556,11 +7556,16 @@ def q_events_presence_bitmap(spark, sf_dir):
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
             ).alias("day_idx"),
         )
-        # 64-bit contract guard: outside [0, 63] Spark's shiftleft
-        # wraps (Java mod-64 shifts) while DuckDB's << does not —
-        # clamp the domain so a regenerated corpus fails loudly (row
-        # drop → count drift) instead of silently diverging.
-        .where(F.col("day_idx").between(0, 63))
+        # 64-bit contract guard: at day_idx=63 the engines diverge
+        # (Spark shiftleft(1L,63) wraps into the sign bit -> negative
+        # mask; DuckDB 1::BIGINT << 63 raises an overflow error), and
+        # above 63 Spark wraps mod 64 while DuckDB does not — so the
+        # admissible domain is [0, 62]. Note both sides apply the SAME
+        # filter, so a corpus that outgrows the domain is dropped
+        # identically on both sides and the parity gate can NOT catch
+        # the truncation; the loud check is the explicit domain
+        # assertion in tests/test_quality.py::test_presence_bitmap_day_domain.
+        .where(F.col("day_idx").between(0, 62))
         .distinct()
     )
     mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)"))
@@ -8053,7 +8058,7 @@ def q_clean_mad_outliers(spark, sf_dir):
                AS day_idx
       FROM events
       WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-            BETWEEN 0 AND 63
+            BETWEEN 0 AND 62
     )
     SELECT user_id,
            bit_or(CAST(1 AS BIGINT) << day_idx) AS presence_mask,
@@ -10687,84 +10692,75 @@ def q_orders_benford(spark, sf_dir):
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r04 rotation candidates (round-3 additions, all local+sim green at
-# sf0.01/sf0.1/hostile-TZ but without a driver row yet): the
-# behavioral/feature family (events_twap_hourly,
-# events_rolling_volatility, features_market_hourly,
-# events_ewma_smoothed, events_session_paths, orders_churn_labels,
-# orders_cohort_ltv, features_ntile_bins, events_user_presence_bitmap,
-# window_running_distinct), the statistical-monitoring family
-# (drift_priority_mix_monthly, stats_returns_rate_wilson,
-# events_burst_detection, clean_mad_outliers, events_gap_percentiles,
-# orders_trend_residual_daily, orders_yoy_growth_monthly,
-# stats_supplier_concentration_hhi, portfolio_sharpe_monthly,
-# events_watermark_lateness_audit, eval_lang_id_confusion,
-# agg_heavy_hitters, events_heatmap_dow_hour, orders_pareto_8020,
-# graph_triangle_count), the second wave (events_twap/vwap-family
-# features_market_hourly; error SLI, KS + Mann-Whitney + runs-test +
-# chi-square + Fano + ACF stats; fiscal-445, seasonal dow index,
-# Gini, lifecycle, migration matrix, lead time, funnel conversions,
-# YoY, Sharpe, code detection, source overlap, dim variance,
-# anomalous days, order-count distribution, freshness skew), and
-# streaming_presence_bitmap (oracled streaming row). Swap them for
-# the TPC-H block once r03 proves it.
+# r04: window rotated to the 50-of-126 never-driver-checked entries
+# (join battery, set ops, function batteries, sources/sinks,
+# oracled streaming twins, text/embedding, profiling). The remaining
+# 76 never-checked entries queue in original order for r05+.
 _DRIVER_WINDOW = [
-    # round-2 ts-bug victims: green in r01, red in r02, fixed now
-    "events_tumbling_1h",
-    "events_sliding_2h_1h",
-    "events_sessionize_30m",
-    "events_session_window",
-    "events_retention_cohorts",
-    "join_asof_backward",
-    "window_range_frame",
-    # ts-family local-failures now fixed
-    "timestamp_funcs",
-    "events_gapfill_hourly",
-    "events_ohlc_daily",
-    # flagship chains (the reference's EP3 pipeline) — never checked
-    "flagship_pipeline",
-    "flagship_pipeline_decimal",
-    # TPC-H shapes without a driver row (Q3/Q14/Q18 are double-green)
-    "tpch_q2_best_supplier_per_part",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_by_year",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotable_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # relational depth never checked
-    "merge_upsert_orders",
-    "scd2_customer_history",
-    "subquery_correlated",
-    "string_funcs",
-    "string_funcs_extended",
-    # LLM-pipeline suites never checked
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_pack_sequences",
-    "sample_domain_mixture",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "embedding_kmeans_step",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "pipeline_curate_corpus",
-    "text_token_stats",
-    "text_quality_score",
-    "text_tfidf_topk",
-    "text_redact",
+    # --- r04 window: 50 entries with NO driver row across r01-r03
+    # (VERDICT r3 item 2). All oracled; all green in the local
+    # test_oracle_parity gate. Disjoint from every prior window, taking
+    # cumulative driver-verified coverage 96 -> 146 if green.
+    # join battery: skew salting, dynamic partition pruning, the
+    # remaining as-of variants, SCD2 point-in-time lookup
+    "join_salted_skew",
+    "join_dpp_partitioned",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_asof_nearest",
+    "join_point_in_time",
+    # relational depth: predicates, projection, set ops, top-k,
+    # ordered string-agg, delete propagation, snapshot diff
+    "filter_isin",
+    "predicate_equality",
+    "projection_reorder",
+    "literal_and_derived_columns",
+    "union_dedup_chunks",
+    "union_missing_columns",
+    "intersect_except",
+    "sort_limit_topk",
+    "string_agg_first8",
+    "delete_propagation",
+    "snapshot_diff_orders",
+    # SURVEY 2.8 scalar/aggregate function batteries
+    "map_funcs",
+    "math_funcs",
+    "array_funcs",
+    "null_conditional_funcs",
+    "grouping_sets_sql",
+    "stat_aggs",
+    "agg_argmax_battery",
+    # sources / sinks: schema evolution, binary ingest, malformed CSV,
+    # gzip roundtrip, z-order layout, small-file compaction
+    "source_schema_evolution",
+    "source_binary_files",
+    "source_csv_malformed",
+    "source_csv_gzip_roundtrip",
+    "sink_zorder_layout",
+    "sink_compaction",
+    # streaming twins, oracled against their batch equivalents
+    "streaming_sliding_2h_1h",
+    "streaming_session_window",
+    "streaming_cdc_apply",
+    "streaming_vwap_hourly",
+    "streaming_presence_bitmap",
+    # text / embedding suites without a driver row
+    "text_fingerprint",
+    "text_repetition",
+    "text_chunk_windows",
+    "text_top_ngrams",
+    "text_unigram_lm_score",
+    "text_model_quality_filter",
+    "text_code_detection",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "embedding_pca_power_iter",
+    "multimodal_image_meta",
+    # profiling / window analytics / hierarchy rollup
+    "profile_key_skew",
+    "profile_quantiles",
+    "window_running_distinct",
+    "events_rollup_hierarchy",
 ]
 
 

@@ -509,9 +509,12 @@ def streaming_presence_bitmap(stream: DataFrame) -> DataFrame:
     the identical value — the same reason the VWAP stream equals its
     batch rollup bit-for-bit. No window: the aggregate is keyed by
     user alone, state is O(|users|)·16 bytes, and complete-mode
-    output over a finite source IS the batch result. The [0, 63]
+    output over a finite source IS the batch result. The [0, 62]
     day-domain guard matches the batch entry (shiftleft wraps mod 64
-    in the JVM)."""
+    in the JVM; day 63 would set the sign bit, where the DuckDB
+    oracle instead raises an overflow — so 62 is the last shared
+    day). The domain is asserted loudly in
+    tests/test_quality.py::test_presence_bitmap_day_domain."""
     days = (
         stream.select(
             "user_id",
@@ -519,7 +522,7 @@ def streaming_presence_bitmap(stream: DataFrame) -> DataFrame:
                 F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
             ).alias("day_idx"),
         )
-        .where(F.col("day_idx").between(0, 63))
+        .where(F.col("day_idx").between(0, 62))
     )
     mask = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day_idx)"))
     return days.groupBy("user_id").agg(
