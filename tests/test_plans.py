@@ -649,3 +649,52 @@ def test_winsorize_broadcasts_cuts(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     # the clamp pass itself must not shuffle the fact table
     assert "Exchange hashpartitioning(o_orderkey" not in p
+
+
+def test_ordered_scans_have_no_unpartitioned_window_over_data(spark):
+    """The r3 verdict's scale-killer fix: the five rank/ECDF entries
+    must not move their (unbounded-cardinality) frame through a
+    single-partition WindowExec. After the ordered_prefix rewrite,
+    every window over DATA is partitioned on spark_partition_id();
+    the only permitted unpartitioned stage is the final scalar
+    aggregate (gini/KS/U emit one row), which is a partial-agg +
+    SinglePartition reduce, not a window. We assert on the window
+    specs directly: every windowspecdefinition in the plan names a
+    partition column before its ORDER BY."""
+    import re
+
+    for name in (
+        "orders_pareto_8020",
+        "orders_gini_coefficient",
+        "orders_rfm_segments",
+        "drift_value_ks_distance",
+        "drift_value_mann_whitney",
+    ):
+        df = registry.QUERIES[name](spark, SF)
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", simple):
+            args = m.group(1)
+            # A partitioned spec reads (part..., order ASC/DESC ...,
+            # frame); an unpartitioned one starts at the ORDER BY,
+            # so its FIRST argument carries the sort direction.
+            first = args.split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name}: unpartitioned window over data: {args[:120]}"
+            )
+
+
+def test_ordered_prefix_sort_stage_is_parallel(spark):
+    """>1 partition must survive the sort stage: the pareto scan's
+    row_number window hash-partitions on __pid (32 shuffle
+    partitions), not SinglePartition."""
+    df = registry.QUERIES["orders_pareto_8020"](spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pid" in simple
+    # the lone SinglePartition exchanges allowed are under the
+    # broadcast of the partition-count-sized offsets frame — no
+    # SinglePartition may feed a Sort over the data frame
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", simple):
+        nxt = m.group(1)
+        assert "Sort" not in nxt, f"single-partition sort stage: {nxt[:120]}"

@@ -122,3 +122,146 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[recombine[fn](out).alias(out) for out, (_, fn) in aggs.items()]
     )
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    sum_cols: list[str] | None = None,
+    rn_name: str | None = None,
+    exclusive: bool = False,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Distributed ORDER BY scan: global ``row_number`` and/or running
+    sums over a total order WITHOUT a single-partition WindowExec.
+
+    The naive ``Window.orderBy(...)`` moves the entire frame through
+    one task ("No Partition Defined" — the r3 verdict's named
+    100x-scale killer). This is the two-pass rewrite it prescribes:
+
+    1. ``repartitionByRange`` on the sort order — partition *i* holds a
+       contiguous key range wholly below partition *i+1* (the range
+       partitioner places each row against sampled bounds), so a
+       per-partition scan plus a per-partition additive offset equals
+       the global scan;
+    2. per-partition prefix via a window PARTITIONED on
+       ``spark_partition_id()`` (parallel across the cluster);
+    3. per-partition totals (``num_parts`` rows, partition-count-sized
+       METADATA, not data) cascaded into exclusive offsets and
+       broadcast-joined back.
+
+    ``order_by`` must define a TOTAL order (include a unique
+    tiebreaker) — equal sort keys could otherwise straddle a range
+    boundary and the offset addition would double-count their prefix.
+    ``sum_cols`` get running sums as ``run_<col>`` (inclusive, or
+    exclusive of the current row with ``exclusive=True``);
+    ``rn_name`` adds the global row number. The per-partition totals
+    also yield grand totals, emitted as ``total_<col>`` / ``total_n``
+    on every row — the usual companions (they'd otherwise need a
+    second unpartitioned window).
+
+    Cost: two full-width shuffles (range + pid-hash), one broadcast.
+    The only ordered window over unbounded data runs per-pid; the
+    offsets window runs over <= num_parts rows and is partitioned by a
+    constant key so no stage is both unbounded and single-partition.
+    """
+    sum_cols = list(sum_cols or [])
+    reserved = {"__pid", "__rn", "__off_n"} | {
+        p + c for c in sum_cols for p in ("__run_", "__off_", "__sum_")
+    }
+    assert rn_name not in reserved, f"rn_name {rn_name!r} shadows an internal column"
+    spark = df.sparkSession
+    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    # The pid column MUST be frozen into data before the plan branches:
+    # spark_partition_id() is non-deterministic, and the running scan
+    # and the per-partition totals below are two separate consumers —
+    # if the range exchange is re-executed (or its AQE shuffle-read
+    # differs) between them, the two branches see DIFFERENT pid
+    # assignments and the offset addition silently corrupts ranks
+    # (observed: run-to-run flapping u2 at sf0.1 before this
+    # materialize). One checkpoint of the (already aggregated,
+    # catalog-sized) frame; conf-pluggable via
+    # spark.trading212.materialize for the 100 TB deployment.
+    ranged = materialize(
+        df.repartitionByRange(n_parts, *order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    local = Window.partitionBy("__pid").orderBy(*order_by)
+    running = ranged.withColumn("__rn", F.row_number().over(local))
+    for c in sum_cols:
+        running = running.withColumn(
+            f"__run_{c}",
+            F.sum(c).over(local.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+
+    totals = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],
+    )
+    # Exclusive cascade over the per-partition totals: <= n_parts rows
+    # regardless of data volume, so a constant partition key (one
+    # partition, but partition-count-sized METADATA, not data) is the
+    # correct scale class. The key must be non-foldable — a plain
+    # lit(0) (and even __pid * 0) is constant-folded out of the window
+    # spec, reverting to the "No Partition Defined" plan this helper
+    # exists to avoid. floor(__pid / 1M) survives the optimizer and is
+    # honest about the scale contract: the cascade is bucketed per
+    # million shuffle partitions (one bucket for any real job).
+    totals = totals.withColumn(
+        "__zero", F.floor(F.col("__pid") / F.lit(1_000_000))
+    )
+    cascade = Window.partitionBy("__zero").orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grand = Window.partitionBy("__zero")
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(cascade), F.lit(0)).alias("__off_n"),
+        F.sum("__cnt").over(grand).alias("total_n"),
+        *[
+            F.coalesce(F.sum(f"__sum_{c}").over(cascade), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+        *[
+            F.sum(f"__sum_{c}").over(grand).alias(f"total_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    out = running.join(F.broadcast(offsets), "__pid")
+    if rn_name is not None:
+        out = out.withColumn(rn_name, F.col("__rn") + F.col("__off_n"))
+    for c in sum_cols:
+        run = F.col(f"__run_{c}") + F.col(f"__off_{c}")
+        if exclusive:
+            run = run - F.col(c)
+        out = out.withColumn(f"run_{c}", run)
+    drop = ["__pid", "__rn", "__off_n"]
+    drop += [f"__run_{c}" for c in sum_cols] + [f"__off_{c}" for c in sum_cols]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """Exact ``ntile(k)`` from a global row number and total count —
+    the projection that replaces a global ntile window once
+    ``ordered_prefix`` has produced the rank.
+
+    SQL ntile semantics: with ``n = k*size + rem``, the first ``rem``
+    buckets take ``size + 1`` rows, the rest ``size``. Pure integer
+    arithmetic (ceil(a/b) = (a + b - 1) div b), so it matches both
+    engines bit-for-bit; when n < k the first branch covers every row
+    (size = 0, rem = n) and each row lands in its own bucket = rn,
+    which is exactly SQL's answer.
+    """
+    size = F.floor(n / k)
+    rem = n % k
+    head = rn <= rem * (size + 1)
+    head_bucket = F.floor((rn + size) / (size + 1))
+    tail_bucket = rem + F.floor((rn - rem * (size + 1) + size - 1) / size)
+    return F.when(head, head_bucket).otherwise(tail_bucket).cast("int")
