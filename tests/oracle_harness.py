@@ -98,6 +98,35 @@ def decimal_output_lint(name: str, oracle_types) -> list[str]:
     ]
 
 
+def complex_type_lint(name: str, spark_df) -> list[str]:
+    """Contract lint: an oracled entry must never emit Array/Map/Struct
+    output columns. The driver canonicalizes results through pandas
+    ``sort_values`` over raw cell values, which throws ``unhashable
+    type: 'list'`` on any complex cell — the single red CORRECTNESS
+    row of r4 (``embedding_quantize_int8`` qvec) was exactly this, and
+    ``text_inverted_index`` carried the same latent crash. Serialize
+    with ``F.array_join`` (Spark) + ``array_to_string`` (DuckDB)."""
+    from pyspark.sql import types as T
+
+    return [
+        f"{name}: output column '{f.name}' has complex type "
+        f"{f.dataType.simpleString()} — the driver's pandas sort_values "
+        "canonicalization crashes on list/dict cells; serialize it "
+        "(array_join / array_to_string)"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def _driver_sort_canon(pdf: pd.DataFrame):
+    """Mirror of the driver's canonicalization: pandas ``sort_values``
+    over ALL columns on RAW values (no per-cell stringification).
+    Raises on complex cells exactly like the driver does, so local
+    green ⇒ driver green for this failure class (VERDICT r4 item 7)."""
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
 def compare(
     name: str,
     spark_df,
@@ -111,7 +140,22 @@ def compare(
         errs.extend(temporal_type_mismatches(name, spark_df, oracle_desc))
     if oracle_types is not None:
         errs.extend(decimal_output_lint(name, oracle_types))
+    errs.extend(complex_type_lint(name, spark_df))
+    if errs:
+        return errs
     spdf = spark_df.toPandas()
+    # Reproduce the driver's raw-value sort before the value-level
+    # comparison: a cell type that breaks it must fail HERE, locally.
+    for side, frame in (("spark", spdf), ("oracle", oracle_pdf)):
+        try:
+            _driver_sort_canon(frame)
+        except TypeError as e:
+            errs.append(
+                f"{name}: driver-style sort_values canonicalization "
+                f"raises on the {side} result: {e}"
+            )
+    if errs:
+        return errs
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         errs.append(
             f"{name}: columns differ spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"

@@ -103,6 +103,45 @@ def test_harness_detects_mutations(spark, oracle_con):
     )
 
 
+def test_harness_rejects_complex_columns(spark, oracle_con):
+    """Meta-test for the complex-type lint + driver-sort mirror: an
+    oracled entry emitting a raw array column MUST fail locally —
+    the driver's pandas sort_values canonicalization crashes on list
+    cells (the one red CORRECTNESS row of r4). A comparator that
+    stringifies lists (the old harness) greens exactly the entries
+    the driver reds."""
+    from .oracle_harness import compare
+
+    spark_df = spark.sql("SELECT 1 AS a, array(1, 2, 3) AS v")
+    res = oracle_con.execute("SELECT 1 AS a, [1, 2, 3] AS v")
+    pdf = res.fetchdf()
+    errs = compare("meta_complex", spark_df, pdf)
+    assert errs and any("complex type" in e for e in errs), errs
+
+    # and the sort-canonicalization mirror itself must raise on raw
+    # list cells even when the Spark schema lint is bypassed (e.g. an
+    # oracle-side-only array) — prove the second line of defense.
+    from .oracle_harness import _driver_sort_canon
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        _driver_sort_canon(pdf)
+
+
+def test_no_complex_output_schemas(spark):
+    """Schema lint over EVERY oracled registry entry: no Array/Map/
+    Struct output columns (driver canonicalization contract). Schema
+    inference only — no jobs run."""
+    from .oracle_harness import complex_type_lint
+
+    errs = []
+    for name in sorted(registry.ORACLES):
+        df = registry.QUERIES[name](spark, SF_CORRECTNESS)
+        errs.extend(complex_type_lint(name, df))
+    assert not errs, "\n".join(errs)
+
+
 def test_no_vacuous_oracles(oracle_con):
     """Every oracle must return at least one row at sf0.01: a 0 == 0
     row comparison passes the differential gate while checking

@@ -4673,9 +4673,10 @@ def q_text_chunk_windows(spark, sf_dir):
     )
     SELECT vec_id, label,
            round(mx / 127, 6) AS scale,
-           CASE WHEN mx > 0
-                THEN list_transform(emb, x -> CAST(round(x * 127 / mx) AS INTEGER))
-                ELSE list_transform(emb, x -> 0) END AS qvec
+           array_to_string(
+             CASE WHEN mx > 0
+                  THEN list_transform(emb, x -> CAST(round(x * 127 / mx) AS INTEGER))
+                  ELSE list_transform(emb, x -> 0) END, ',') AS qvec
     FROM m
     """,
 )
@@ -4683,11 +4684,18 @@ def q_embedding_quantize_int8(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding store
     (scale = max|x|/127) — 4x storage/bandwidth reduction for a 100 TB
     vector corpus. Pure projection, no shuffle; int codes are exact on
-    both engines, only the float scale is rounded for parity. See
-    operators/similarity.quantize_int8."""
+    both engines, only the float scale is rounded for parity. The code
+    array is emitted comma-joined: the driver canonicalizes results
+    through pandas sort_values, which cannot hash raw list cells (the
+    one red CORRECTNESS row of r4). See operators/similarity.quantize_int8."""
+    from pyspark.sql import functions as F
+
     from .operators.similarity import quantize_int8
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+    q = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.withColumn(
+        "qvec", F.array_join(F.col("qvec").cast("array<string>"), ",")
+    )
 
 
 @register(
@@ -6304,7 +6312,7 @@ def q_sample_weighted(spark, sf_dir):
       FROM documents
     )
     SELECT token, count(*) AS df,
-           (list(doc_id ORDER BY doc_id))[1:10] AS postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings
     FROM toks GROUP BY token HAVING count(*) >= 50
     ORDER BY df DESC, token
     """,
@@ -6315,8 +6323,10 @@ def q_text_inverted_index(spark, sf_dir):
     the shared tokenizer, per-doc DISTINCT before the global groupBy
     so the shuffle carries each (token, doc) edge once, and postings
     are capped via slice AFTER sort_array — bounded output rows even
-    for stop-words. At 100 TB the df>=50 HAVING filter rides the
-    same aggregate; no second pass."""
+    for stop-words; the capped list is emitted comma-joined so the
+    driver's pandas canonicalization never sees a raw array cell. At
+    100 TB the df>=50 HAVING filter rides the same aggregate; no
+    second pass."""
     from pyspark.sql import functions as F
 
     from .operators.textual import tokens
@@ -6332,9 +6342,12 @@ def q_text_inverted_index(spark, sf_dir):
         edges.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, 10
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
         )
         .where(F.col("df") >= 50)
         .orderBy(F.col("df").desc(), "token")
@@ -10726,75 +10739,77 @@ def q_orders_benford(spark, sf_dir):
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r04: window rotated to the 50-of-126 never-driver-checked entries
-# (join battery, set ops, function batteries, sources/sinks,
-# oracled streaming twins, text/embedding, profiling). The remaining
-# 76 never-checked entries queue in original order for r05+.
+# r05: window rotated to 49 of the 76 never-driver-checked entries
+# plus a re-check of embedding_quantize_int8 (the single red r4 row,
+# fixed this round by serializing qvec). Front-loaded per VERDICT r4
+# item 2: the five ordered_prefix sort-rewrites changed AFTER their
+# last local green and have never been driver-seen; then
+# text_inverted_index (same array-serialization fix), graph, features,
+# semantic dedup, portfolio/drift/stats. The 27 remaining
+# never-checked entries (incl. the 5 invariant-only multimodal/HLL/
+# LSH-pipeline rows) queue in original order for r06.
 _DRIVER_WINDOW = [
-    # --- r04 window: 50 entries with NO driver row across r01-r03
-    # (VERDICT r3 item 2). All oracled; all green in the local
-    # test_oracle_parity gate. Disjoint from every prior window, taking
-    # cumulative driver-verified coverage 96 -> 146 if green.
-    # join battery: skew salting, dynamic partition pruning, the
-    # remaining as-of variants, SCD2 point-in-time lookup
-    "join_salted_skew",
-    "join_dpp_partitioned",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "join_asof_nearest",
-    "join_point_in_time",
-    # relational depth: predicates, projection, set ops, top-k,
-    # ordered string-agg, delete propagation, snapshot diff
-    "filter_isin",
-    "predicate_equality",
-    "projection_reorder",
-    "literal_and_derived_columns",
-    "union_dedup_chunks",
-    "union_missing_columns",
-    "intersect_except",
-    "sort_limit_topk",
-    "string_agg_first8",
-    "delete_propagation",
-    "snapshot_diff_orders",
-    # SURVEY 2.8 scalar/aggregate function batteries
-    "map_funcs",
-    "math_funcs",
-    "array_funcs",
-    "null_conditional_funcs",
-    "grouping_sets_sql",
-    "stat_aggs",
-    "agg_argmax_battery",
-    # sources / sinks: schema evolution, binary ingest, malformed CSV,
-    # gzip roundtrip, z-order layout, small-file compaction
-    "source_schema_evolution",
-    "source_binary_files",
-    "source_csv_malformed",
-    "source_csv_gzip_roundtrip",
-    "sink_zorder_layout",
-    "sink_compaction",
-    # streaming twins, oracled against their batch equivalents
-    "streaming_sliding_2h_1h",
-    "streaming_session_window",
-    "streaming_cdc_apply",
-    "streaming_vwap_hourly",
-    "streaming_presence_bitmap",
-    # text / embedding suites without a driver row
-    "text_fingerprint",
-    "text_repetition",
-    "text_chunk_windows",
-    "text_top_ngrams",
-    "text_unigram_lm_score",
-    "text_model_quality_filter",
-    "text_code_detection",
-    "embedding_norms",
+    # --- r05 window ---
+    # the r4 red row, fixed: qvec serialized via array_join
     "embedding_quantize_int8",
-    "embedding_pca_power_iter",
-    "multimodal_image_meta",
-    # profiling / window analytics / hierarchy rollup
-    "profile_key_skew",
-    "profile_quantiles",
-    "window_running_distinct",
-    "events_rollup_hierarchy",
+    # same latent crash class, fixed: postings serialized
+    "text_inverted_index",
+    # the five r4 ordered_prefix rewrites — never driver-verified
+    "orders_rfm_segments",
+    "orders_pareto_8020",
+    "orders_gini_coefficient",
+    "drift_value_ks_distance",
+    "drift_value_mann_whitney",
+    # graph / feature / semantic-dedup entries named by the verdict
+    "graph_pagerank",
+    "graph_triangle_count",
+    "features_ntile_bins",
+    "dedup_semantic_clusters",
+    # portfolio suite
+    "portfolio_fifo_pnl",
+    "portfolio_open_lots",
+    "portfolio_max_drawdown",
+    "portfolio_sharpe_monthly",
+    # drift / stats suite
+    "drift_priority_mix_monthly",
+    "stats_returns_rate_wilson",
+    "stats_supplier_concentration_hhi",
+    "stats_qty_price_independence",
+    "events_overdispersion_fano",
+    # entries whose plans changed in the r3/r4 perf passes
+    "features_market_hourly",
+    "documents_source_overlap",
+    "lineitem_shipment_lead_time",
+    "events_activation_depth",
+    "events_cuped_adjustment",
+    # remaining never-checked: events analytics
+    "events_markov_transitions",
+    "events_vwap_hourly",
+    "events_attribution_first_touch",
+    "events_dau_wau",
+    "events_rolling_volatility",
+    "events_session_paths",
+    "events_user_presence_bitmap",
+    "events_burst_detection",
+    "events_user_lifecycle_weekly",
+    "events_srm_check",
+    "events_stickiness_dau_mau",
+    # orders / lineitem analytics
+    "orders_basket_affinity",
+    "orders_cohort_ltv",
+    "orders_churn_labels",
+    "orders_trend_residual_daily",
+    "orders_benford_first_digit",
+    "lineitem_discount_did",
+    # sampling / quality / cleaning / eval / resolution
+    "sample_leakage_safe_split",
+    "dq_constraints",
+    "entity_resolution_customers",
+    "incremental_agg_merge",
+    "clean_winsorize_prices",
+    "agg_heavy_hitters",
+    "eval_lang_id_confusion",
+    "embedding_dim_variance_ranking",
 ]
 
 
