@@ -46,6 +46,49 @@ def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall too low: {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_lsh_hot_bucket_guard(spark, sf_dir):
+    """Degenerate corpus: many identical documents put EVERY doc into
+    the same (band, hash) bucket in every band. Unguarded, that is an
+    unbounded collect_set buffer and an O(n²) pair explosion in one
+    task (VERDICT r4 item 5). With max_bucket below the bucket size,
+    the op must (a) report the over-cap buckets via the audit hook,
+    (b) never collect an id list, and (c) still connect the whole
+    clique through the hub star so downstream connected-components
+    clustering is unchanged."""
+    from trading212_etl_spark.operators.dedup import connected_components
+
+    n = 200
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate line repeated verbatim in every document"
+        " of this degenerate corpus slice' AS text",
+    )
+    audit = {}
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16,
+        max_bucket=50, audit=audit,
+    )
+    got = pairs.collect()
+    # every band bucket holds all n docs -> all over cap
+    assert audit["over_cap_buckets"] == 16
+    assert audit["max_bucket_size"] == n
+    # star output: hub (min id = 0) linked to every other doc, NOT the
+    # quadratic clique
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, i) for i in range(1, n)}
+    assert all(r.jaccard == 1.0 for r in got)
+    # downstream clustering is unaffected by the star trade
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n
+
+    # same corpus UNDER the cap: exact all-pairs path still exact
+    few = docs.limit(5)
+    exact_pairs = minhash_lsh_pairs(
+        few, threshold=0.5, num_hashes=32, bands=16, max_bucket=50
+    )
+    assert exact_pairs.count() == 10  # C(5,2)
+
+
 def test_simhash_near_pairs_sane(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sk = simhash(docs)

@@ -182,10 +182,12 @@ def test_presence_bitmap_day_domain(spark):
     import glob
     import os
 
+    checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}"
         if not glob.glob(os.path.join(path, "events.parquet*")):
             continue
+        checked += 1
         from trading212_etl_spark.sources import load_table
 
         ev = load_table(spark, path, "events")
@@ -206,3 +208,9 @@ def test_presence_bitmap_day_domain(spark):
             "outside the presence-bitmap single-BIGINT domain [0, 62]; "
             "widen the mask rather than letting the guard drop rows"
         )
+    # a tripwire that checked zero corpora is a silent no-op (ADVICE
+    # r4): fail loudly if the testdata location moved
+    assert checked > 0, (
+        "no /root/testdata/sf*/events.parquet found — the day-63 "
+        "tripwire ran vacuously; update the testdata paths"
+    )

@@ -216,6 +216,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     tokens_col: str | None = None,
+    max_bucket: int = 4096,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     optionally verified with exact Jaccard.
@@ -226,13 +228,28 @@ def minhash_lsh_pairs(
          (band_idx, band_hash) — docs agreeing on any full band become
          candidates. With b bands of r rows, P(candidate) ≈
          1-(1-J^r)^b: steep S-curve around J ≈ (1/b)^(1/r);
-      3. per-bucket pair expansion (buckets are tiny by construction;
-         a hot bucket means a degenerate shingle set and is capped
-         upstream by distinct-shingling);
+      3. per-bucket pair expansion, GUARDED by ``max_bucket``: a
+         degenerate hot bucket (boilerplate-identical corpus slice)
+         would otherwise hold an unbounded ``collect_set`` buffer and
+         explode O(bucket²) pairs in one task. Bucket sizes are
+         aggregated FIRST (same exchange, reused); buckets ≤
+         ``max_bucket`` take the exact all-pairs path with a buffer
+         bounded by construction, larger buckets emit a STAR to the
+         bucket's min id — O(bucket) rows, no id list ever collected.
+         The star preserves what downstream consumers actually use
+         (connected-components clusters stay fully connected); only
+         direct hub↔member pairs are verified, so within an over-cap
+         bucket the pairwise listing is the star closure, not the
+         quadratic clique — the documented trade for boundedness;
       4. verify candidates with exact Jaccard computed per candidate
          pair (array_intersect on the two shingle sets) — the candidate
          subtree is referenced exactly once, so Spark computes
          signatures and banding a single time.
+
+    ``audit`` (optional, local/test tool): a dict that receives
+    ``over_cap_buckets`` / ``max_bucket_size`` via a small count
+    action over the bucket-size aggregate — NOT run by default, so the
+    data-plane op stays action-free.
     """
     rows = num_hashes // bands
     # the shingle sets feed THREE consumers with different downstream
@@ -269,19 +286,41 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # bucket-size pre-pass: groupBy over the SAME keys as the
+    # collect step below, so the banding exchange is computed once
+    # (ReuseExchange; order-insensitive aggregates, so AQE reader
+    # divergence between the reused consumers is harmless)
+    stats = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__hub")
     )
-    # expand each bucket's id list into ordered pairs JVM-side:
+    if audit is not None:
+        over = stats.agg(
+            F.sum((F.col("__n") > max_bucket).cast("long")).alias("o"),
+            F.max("__n").alias("m"),
+        ).first()
+        audit["over_cap_buckets"] = int(over["o"] or 0)
+        audit["max_bucket_size"] = int(over["m"] or 0)
+    hits = banded.join(stats.filter(F.col("__n") > 1), ["band_idx", "band_hash"])
+    buckets = (
+        hits.filter(F.col("__n") <= max_bucket)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    )
+    # expand each small bucket's id list into ordered pairs JVM-side:
     # explode twice over the same array, keep a < b
-    cand = (
+    small_pairs = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    # over-cap buckets: star to the min id — linear in bucket size,
+    # no array buffer; hub < member always, so ordering is free
+    star_pairs = (
+        hits.filter(F.col("__n") > max_bucket)
+        .filter(F.col("id") != F.col("__hub"))
+        .select(F.col("__hub").alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    cand = small_pairs.unionByName(star_pairs).distinct()
     if not verify:
         return cand
     a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -90,6 +90,59 @@ def materialize(df: DataFrame, *, truncate: bool = True) -> DataFrame:
     return df.localCheckpoint()
 
 
+def agg_parts(spark) -> int:
+    """Range-partition count for AGGREGATE-SIZED frames (per-customer,
+    per-day, per-group rollups) fed to ``ordered_prefix``.
+
+    ``spark.sql.shuffle.partitions`` is sized for FACT-scale shuffles;
+    an aggregate is typically orders of magnitude smaller, and on such
+    frames the two-pass rank machinery is task-overhead-bound — each
+    extra range partition is an extra sort task, an extra totals row,
+    and an extra sampled bound, for no memory relief. conf/4 (floor 8)
+    keeps the same scaling LAW as the deployment conf — a 100 TB
+    session running shuffle.partitions=4000 still gets 1000-way
+    parallel rank scans over its per-customer frame — while local[32]
+    drops from 32 tiny tasks to 8 (measured 1.9x on
+    orders_rfm_segments). Callers whose input is fact-sized must NOT
+    use this: pass num_parts=None to inherit the full conf."""
+    return max(8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+
+
+def freeze_partitions(df: DataFrame) -> DataFrame:
+    """Pin a frame's partition ASSIGNMENT across multi-consumer plan
+    branches — the cheap sibling of ``materialize`` for plans whose
+    only hazard is ``spark_partition_id()`` divergence, not lineage
+    blow-up.
+
+    Lazy ``persist(MEMORY_AND_DISK)`` is sufficient and consistent
+    here, where an eager ``localCheckpoint`` costs a whole extra job
+    per call (3 extra jobs in orders_rfm_segments alone — the r4
+    bench regression):
+
+    - the plan has ONE exchange below ONE InMemoryRelation, so every
+      consumer — including broadcast subtrees, which execute first and
+      fill the cache — reads the same cached partitions; there is no
+      second exchange instance for AQE to coalesce differently (the
+      r3-observed pid-flapping mode);
+    - shuffle map outputs are immutable once written, so an
+      eviction-triggered recompute of cached partition *i* re-reads
+      exactly the same shuffle rows — ``spark_partition_id`` is the
+      partition INDEX and cannot drift.
+
+    ``spark.trading212.materialize=reliable`` still upgrades to a
+    fault-tolerant ``checkpoint()`` for the 100 TB deployment (an
+    executor-loss recompute is then a checkpoint read, free of any
+    shuffle-service dependency); every other mode — including
+    ``none``, which would be UNSAFE here — persists.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.trading212.materialize", "local") == "reliable":
+        return df.checkpoint()
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def with_salt(df: DataFrame, n_buckets: int, col_name: str = "__salt") -> DataFrame:
     """Attach a uniform salt column in [0, n_buckets). Deterministic
     per row is NOT required (salt only spreads rows); monotonically_
@@ -171,8 +224,27 @@ def ordered_prefix(
         p + c for c in sum_cols for p in ("__run_", "__off_", "__sum_")
     }
     assert rn_name not in reserved, f"rn_name {rn_name!r} shadows an internal column"
+    existing = set(df.columns)
+    # Public outputs must not silently overwrite caller columns
+    # (withColumn replaces in place): the ranks/totals contract is
+    # additive, so a collision is always a caller bug.
+    outputs = {rn_name} if rn_name else set()
+    outputs |= {f"run_{c}" for c in sum_cols}
+    outputs |= {f"total_{c}" for c in sum_cols} | {"total_n"}
+    clash = outputs & existing
+    assert not clash, (
+        f"ordered_prefix outputs {sorted(clash)} collide with input "
+        "columns — rename them upstream"
+    )
     spark = df.sparkSession
     n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The offsets cascade below buckets by floor(__pid / 1M); beyond
+    # 1M range partitions the buckets would not be chained and every
+    # global rank/sum would be silently wrong — fail loudly instead.
+    assert n_parts <= 1_000_000, (
+        f"ordered_prefix supports at most 1,000,000 range partitions "
+        f"(got {n_parts}); widen the cascade bucketing first"
+    )
     from pyspark.sql import Window
 
     # The pid column MUST be frozen into data before the plan branches:
@@ -181,11 +253,14 @@ def ordered_prefix(
     # if the range exchange is re-executed (or its AQE shuffle-read
     # differs) between them, the two branches see DIFFERENT pid
     # assignments and the offset addition silently corrupts ranks
-    # (observed: run-to-run flapping u2 at sf0.1 before this
-    # materialize). One checkpoint of the (already aggregated,
-    # catalog-sized) frame; conf-pluggable via
-    # spark.trading212.materialize for the 100 TB deployment.
-    ranged = materialize(
+    # (observed: run-to-run flapping u2 at sf0.1 before the freeze).
+    # freeze_partitions is the LAZY pin: one cached exchange feeds
+    # both consumers, so pids cannot diverge, and no eager checkpoint
+    # job runs per call (the r4 bench cost of the sort rewrites was
+    # exactly three such jobs chained in orders_rfm_segments);
+    # spark.trading212.materialize=reliable still upgrades it to a
+    # fault-tolerant checkpoint for the 100 TB deployment.
+    ranged = freeze_partitions(
         df.repartitionByRange(n_parts, *order_by).withColumn(
             "__pid", F.spark_partition_id()
         )
@@ -240,7 +315,10 @@ def ordered_prefix(
     for c in sum_cols:
         run = F.col(f"__run_{c}") + F.col(f"__off_{c}")
         if exclusive:
-            run = run - F.col(c)
+            # coalesce: the rowsBetween(unboundedPreceding, -1) window
+            # this replaces SKIPS null cells; inclusive-minus-current
+            # must not null out the whole prefix on a null row.
+            run = run - F.coalesce(F.col(c), F.lit(0))
         out = out.withColumn(f"run_{c}", run)
     drop = ["__pid", "__rn", "__off_n"]
     drop += [f"__run_{c}" for c in sum_cols] + [f"__off_{c}" for c in sum_cols]
