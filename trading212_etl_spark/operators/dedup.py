@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     tokens_col: str | None = None,
     max_bucket: int = 4096,
     audit: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding,
     optionally verified with exact Jaccard.
@@ -250,7 +251,21 @@ def minhash_lsh_pairs(
     ``over_cap_buckets`` / ``max_bucket_size`` via a small count
     action over the bucket-size aggregate — NOT run by default, so the
     data-plane op stays action-free.
+
+    ``hash_fn`` selects the signature hash family:
+      - ``"xxhash64"`` (default, the production path): 8-byte JVM-side
+        hashes, codegen'd min-aggregates — fastest, but engine-specific
+        (no DuckDB twin exists), so entries using it are
+        invariant-checked, not oracled;
+      - ``"md5"``: seeded string hashes ``md5(k || ':' || shingle)``
+        with lexicographic mins — byte-identical in Spark and DuckDB
+        (both emit lowercase hex), which makes the WHOLE pipeline —
+        candidate generation included, not just the verified output —
+        expressible as an oracle SQL and differentially testable.
+        ~2-3x more signature CPU and 4x wider band keys; use it for
+        parity gates, not the 100 TB run.
     """
+    assert hash_fn in ("xxhash64", "md5"), hash_fn
     rows = num_hashes // bands
     # the shingle sets feed THREE consumers with different downstream
     # shuffle keys (the exploded signature scan + both verify-join
@@ -268,16 +283,29 @@ def minhash_lsh_pairs(
     # The expressions are built as SQL strings: the Py4J round-trips of
     # a K-deep Column-builder loop cost ~2 s of driver time per query.
     ex = sh.select("id", F.explode("shingles").alias("s"))
+    if hash_fn == "md5":
+        # seeded string hash shared verbatim with the DuckDB oracle;
+        # lexicographic min over fixed-width lowercase hex == numeric
+        # min, identically in both engines
+        hash_exprs = [
+            f"min(md5(concat('{k}:', s)))" for k in range(num_hashes)
+        ]
+    else:
+        hash_exprs = [f"min(xxhash64(s, {k}))" for k in range(num_hashes)]
     sig = ex.groupBy("id").agg(
-        *[F.expr(f"min(xxhash64(s, {k}))").alias(f"h{k}") for k in range(num_hashes)]
+        *[F.expr(e).alias(f"h{k}") for k, e in enumerate(hash_exprs)]
     )
     # band hash = one multi-arg xxhash64 over the band's r signature
     # longs: an 8-byte group key straight from long inputs, vs the
     # md5-of-concat_ws form which stringifies r longs and allocates a
-    # 32-char hash per band per doc (band grouping is engine-internal —
-    # no oracle touches it — so the engine-specific hash is fine here)
+    # 32-char hash per band per doc. In md5 mode the band key is the
+    # plain concat of the r hex mins — it must stay oracle-computable,
+    # and a second hash would add nothing the groupBy needs.
+    band_key = (
+        "concat({cols})" if hash_fn == "md5" else "xxhash64({cols})"
+    )
     band_structs = ", ".join(
-        "struct({i} as band_idx, xxhash64({cols}) as band_hash)".format(
+        ("struct({i} as band_idx, " + band_key + " as band_hash)").format(
             i=i,
             cols=", ".join(f"h{i * rows + r}" for r in range(rows)),
         )
@@ -564,7 +592,12 @@ def dedup_lines(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    n_bits: int = 48,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """SimHash sketch per document: bit i of the sketch is set iff a
     majority of token hashes have bit i set (sign of the ±1 bit sum).
 
@@ -574,12 +607,23 @@ def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFr
     ``n_bits/4 + 1`` buffers instead of ``n_bits`` — 4x less aggregate
     state and codegen. Lane-overflow bound: documents must have
     < 32768 tokens (chunk longer docs upstream). One shuffle on doc
-    id, no Python anywhere."""
+    id, no Python anywhere.
+
+    ``hash_fn="md5"`` draws bit ``4g+j`` from hex nibble ``g`` of
+    ``md5(tok)`` instead of from ``xxhash64`` — byte-identical in
+    DuckDB (``strpos`` nibble lookup), so the sketch and everything
+    downstream of it become oracle-expressible; the default stays the
+    faster engine-native hash."""
     assert n_bits % 4 == 0, "n_bits must pack into 4-lane longs"
+    assert hash_fn in ("xxhash64", "md5"), hash_fn
     n_groups = n_bits // 4
-    tok = fan_out(docs).select(
+    base = fan_out(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "md5":
+        tok = base.withColumn("h", F.md5("tok"))
+    else:
+        tok = base.withColumn("h", F.xxhash64("tok"))
 
     # Both the packed-lane spread and the 48-term sketch assembly are
     # built as single SQL strings: the equivalent Column-builder loops
@@ -587,6 +631,14 @@ def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFr
     # the identical expression tree.
     def packed_sql(g: int) -> str:
         # 4 bits (4g..4g+3) of h, one per 16-bit lane
+        if hash_fn == "md5":
+            # nibble g of the hex digest; conv() emits a decimal
+            # string, cast back to a long before the bit probe
+            nib = f"cast(conv(substr(h, {g + 1}, 1), 16, 10) as bigint)"
+            return " + ".join(
+                f"shiftleft(shiftright({nib}, {j}) & 1, {16 * j})"
+                for j in range(4)
+            )
         return " + ".join(
             f"shiftleft(cast(shiftright(h, {4 * g + j}) & 1 as bigint), {16 * j})"
             for j in range(4)
@@ -609,7 +661,11 @@ def simhash(docs: DataFrame, n_bits: int = 48, id_col: str = "doc_id") -> DataFr
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_bits: int = 48, n_bands: int = 4
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 48,
+    n_bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -621,7 +677,7 @@ def simhash_near_pairs(
     """
     width = n_bits // n_bands
     mask = (1 << width) - 1
-    sk = simhash(docs, n_bits)
+    sk = simhash(docs, n_bits, hash_fn=hash_fn)
     banded = sk.select(
         "doc_id",
         "simhash",
