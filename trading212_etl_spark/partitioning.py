@@ -108,6 +108,27 @@ def agg_parts(spark) -> int:
     return max(8, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
 
 
+def bounded_bucket(col: str, cap: int = 1_000_000) -> Column:
+    """Non-foldable pseudo-constant partition key for windows over
+    DOMAIN-BOUNDED frames — day/month/hour/dimension-indexed
+    aggregates whose cardinality grows with calendar time or model
+    width, not data volume.
+
+    ``Window.orderBy`` without a partition is correct on such frames
+    but logs the scary ``WindowExec: No Partition Defined`` warning on
+    every query, burying real warnings in the bench tail.
+    ``partitionBy(floor(col / cap))`` yields ONE partition for any
+    domain below ``cap`` (identical frames, identical results) while
+    surviving the optimizer — a literal key is constant-folded away
+    and the warning returns. Same contract as the ordered_prefix
+    offsets cascade: pick ``cap`` safely above the domain's reachable
+    range (1M day indices = year 4707; 1M embedding dims), because a
+    domain that outgrows it would SPLIT the window. The column passed
+    here must be an integer index with a hard domain bound, never a
+    data-scaling key."""
+    return F.floor(F.col(col) / F.lit(cap))
+
+
 def freeze_partitions(df: DataFrame) -> DataFrame:
     """Pin a frame's partition ASSIGNMENT across multi-consumer plan
     branches — the cheap sibling of ``materialize`` for plans whose

@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .partitioning import bounded_bucket
 from .sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -8085,7 +8086,7 @@ def q_orders_trend_residual(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents")
     )
-    w = Window.orderBy("day_idx").rangeBetween(-3, 3)
+    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx").rangeBetween(-3, 3)
     ma = daily.select(
         "day",
         "rev_cents",
@@ -8599,7 +8600,7 @@ def q_orders_yoy_growth(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents")
     )
-    w = Window.orderBy("month_idx")
+    w = Window.partitionBy(bounded_bucket("month_idx")).orderBy("month_idx")
     seq = monthly.select(
         "month_idx",
         "rev_cents",
@@ -8811,7 +8812,7 @@ def q_portfolio_sharpe(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents")
     )
-    w = Window.orderBy("day_idx")
+    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx")
     r = (
         daily.select(
             "day_idx",
@@ -9654,7 +9655,7 @@ def q_events_hourly_acf(spark, sf_dir):
             F.unix_date(F.col("ts").cast("date")) * 24 + F.hour("ts")
         ).alias("hour_idx")
     ).agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("hour_idx")
+    w = Window.partitionBy(bounded_bucket("hour_idx")).orderBy("hour_idx")
     pairs = hourly.select(
         "hour_idx",
         "x",
@@ -9740,7 +9741,7 @@ def q_orders_anomalous_days(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents")
     )
-    w = Window.orderBy("day_idx").rangeBetween(-3, 3)
+    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx").rangeBetween(-3, 3)
     det = daily.select(
         "day",
         "rev_cents",
@@ -9931,7 +9932,7 @@ def q_embedding_dim_variance(spark, sf_dir):
         F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_micro"),
         var.cast("bigint").alias("var_micro2"),
         F.row_number()
-        .over(Window.orderBy(var.desc(), "dim"))
+        .over(Window.partitionBy(bounded_bucket("dim")).orderBy(var.desc(), "dim"))
         .cast("int")
         .alias("variance_rank"),
     )
@@ -10238,7 +10239,7 @@ def q_orders_runs_test(spark, sf_dir):
     signs = daily.crossJoin(F.broadcast(med)).select(
         "day_idx", s.alias("s")
     )
-    w = Window.orderBy("day_idx")
+    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx")
     signs = signs.select("s", F.lag("s").over(w).alias("prev_s"))
     return signs.agg(
         F.sum("s").cast("bigint").alias("n_above"),
