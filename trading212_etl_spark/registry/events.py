@@ -1,0 +1,394 @@
+"""Registry entries: §2.9 event-time (batch + streaming twins).
+
+Split from the monolithic registry.py (VERDICT r4 item 6).
+Importing this module REGISTERS its entries; modules are
+imported by registry/__init__ in the original file order, so
+registration order — which the external driver consumes — is
+unchanged."""
+
+from __future__ import annotations
+
+from ._core import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _SHINGLES,
+    _TOKS,
+    _d38,
+    _dsum,
+    _dsum_sql,
+    _lsh_oracle_banded,
+    _scratch,
+    _t,
+    bounded_bucket,
+    pin_oracle_confs,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# §2.9 Event-time operators (batch forms; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    """T1 — tumbling event-time windows: the declarative form of the
+    reference's driver-side 365-day chunk loop (trading212.py:89-97)."""
+    from ..operators.events import tumbling_agg
+
+    return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM e
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """T1 — sliding windows (2h window, 1h slide): each event lands in
+    two buckets; Spark expands via its window expression, the oracle
+    via an explicit two-way union."""
+    from ..operators.events import tumbling_agg
+
+    return tumbling_agg(_t(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@register(
+    "events_sessionize_30m",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """§2.9 — gap-based sessionization (30-min inactivity gap):
+    lag → new-session flag → running sum, one shuffle on user_id."""
+    from ..operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), 30)
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           CAST(props->>'$.k' AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def q_events_json(spark, sf_dir):
+    """F13/F14 — JSON field extraction from semi-structured props
+    (get_json_object and pinned-schema from_json)."""
+    from ..operators.events import json_props
+
+    return json_props(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_events_session_window(spark, sf_dir):
+    """§2.9 — native session_window sessionization (the operator
+    Structured Streaming runs stateful; batch form here). Note the
+    merge boundary: a gap of exactly 30 min starts a NEW session
+    (strict window overlap), hence the oracle's >= on the gap —
+    vs events_sessionize_30m whose lag-based rule uses >."""
+    from ..operators.events import session_window_agg
+
+    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    WITH dim AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+                 FROM orders GROUP BY 1)
+    SELECT e.event_type,
+           d.user_id IS NOT NULL AS has_orders,
+           count(*) AS n_events
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_stream_static(spark, sf_dir):
+    """§2.9 streaming — stream-static dimension join (the streaming
+    form of the trading212.py:109 account enrichment): static side
+    re-planned per micro-batch. The query genuinely executes as a
+    Structured Streaming job (memory sink, processAllAvailable); the
+    oracle is the batch-SQL twin of the materialized result — a full
+    value-hash check, stronger than the former rows-only row."""
+    from ..streaming.windows import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                      value
+               FROM events),
+    c AS (SELECT user_id, ts AS click_ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, ts AS purchase_ts,
+                 value AS purchase_value
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           count(*) AS n_attributed,
+           round(sum(p.purchase_value), 2) AS attributed_value
+    FROM c JOIN p ON c.user_id = p.p_user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q_streaming_stream_stream(spark, sf_dir):
+    """§2.9 streaming — watermarked stream-stream attribution join
+    (clicks ⋈ purchases within 1 hour per user): time-bounded join
+    condition on both ends so click state evicts at watermark +
+    horizon. Executes as a real stream-stream join; the oracle is the
+    batch interval-join twin of the streamed result."""
+    from ..streaming.windows import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM (SELECT event_id, min(event_type) AS event_type
+          FROM events GROUP BY event_id)
+    GROUP BY 1
+    """,
+)
+def q_streaming_dedup(spark, sf_dir):
+    """§2.9 streaming — watermark-bounded dropDuplicatesWithinWatermark
+    ingest (the principled T2, trading212.py:100-111 + 121). The oracle
+    is per-type counts after batch dedup on event_id (min(event_type)
+    for determinism; corpus ids are unique so either tiebreak matches
+    what the stream keeps)."""
+    from ..streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_user_stats(spark, sf_dir):
+    """§2.9 streaming — custom stateful operator via
+    applyInPandasWithState: per-user running (count, max). The oracle
+    is the batch aggregate the converged state must equal (max/count
+    are order-insensitive, so the streamed fixpoint is exact)."""
+    from ..streaming.windows import run_streaming_user_stats
+
+    return run_streaming_user_stats(spark, sf_dir)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    a AS (SELECT user_id,
+            list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS l0,
+            list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l1,
+            list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+          FROM e GROUP BY user_id),
+    r0 AS (SELECT user_id, l1, l2, l0[1] AS t0 FROM a),
+    r1 AS (SELECT user_id, l2, t0, list_filter(l1, x -> x >= t0)[1] AS t1 FROM r0),
+    r2 AS (SELECT user_id, t0, t1, list_filter(l2, x -> x >= t1)[1] AS t2 FROM r1)
+    SELECT user_id,
+           CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS steps_reached
+    FROM r2
+    WHERE t0 IS NOT NULL
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Event analytics — ordered funnel (signup → view → purchase):
+    one shuffle for any step count (per-step sorted ts lists in one
+    aggregate, ordering resolved with array functions). The oracle
+    replays the identical list algebra in DuckDB."""
+    from ..operators.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["signup", "view", "purchase"])
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    firsts AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS bucket FROM e)
+    SELECT f.cohort,
+           CAST(floor((epoch(a.bucket) - epoch(f.cohort)) / 604800.0) AS INTEGER)
+             AS offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Event analytics — weekly cohort retention triangle: cohort =
+    first-activity week, offset = weeks since cohort, n = distinct
+    active users. Two (user, bucket)-level shuffles total."""
+    from ..operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "week")
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, name AS measure, value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 round(l_extendedprice, 2) AS price,
+                 round(l_discount, 4) AS discount,
+                 round(l_tax, 4) AS tax
+          FROM lineitem)
+    UNPIVOT (value FOR name IN (price, discount, tax))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """§2.4 inverse — unpivot/melt (wide → long), the companion of
+    agg_pivot: pure row expansion in the projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 4).alias("discount"),
+        F.round("l_tax", 4).alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "streaming_tumbling_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_tumbling(spark, sf_dir):
+    """§2.9 streaming — the T1 tumbling aggregate as a Structured
+    Streaming query over a file source, driven to completion with a
+    memory sink. The oracle is the batch tumbling-window SQL the
+    converged stream must equal (complete output mode over a finite
+    source is exactly the batch aggregate)."""
+    from ..streaming.windows import run_streaming_tumbling_agg
+
+    return run_streaming_tumbling_agg(spark, sf_dir, "1 hour")
+
+
+@register(
+    "streaming_sliding_2h_1h",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+    w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM e
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_sliding(spark, sf_dir):
+    """§2.9 streaming — sliding windows (2h window, 1h slide) as a
+    Structured Streaming query: each event lands in two overlapping
+    windows, state scales with duration/slide per key under the
+    watermark bound. Same oracle as the batch twin
+    (events_sliding_2h_1h), which the converged complete-mode output
+    must equal."""
+    from ..streaming.windows import run_streaming_sliding_agg
+
+    return run_streaming_sliding_agg(spark, sf_dir, "2 hours", "1 hour")
+
+
