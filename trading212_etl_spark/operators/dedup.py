@@ -284,11 +284,25 @@ def minhash_lsh_pairs(
     # a K-deep Column-builder loop cost ~2 s of driver time per query.
     ex = sh.select("id", F.explode("shingles").alias("s"))
     if hash_fn == "md5":
-        # seeded string hash shared verbatim with the DuckDB oracle;
+        # seeded string hashes shared verbatim with the DuckDB oracle;
         # lexicographic min over fixed-width lowercase hex == numeric
-        # min, identically in both engines
+        # min, identically in both engines. One md5 digest carries FOUR
+        # independent 32-bit hashes (8-hex-char slices), so K hashes
+        # cost K/4 digest evaluations per shingle row, not K — the
+        # digests are materialized in a projection BEFORE the
+        # aggregate, because CSE across sibling aggregate expressions
+        # is not guaranteed.
+        n_digests = (num_hashes + 3) // 4
+        ex = ex.select(
+            "id",
+            *[
+                F.expr(f"md5(concat('{j}:', s))").alias(f"d{j}")
+                for j in range(n_digests)
+            ],
+        )
         hash_exprs = [
-            f"min(md5(concat('{k}:', s)))" for k in range(num_hashes)
+            f"min(substring(d{k // 4}, {8 * (k % 4) + 1}, 8))"
+            for k in range(num_hashes)
         ]
     else:
         hash_exprs = [f"min(xxhash64(s, {k}))" for k in range(num_hashes)]

@@ -249,14 +249,17 @@ def q_dedup_connected_components(spark, sf_dir):
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16) -> str:
     """Full MinHash+LSH pipeline in DuckDB SQL, hash-exact against the
     engine's ``hash_fn="md5"`` mode: seeded mins are
-    ``min(md5(k || ':' || shingle))`` (lowercase hex on both engines,
-    lexicographic min == numeric min), band keys the concat of the
+    ``min`` over 8-hex-char slices of ``md5(j || ':' || shingle)``
+    (lowercase hex on both engines, lexicographic min == numeric min;
+    each digest carries four independent 32-bit hashes, mirroring the
+    engine's K/4-digest projection), band keys the concat of the
     band's row mins. This oracles the CANDIDATE GENERATION, not just
     the verified output — the r3/r4 verdicts' open item 'LSH never
     driver-verifiable'."""
     rows = num_hashes // bands
     mins = ",\n    ".join(
-        f"min(md5('{k}:' || s)) AS h{k}" for k in range(num_hashes)
+        f"min(substring(md5('{k // 4}:' || s), {8 * (k % 4) + 1}, 8)) AS h{k}"
+        for k in range(num_hashes)
     )
     banded = "\n    UNION ALL ".join(
         "SELECT id, {i} AS band_idx, {key} AS band_hash FROM sig".format(
