@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..partitioning import materialize
+from ..partitioning import freeze_partitions, materialize
 
 
 def pagerank_micro(
@@ -51,17 +51,21 @@ def pagerank_micro(
     policy (same lever as connected components) so the plan doesn't
     deepen geometrically.
     """
-    # Materialize the edge list FIRST: four derivations read it
-    # (out-weights, both node-set halves, the annotated send list),
-    # and without the cut each one re-executes the caller's edge-build
-    # plan — measured 4x the edge-build cost on the trade graph.
-    edges = materialize(edges, truncate=False)
+    # Pin the edge list FIRST: four derivations read it (out-weights,
+    # both node-set halves, the annotated send list), and without the
+    # pin each one re-executes the caller's edge-build plan — measured
+    # 4x the edge-build cost on the trade graph. freeze_partitions is
+    # the LAZY pin (one cached subtree per frame instead of an eager
+    # checkpoint job each — three such jobs made this op the second
+    # most expensive bench entry); content here is deterministic
+    # aggregates, so any recompute mode is also value-safe.
+    edges = freeze_partitions(edges)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
     # edges annotated with the sender's total out-weight, reused each round
-    sendable = materialize(
+    sendable = freeze_partitions(
         edges.join(out_w, "src").select("src", "dst", "weight", "out_weight")
     )
-    nodes = materialize(
+    nodes = freeze_partitions(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -69,7 +73,7 @@ def pagerank_micro(
     teleport = (10_000 - damping_bp) * init_micro // 10_000
 
     ranks = nodes.select("node", F.lit(init_micro).alias("rank_micro"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             sendable.join(
                 F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
@@ -81,17 +85,25 @@ def pagerank_micro(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = materialize(
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"CAST({damping_bp} AS BIGINT)"
-                        " * coalesce(inflow, CAST(0 AS BIGINT)) DIV 10000"
-                    )
-                ).alias("rank_micro"),
-            )
+        nxt = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"CAST({damping_bp} AS BIGINT)"
+                    " * coalesce(inflow, CAST(0 AS BIGINT)) DIV 10000"
+                )
+            ).alias("rank_micro"),
+        )
+        # Lazy pin per round: each round's broadcast evaluates the
+        # previous round's CACHED frame, so no work repeats and no
+        # eager checkpoint job runs. The logical plan still nests one
+        # level per round — cut it with a real truncating materialize
+        # every 5 rounds so long convergence runs (10+) don't grow
+        # driver-side planning cost unboundedly.
+        ranks = (
+            materialize(nxt) if (it + 1) % 5 == 0 else freeze_partitions(nxt)
         )
     return ranks
