@@ -178,6 +178,13 @@ def main() -> None:
             # memory pressure and the deferred cleanup inside their
             # timed window (measured: ±2x run-to-run on the curation
             # pipeline, the last checkpoint-heavy query in the list).
+            # The persisted frames of the lazy freeze_partitions pins
+            # additionally accumulate in the CacheManager, whose
+            # canonicalized-plan lookup runs against EVERY cached
+            # entry on EVERY query — across ~100 queries that taxed
+            # untouched entries ~1.3-1.5x (r5 measured) — so drop the
+            # SQL cache as well.
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             QUERIES[name](spark, at_dir).write.format("noop").mode("overwrite").save()

@@ -129,16 +129,15 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
     1-row broadcast; top-k is a TakeOrderedAndProject heap. All
     arithmetic is exact integer (order-independent sums).
     """
-    from ..partitioning import materialize
+    from ..partitioning import freeze_partitions
 
     # two consumers (totals + the emitted rows): materialize the
     # |keys|-sized count frame so the FACT table is scanned once, not
     # recomputed per consumer — the whole point of a pre-shuffle probe
-    counts = materialize(
+    counts = freeze_partitions(
         df.groupBy(F.col(key).alias("key")).agg(
             F.count(F.lit(1)).alias("n_rows")
-        ),
-        truncate=False,
+        )
     )
     totals = counts.agg(
         F.sum("n_rows").alias("total_rows"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..partitioning import fan_out, materialize
+from ..partitioning import fan_out, freeze_partitions, materialize
 from .textual import tokens
 
 
@@ -272,8 +272,8 @@ def minhash_lsh_pairs(
     # sides), so exchange reuse can't kick in — materialize once
     # instead of tokenizing+shingling the corpus three times (measured
     # 3.6x wall on the full op). At cluster scale: persist/checkpoint.
-    sh = materialize(
-        _shingle_sets(docs, shingle_n, id_col, tokens_col), truncate=False
+    sh = freeze_partitions(
+        _shingle_sets(docs, shingle_n, id_col, tokens_col)
     )
     # signature via explode + K min-aggregates instead of K interpreted
     # array passes: min(xxhash64(shingle, k)) over the exploded shingle

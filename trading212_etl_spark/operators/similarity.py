@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..partitioning import fan_out, materialize
+from ..partitioning import fan_out, freeze_partitions
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -203,9 +203,9 @@ def cosine_topk_lsh(
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
     # materialized once: three consumers (banding + candidate-side
     # embedding lookup)
-    v = materialize(fan_out(corpus).select(
+    v = freeze_partitions(fan_out(corpus).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ), truncate=False)
+    ))
     qv = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import jaccard_pairs, minhash_lsh_pairs, remove_near_dups
 from ..operators.textual import lang_pred_col, quality_bp_col, tokens
-from ..partitioning import fan_out, materialize
+from ..partitioning import fan_out, freeze_partitions
 
 
 def curate_corpus(
@@ -71,7 +71,7 @@ def curate_corpus(
         # without this each consumer re-runs tokenize+score+dedup
         # (measured 2x wall). Policy conf-driven: partitioning.materialize.
     )
-    canonical = materialize(canonical, truncate=False)
+    canonical = freeze_partitions(canonical)
     # the scoring pass already materialized the token arrays — reuse
     # them for shingling instead of re-running the regex tokenizer
     # use_lsh selects the 100 TB pair generator: MinHash banding with

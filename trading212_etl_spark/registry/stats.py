@@ -510,11 +510,11 @@ def q_documents_source_overlap(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from ..operators.textual import fingerprint
-    from ..partitioning import materialize
+    from ..partitioning import freeze_partitions
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = fingerprint(d, shingle_len=5).select("doc_id", "winnow_fp")
-    sigs = materialize(
+    sigs = freeze_partitions(
         d.select("doc_id", "source")
         .join(fps, "doc_id")
         .select("source", F.col("winnow_fp").alias("fp"))
