@@ -186,6 +186,13 @@ def main() -> None:
             # SQL cache as well.
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+            # NOTE: do NOT add a post-GC settle sleep here. The
+            # ContextCleaner's async shuffle/broadcast removal does
+            # bleed ~1s into heavy queries deep in the list, and a
+            # settle recovers that in isolation — but a fleet-wide
+            # 0.75s sleep let the cores downclock between queries and
+            # raised the MEASURED total ~10% (r5: 82.4s -> 91.7s,
+            # twice). Keeping cores hot beats draining the cleaner.
             t0 = time.perf_counter()
             QUERIES[name](spark, at_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
