@@ -703,3 +703,33 @@ def test_rolling_volatility_matches_quadratic_reference(
             s1, s2 = sum(frame), sum(v * v for v in frame)
             want[eid] = (n, s1 // n, (n * s2 - s1 * s1) // (n * n))
     assert got == want
+
+
+def test_ordered_prefix_rank_is_permutation_across_reruns(spark):
+    """Value-level pin for the freeze_partitions consistency contract
+    (the r3 'flapping u2' regression class): the lazy persist pin must
+    keep spark_partition_id assignments identical between the running
+    scan and the offsets subtree, so the global rank is an exact
+    1..n permutation — and the SAME permutation — on every
+    cache-cleared re-execution. A pid divergence shows up here as a
+    duplicated/missing rank or a run-to-run diff."""
+    from trading212_etl_spark.partitioning import ordered_prefix
+
+    df = (
+        spark.range(0, 5000)
+        .selectExpr("id", "CAST(xxhash64(id) % 97 AS BIGINT) AS k")
+    )
+    outs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        got = (
+            ordered_prefix(df, [F.col("k"), F.col("id")], rn_name="rn",
+                           num_parts=8)
+            .select("id", "rn")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert sorted(got["rn"]) == list(range(1, 5001))
+        outs.append(got)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
