@@ -1228,6 +1228,13 @@ def q_orders_basket_affinity(spark, sf_dir):
     recommendation and bundling pipelines rank by."""
     from pyspark.sql import functions as F
 
+    # NOTE: items has four consumers, but pinning it measured SLOWER
+    # (1.37 -> 1.78s at sf0.1): ReuseExchange already dedups the two
+    # co-partitioned self-join sides — the heavy subtree — and the
+    # columnar cache encode/decode costs more than recomputing the
+    # cheap distinct for the two small aggregates. Left unpinned on
+    # purpose; see graph_triangle_count for the case where the pin
+    # DOES pay (three join sides with incompatible keys).
     items = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
