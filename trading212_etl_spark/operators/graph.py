@@ -76,7 +76,14 @@ def pagerank_micro(
     for it in range(iterations):
         contrib = (
             sendable.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+                # no explicit broadcast hint: AQE upgrades the shuffle
+                # join to broadcast at runtime when the rank frame is
+                # small, WITHOUT forcing a driver-side evaluation of
+                # the frame per round the way F.broadcast() does —
+                # with the lazy pins this leaves the whole unrolled
+                # iteration as one job; at 1e9 nodes the same plan
+                # degrades gracefully to a shuffle join
+                ranks.withColumnRenamed("node", "src"), "src"
             )
             .select(
                 "dst",
