@@ -535,15 +535,24 @@ def q_clean_mad_outliers(spark, sf_dir):
     quantile deeper."""
     from pyspark.sql import functions as F
 
+    from ..partitioning import freeze_partitions
+
     o = _t(spark, sf_dir, "orders")
     med = o.groupBy("o_orderstatus").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("med")
     )
-    dev = o.join(F.broadcast(med), "o_orderstatus").select(
-        "o_orderstatus",
-        "o_totalprice",
-        "med",
-        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    # dev is fact-sized with two consumers (MAD aggregate + the final
+    # flag pass); the lazy pin turns three orders scans into two
+    # (~15% locally). At 100 TB this caches a fact-sized frame — the
+    # materialize=reliable/none conf remains the deployment lever if
+    # re-scanning beats caching on a given cluster.
+    dev = freeze_partitions(
+        o.join(F.broadcast(med), "o_orderstatus").select(
+            "o_orderstatus",
+            "o_totalprice",
+            "med",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
     )
     mad = dev.groupBy("o_orderstatus").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
