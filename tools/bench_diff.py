@@ -66,7 +66,9 @@ def main() -> int:
         return 2
 
     cur, base = _blocks(CURRENT), _blocks(BASELINE)
-    regressions: list[str] = []
+    # per-query trip records: {query: [(sf, prev, wall, ratio), ...]}
+    trips: dict[str, list[tuple[str, float, float, float]]] = {}
+    comparable_sfs: dict[str, int] = {}
     improvements = 0
     compared = 0
     for sf, cur_q in cur.items():
@@ -76,21 +78,41 @@ def main() -> int:
             if prev is None or min(wall, prev) < NOISE_FLOOR_SEC:
                 continue
             compared += 1
+            comparable_sfs[q] = comparable_sfs.get(q, 0) + 1
             ratio = wall / prev
             if ratio > REGRESSION_RATIO:
-                regressions.append(
-                    f"  sf{sf} {q}: {prev:.2f}s -> {wall:.2f}s ({ratio:.2f}x)"
-                )
+                trips.setdefault(q, []).append((sf, prev, wall, ratio))
             elif ratio < 1 / REGRESSION_RATIO:
                 improvements += 1
+
+    # A single-SF trip on a query that is comparable at BOTH scale
+    # factors is overwhelmingly bench noise (external host load swings
+    # sub-2s walls 2-3x on this box; a real plan regression scales, so
+    # it shows up at every SF). Fail only on correlated regressions;
+    # report the rest as suspected noise without failing the gate.
+    regressions: list[str] = []
+    suspects: list[str] = []
+    for q, hits in trips.items():
+        lines = [
+            f"  sf{sf} {q}: {prev:.2f}s -> {wall:.2f}s ({ratio:.2f}x)"
+            for sf, prev, wall, ratio in hits
+        ]
+        if len(hits) >= comparable_sfs.get(q, 1):
+            regressions.extend(lines)
+        else:
+            suspects.extend(lines)
 
     print(
         f"bench_diff: {compared} comparable walls, "
         f"{len(regressions)} regressions >{REGRESSION_RATIO}x, "
+        f"{len(suspects)} single-sf noise suspects, "
         f"{improvements} improvements >{REGRESSION_RATIO}x"
     )
+    if suspects:
+        print("NOISE SUSPECTS (regressed at one SF only — not failing):")
+        print("\n".join(suspects))
     if regressions:
-        print("REGRESSIONS:")
+        print("REGRESSIONS (correlated across scale factors):")
         print("\n".join(regressions))
         return 1
     return 0
