@@ -89,6 +89,30 @@ def test_minhash_lsh_hot_bucket_guard(spark, sf_dir):
     assert exact_pairs.count() == 10  # C(5,2)
 
 
+def test_minhash_lsh_oracle_corpus_under_cap(spark):
+    """The dedup_minhash_lsh DuckDB oracle expands full per-bucket
+    all-pairs while the engine star-links buckets over max_bucket;
+    parity therefore REQUIRES no band bucket at the correctness SF
+    exceeding the default cap. Assert that precondition explicitly
+    (via the audit hook, at the driver's sf0.01) so a future corpus /
+    testdata change fails HERE with a clear cap message instead of as
+    a confusing value diff in the driver's CORRECTNESS row
+    (ADVICE r5)."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    audit = {}
+    minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16,
+        hash_fn="md5", audit=audit,
+    )
+    assert audit["over_cap_buckets"] == 0, (
+        f"documents corpus grew a band bucket over the 4096 cap "
+        f"(max seen {audit['max_bucket_size']}): the dedup_minhash_lsh "
+        f"oracle's all-pairs expansion no longer matches the engine's "
+        f"star fallback — raise max_bucket in the registry entry or "
+        f"re-derive the oracle"
+    )
+
+
 def test_simhash_near_pairs_sane(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sk = simhash(docs)

@@ -698,3 +698,24 @@ def test_ordered_prefix_sort_stage_is_parallel(spark):
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", simple):
         nxt = m.group(1)
         assert "Sort" not in nxt, f"single-partition sort stage: {nxt[:120]}"
+
+
+def test_minhash_lsh_guard_is_window_not_join(spark):
+    """The hot-bucket guard's per-bucket count/min must come from a
+    WINDOW over the banded frame — one (band_idx, band_hash) exchange
+    serving guard + grouping. The r5 form (separate aggregate joined
+    back on the band keys) never hit ReuseExchange — the aggregate's
+    exchange carries a partial-agg subtree the join's doesn't — so the
+    signature pipeline executed twice (2.03→3.91 s at sf0.1). Pin the
+    shape: a Window node exists and NO join is keyed on band_hash
+    (the only joins left are the verify joins on doc_a/doc_b)."""
+    import re
+
+    p = plan(spark, "dedup_minhash_lsh")
+    assert "Window" in p
+    # formatted-mode details list join keys right under the join node
+    # header; band keys appearing in any join's key list is the
+    # regression shape
+    for m in re.finditer(r"\(\d+\) (?:SortMerge|BroadcastHash|ShuffledHash)Join", p):
+        tail = p[m.end():m.end() + 400]
+        assert "band_hash" not in tail, "guard join on band keys is back"

@@ -232,8 +232,11 @@ def minhash_lsh_pairs(
       3. per-bucket pair expansion, GUARDED by ``max_bucket``: a
          degenerate hot bucket (boilerplate-identical corpus slice)
          would otherwise hold an unbounded ``collect_set`` buffer and
-         explode O(bucket²) pairs in one task. Bucket sizes are
-         aggregated FIRST (same exchange, reused); buckets ≤
+         explode O(bucket²) pairs in one task. Bucket size and hub are
+         computed by a WINDOW over the banded frame (one exchange
+         serves the guard and the grouping — a separate aggregate
+         joined back would re-execute the signature pipeline; measured
+         +92% in r5); buckets ≤
          ``max_bucket`` take the exact all-pairs path with a buffer
          bounded by construction, larger buckets emit a STAR to the
          bucket's min id — O(bucket) rows, no id list ever collected.
@@ -328,21 +331,36 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
-    # bucket-size pre-pass: groupBy over the SAME keys as the
-    # collect step below, so the banding exchange is computed once
-    # (ReuseExchange; order-insensitive aggregates, so AQE reader
-    # divergence between the reused consumers is harmless)
-    stats = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__hub")
+    # bucket size + hub via a window over the banded frame itself:
+    # ONE exchange on (band_idx, band_hash) feeds the per-bucket
+    # count/min AND the downstream grouping (WindowExec preserves its
+    # partitioning, so the collect_set groupBy below adds no new
+    # exchange). The r5 form — a separate groupBy aggregate joined
+    # back — never hit ReuseExchange (the aggregate's exchange carries
+    # a partial-agg subtree the join's plain exchange doesn't), so the
+    # whole signature+banding pipeline executed twice: measured
+    # 2.03→3.91 s at sf0.1. WindowExec spills oversized buckets to
+    # disk, so the degenerate-corpus case stays bounded here too.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_hash")
+    hits = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .withColumn("__hub", F.min("id").over(wb))
+        .filter(F.col("__n") > 1)
     )
     if audit is not None:
-        over = stats.agg(
-            F.sum((F.col("__n") > max_bucket).cast("long")).alias("o"),
+        over = hits.agg(
+            F.count_distinct(
+                F.when(
+                    F.col("__n") > max_bucket,
+                    F.concat_ws("\x00", "band_idx", "band_hash"),
+                )
+            ).alias("o"),
             F.max("__n").alias("m"),
         ).first()
         audit["over_cap_buckets"] = int(over["o"] or 0)
         audit["max_bucket_size"] = int(over["m"] or 0)
-    hits = banded.join(stats.filter(F.col("__n") > 1), ["band_idx", "band_hash"])
     buckets = (
         hits.filter(F.col("__n") <= max_bucket)
         .groupBy("band_idx", "band_hash")

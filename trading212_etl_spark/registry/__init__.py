@@ -51,77 +51,63 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r05: window rotated to 49 of the 76 never-driver-checked entries
-# plus a re-check of embedding_quantize_int8 (the single red r4 row,
-# fixed this round by serializing qvec). Front-loaded per VERDICT r4
-# item 2: the five ordered_prefix sort-rewrites changed AFTER their
-# last local green and have never been driver-seen; then
-# text_inverted_index (same array-serialization fix), graph, features,
-# semantic dedup, portfolio/drift/stats. The 27 remaining
-# never-checked entries (incl. the 5 invariant-only multimodal/HLL/
-# LSH-pipeline rows) queue in original order for r06.
+# r06: window closes full driver verification (VERDICT r5 item 1).
+# Front-loaded: the 7 entries whose latest driver row predates their
+# oracle (`err: no_oracle` in r1/r2 — the five streaming twins plus
+# the two md5-mode LSH/SimHash entries oracled in r5). Then the 27
+# never-driver-checked entries (22 oracled — the r3 applied-stats
+# block — and 5 rows-only-by-design: 3 multimodal stubs, HLL, the LSH
+# curation twin), plus agg_approx_sketches for a fresh rows-only row.
+# Tail slots re-verify this round's perf-watch rewrites
+# (dedup_minhash_lsh is already front-loaded; graph_pagerank,
+# pipeline_curate_corpus). With 35+3 < 50, trailing slots fall
+# through to entries added this round (registered after this list is
+# applied they'd queue last — new r6 entries are appended explicitly
+# at the end of this list as they land).
 _DRIVER_WINDOW = [
-    # --- r05 window ---
-    # the r4 red row, fixed: qvec serialized via array_join
-    "embedding_quantize_int8",
-    # same latent crash class, fixed: postings serialized
-    "text_inverted_index",
-    # the five r4 ordered_prefix rewrites — never driver-verified
-    "orders_rfm_segments",
-    "orders_pareto_8020",
-    "orders_gini_coefficient",
-    "drift_value_ks_distance",
-    "drift_value_mann_whitney",
-    # graph / feature / semantic-dedup entries named by the verdict
+    # --- r06 window ---
+    # stale `no_oracle` rows: oracled since, never driver-re-sampled
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "streaming_tumbling_1h",
+    "streaming_stream_static_join",
+    "streaming_stream_stream_join",
+    "streaming_dedup_exactly_once",
+    "streaming_stateful_user_stats",
+    # never-checked: the r3 applied-statistics block
+    "orders_anomalous_days",
+    "orders_runs_test_daily",
+    "orders_yoy_growth_monthly",
+    "orders_fiscal_445_rollup",
+    "orders_seasonal_dow_index",
+    "orders_segment_migration_matrix",
+    "events_hourly_autocorrelation",
+    "events_power_analysis_mde",
+    "events_twap_hourly",
+    "events_anomaly_zscore",
+    "events_funnel_windowed",
+    "events_heatmap_dow_hour",
+    "events_ewma_smoothed",
+    "events_gap_percentiles",
+    "events_watermark_lateness_audit",
+    "events_funnel_conversion_ppm",
+    "events_error_rate_sli",
+    "clean_mad_outliers",
+    "dq_freshness_skew",
+    "customer_order_count_distribution",
+    "sample_weighted",
+    "sample_temperature_mixture",
+    # never-checked rows-only-by-design entries (driver records a
+    # rows-only row; COVERAGE.md documents why no oracle can exist)
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "events_hll_rollup",
+    "pipeline_curate_corpus_lsh",
+    "agg_approx_sketches",
+    # perf-watch re-verifies (plans touched in r6)
     "graph_pagerank",
-    "graph_triangle_count",
-    "features_ntile_bins",
-    "dedup_semantic_clusters",
-    # portfolio suite
-    "portfolio_fifo_pnl",
-    "portfolio_open_lots",
-    "portfolio_max_drawdown",
-    "portfolio_sharpe_monthly",
-    # drift / stats suite
-    "drift_priority_mix_monthly",
-    "stats_returns_rate_wilson",
-    "stats_supplier_concentration_hhi",
-    "stats_qty_price_independence",
-    "events_overdispersion_fano",
-    # entries whose plans changed in the r3/r4 perf passes
-    "features_market_hourly",
-    "documents_source_overlap",
-    "lineitem_shipment_lead_time",
-    "events_activation_depth",
-    "events_cuped_adjustment",
-    # remaining never-checked: events analytics
-    "events_markov_transitions",
-    "events_vwap_hourly",
-    "events_attribution_first_touch",
-    "events_dau_wau",
-    "events_rolling_volatility",
-    "events_session_paths",
-    "events_user_presence_bitmap",
-    "events_burst_detection",
-    "events_user_lifecycle_weekly",
-    "events_srm_check",
-    "events_stickiness_dau_mau",
-    # orders / lineitem analytics
-    "orders_basket_affinity",
-    "orders_cohort_ltv",
-    "orders_churn_labels",
-    "orders_trend_residual_daily",
-    "orders_benford_first_digit",
-    "lineitem_discount_did",
-    # sampling / quality / cleaning / eval / resolution
-    "sample_leakage_safe_split",
-    "dq_constraints",
-    "entity_resolution_customers",
-    "incremental_agg_merge",
-    "clean_winsorize_prices",
-    "agg_heavy_hitters",
-    "eval_lang_id_confusion",
-    "embedding_dim_variance_ranking",
+    "pipeline_curate_corpus",
 ]
 
 

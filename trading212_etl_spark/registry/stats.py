@@ -425,18 +425,19 @@ def q_orders_anomalous_days(spark, sf_dir):
         .alias("rev_cents")
     )
     w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx").rangeBetween(-3, 3)
-    det = daily.select(
-        "day",
-        "rev_cents",
-        (
-            F.col("rev_cents")
-            - F.expr(
-                "CAST(sum(rev_cents) OVER (ORDER BY day_idx"
-                " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)"
-                " DIV count(*) OVER (ORDER BY day_idx"
-                " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
-            )
-        ).alias("residual_cents"),
+    det = (
+        daily.withColumn("__ma_sum", F.sum("rev_cents").over(w))
+        .withColumn("__ma_n", F.count(F.lit(1)).over(w))
+        .select(
+            "day",
+            "rev_cents",
+            # exact integer moving-average subtraction: DIV on the
+            # already-windowed columns (no Column operator for integral
+            # divide; floor(double) would lose exactness past 2^53)
+            (F.col("rev_cents") - F.expr("__ma_sum DIV __ma_n")).alias(
+                "residual_cents"
+            ),
+        )
     )
     fence = det.agg(
         F.expr("percentile(abs(residual_cents), 0.5)").alias("mad")
