@@ -76,13 +76,12 @@ def pagerank_micro(
     for it in range(iterations):
         contrib = (
             sendable.join(
-                # no explicit broadcast hint: AQE upgrades the shuffle
-                # join to broadcast at runtime when the rank frame is
-                # small, WITHOUT forcing a driver-side evaluation of
-                # the frame per round the way F.broadcast() does —
-                # with the lazy pins this leaves the whole unrolled
-                # iteration as one job; at 1e9 nodes the same plan
-                # degrades gracefully to a shuffle join
+                # no explicit broadcast hint: letting AQE choose the
+                # strategy at runtime means a rank frame that fits the
+                # threshold gets a broadcast join and one that doesn't
+                # (1e9 nodes) degrades gracefully to a shuffle join —
+                # a hard F.broadcast() would force the broadcast build
+                # regardless of the frame's actual size each round
                 ranks.withColumnRenamed("node", "src"), "src"
             )
             .select(

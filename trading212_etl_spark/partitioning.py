@@ -15,6 +15,8 @@ Two distinct hazards at the two ends of the scale spectrum:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,10 +86,64 @@ def materialize(df: DataFrame, *, truncate: bool = True) -> DataFrame:
     if mode == "persist":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY)
+        return _track_pin(df.persist(StorageLevel.DISK_ONLY))
     if mode == "none":
         return df
     return df.localCheckpoint()
+
+
+# -- pin lifecycle ----------------------------------------------------------
+# Every lazy persist the package takes (freeze_partitions, materialize's
+# `persist` mode) is recorded here so a long-lived session can RELEASE
+# it: without a release hook, each registry invocation leaves
+# MEMORY_AND_DISK blocks in the CacheManager forever, and the
+# CacheManager's canonicalized-plan lookup runs against every cached
+# entry on every query (~1.3-1.5x tax on untouched queries at ~100
+# accumulated pins, r5 measured) — the r5 verdict's blocker for calling
+# the policy cluster-ready. Eager localCheckpoint/checkpoint blocks are
+# NOT tracked: they live outside the CacheManager and are reclaimed by
+# the ContextCleaner when their RDD is garbage-collected.
+
+_LIVE_PINS: list[DataFrame] = []
+
+
+def _track_pin(df: DataFrame) -> DataFrame:
+    _LIVE_PINS.append(df)
+    return df
+
+
+def release_pins(blocking: bool = False) -> int:
+    """Unpersist every frame pinned since the last release; returns
+    the count. Call BETWEEN actions (the registry wrapper does this on
+    each query build; bench/tests may call it directly). Releasing a
+    pin whose DataFrame is actioned again later is safe for
+    correctness — the persist node stays in the plan and simply
+    re-materializes, and a recompute of cached partition *i* re-reads
+    the same immutable shuffle rows, so ``spark_partition_id`` cannot
+    drift (see freeze_partitions) — it only forfeits the cache hit."""
+    n = 0
+    while _LIVE_PINS:
+        _LIVE_PINS.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
+
+
+@contextmanager
+def pinned_scope(blocking: bool = False):
+    """Scope pins to a block: frames pinned inside are released on
+    exit, frames pinned before are left alone — the composition-safe
+    form for library callers running many operators in one session:
+
+        with pinned_scope():
+            result = some_operator(df)
+            result.write.parquet(path)   # action INSIDE the scope
+    """
+    mark = len(_LIVE_PINS)
+    try:
+        yield
+    finally:
+        while len(_LIVE_PINS) > mark:
+            _LIVE_PINS.pop().unpersist(blocking=blocking)
 
 
 def agg_parts(spark) -> int:
@@ -125,7 +181,12 @@ def bounded_bucket(col: str, cap: int = 1_000_000) -> Column:
     range (1M day indices = year 4707; 1M embedding dims), because a
     domain that outgrows it would SPLIT the window. The column passed
     here must be an integer index with a hard domain bound, never a
-    data-scaling key."""
+    data-scaling key — and it must be NON-NEGATIVE: ``floor(-1/cap)``
+    is ``-1``, so a signed index (e.g. a day epoch anchored mid-range)
+    would silently split the window at zero. Current call sites are
+    all unix_date/month/hour/dimension indices (>= 0 by construction);
+    a future negative-capable epoch must be shifted non-negative
+    first."""
     return F.floor(F.col(col) / F.lit(cap))
 
 
@@ -161,7 +222,7 @@ def freeze_partitions(df: DataFrame) -> DataFrame:
         return df.checkpoint()
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _track_pin(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def with_salt(df: DataFrame, n_buckets: int, col_name: str = "__salt") -> DataFrame:
