@@ -13,7 +13,8 @@ from trading212_etl_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from trading212_etl_spark.operators.multimodal import (
-    audio_features_stub,
+    audio_features,
+    synth_wav_payload,
     decode_image_meta,
     frame_sample_stub,
     resize_stub,
@@ -208,11 +209,46 @@ def test_multimodal_resize_and_audio_shapes(spark, sf_dir):
     assert len(resized) == docs.count()
     assert (resized["width"] == 64).all() and (resized["height"] == 48).all()
     assert all(len(img) == 64 * 48 * 3 for img in resized["image"])
-    feats = audio_features_stub(payload, n_mels=16).toPandas()
-    assert len(feats) == docs.count()
-    assert all(len(v) == 16 for v in feats["features"])
-    # ASCII corpus: bucketed byte means stay in printable range
-    assert all(32 < x < 127 for v in feats["features"] for x in v)
+def test_audio_features_real_wav_roundtrip(spark, sf_dir):
+    """The audio path is REAL (r6): synth_wav_payload emits genuine
+    RIFF/WAVE containers and audio_features re-derives every feature
+    from the decoded frames. Cross-check one doc against an
+    independent pure-Python recomputation (hashlib + wave, no Spark),
+    and pin header facts for all docs."""
+    import hashlib
+    import io
+    import math
+    import wave
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    wavs = synth_wav_payload(docs).toPandas()
+    assert len(wavs) == 8
+    for _, row in wavs.iterrows():
+        payload = bytes(row["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            assert w.getframerate() == 8000
+            assert w.getsampwidth() == 2 and w.getnchannels() == 1
+            assert w.getnframes() == 256 + (row["doc_id"] * 37) % 128
+
+    feats = audio_features(synth_wav_payload(docs)).toPandas()
+    one = feats[feats.doc_id == int(wavs.iloc[0]["doc_id"])].iloc[0]
+    d = int(one["doc_id"])
+    n = 256 + (d * 37) % 128
+    hexs = "".join(
+        hashlib.md5(f"{d}:{g}".encode()).hexdigest()
+        for g in range((n + 7) // 8)
+    )
+    v = [int(hexs[4 * j : 4 * j + 4], 16) - 32768 for j in range(n)]
+    assert one["n_frames"] == n and one["sample_rate"] == 8000
+    assert one["peak"] == max(abs(x) for x in v)
+    assert one["zero_crossings"] == sum(
+        1 for a, b in zip(v, v[1:]) if a * b < 0
+    )
+    for b in range(4):
+        sel = [x for j, x in enumerate(v) if (j * 4) // n == b]
+        want = math.sqrt(sum(x * x for x in sel) / len(sel))
+        assert abs(one[f"rms_b{b}"] - want) < 1e-9
 
 
 def test_hash_split_partition_and_determinism(spark, sf_dir):

@@ -2,11 +2,14 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deterministic fakes behind ``_decode_image_bytes`` (clearly marked —
-swap in PIL/librosa/ffmpeg in a real deployment). Everything
-Spark-side is real and tested: binary schema, Arrow batch transfer,
-UDF signatures, partition-parallel execution, metadata struct shape.
+The container ships exactly one codec — the stdlib ``wave`` module —
+so the AUDIO path is fully real (``synth_wav_payload`` encodes PCM16
+WAV, ``audio_features`` parses it back and computes time-domain DSP,
+DuckDB-oracled end to end). The image/video *decode kernels* remain
+deterministic fakes (clearly marked — swap in PIL/ffmpeg in a real
+deployment). Everything Spark-side is real and tested throughout:
+binary schema, Arrow batch transfer, UDF signatures,
+partition-parallel execution, metadata struct shape.
 
 Scale design: decode is the textbook Pandas-UDF case — per-row Python
 would serialize row-by-row; ``mapInPandas`` moves whole Arrow batches
@@ -131,40 +134,125 @@ def resize_stub(binary_df: DataFrame, target_w: int = 224, target_h: int = 224) 
     return binary_df.mapInPandas(resize, out_schema)
 
 
-def audio_features_stub(binary_df: DataFrame, n_mels: int = 16) -> DataFrame:
-    """STUB audio feature extraction: binary in → fixed-width float
-    feature vector out (a real deployment computes a log-mel
-    spectrogram via librosa/torchaudio; here bucketed byte means stand
-    in, deterministically). The binary→vector mapInPandas shape — the
-    template for any embedding/featurization kernel, output ready for
-    the similarity operators (ArrayType(FloatType))."""
+def synth_wav_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic synthetic PCM16 mono WAV corpus — REAL WAV
+    encoding via the stdlib ``wave`` module (the only audio codec this
+    container ships). Stands in for the object-storage audio scan of a
+    production pipeline: doc ``d`` gets ``n = 256 + (d*37) % 128``
+    samples, sample ``j`` = the ``j%8``-th 4-hex-char slice of
+    ``md5(f"{d}:{j//8}")`` minus 32768 — an md5-keystream waveform
+    both engines can regenerate, so downstream feature extraction is
+    fully DuckDB-oracle-able (the same construction as the md5-mode
+    MinHash signatures). Runs distributed in ``mapInPandas``; one md5
+    digest yields 8 samples, so synthesis is ~n/8 digests per doc."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
-            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
 
-    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_mels(payload: bytes) -> list[float]:
-            # STUB kernel — deterministic fake: per-bucket byte means
-            if not payload:
-                return [0.0] * n_mels
-            step = max(len(payload) // n_mels, 1)
-            return [
-                float(sum(payload[i * step:(i + 1) * step]) / max(len(payload[i * step:(i + 1) * step]), 1))
-                for i in range(n_mels)
-            ]
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave
+
+        import numpy as np
+
+        def wav_bytes(doc_id: int) -> bytes:
+            n = 256 + (doc_id * 37) % 128
+            hexs = "".join(
+                hashlib.md5(f"{doc_id}:{g}".encode()).hexdigest()
+                for g in range((n + 7) // 8)
+            )
+            vals = np.array(
+                [int(hexs[4 * j : 4 * j + 4], 16) - 32768 for j in range(n)],
+                dtype="<i2",
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample_rate)
+                w.writeframes(vals.tobytes())
+            return buf.getvalue()
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "features": [fake_mels(p) for p in pdf["payload"]],
-                    "n_frames": [max(len(p) // n_mels, 1) for p in pdf["payload"]],
+                    "payload": [wav_bytes(int(d)) for d in pdf["doc_id"]],
                 }
             )
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+def audio_features(binary_df: DataFrame, n_bands: int = 4) -> DataFrame:
+    """REAL audio feature extraction (no stub): parse the WAV
+    container with the stdlib ``wave`` module — actual header +
+    PCM16 frame decoding — then compute time-domain DSP features in
+    numpy: per-band RMS energy (``n_bands`` equal time buckets),
+    zero-crossing count, and peak amplitude. The binary→feature
+    mapInPandas shape — the template for any featurization kernel; a
+    production deployment swaps the feature block for a log-mel
+    spectrogram (numpy rfft + mel filterbank) without touching the
+    Spark plumbing.
+
+    RMS is emitted RAW (unrounded): sum-of-squares stays exact in
+    int64 (|s| ≤ 2^15, n ≤ 384 ⇒ ss < 2^39 < 2^53) and IEEE divide +
+    sqrt are bit-identical across engines, so callers round once at
+    the comparison edge (registry rounds to 4 dp)."""
+    band_fields = [
+        T.StructField(f"rms_b{b}", T.DoubleType()) for b in range(n_bands)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+            *band_fields,
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def feats(payload: bytes) -> tuple:
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                rate = w.getframerate()
+                nf = w.getnframes()
+                raw = w.readframes(nf)
+            v = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            peak = int(np.abs(v).max()) if nf else 0
+            zc = int(np.sum(v[1:] * v[:-1] < 0)) if nf > 1 else 0
+            band = (np.arange(nf) * n_bands) // max(nf, 1)
+            rms = []
+            for b in range(n_bands):
+                sel = v[band == b]
+                ss = int(np.sum(sel * sel))
+                rms.append(float(np.sqrt(ss / len(sel))) if len(sel) else 0.0)
+            return (rate, nf, peak, zc, *rms)
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_rate",
+                    "n_frames",
+                    "peak",
+                    "zero_crossings",
+                    *[f"rms_b{b}" for b in range(n_bands)],
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
 
     return binary_df.mapInPandas(featurize, out_schema)
 

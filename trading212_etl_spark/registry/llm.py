@@ -869,14 +869,72 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
-@register("multimodal_audio_features")  # rows-only: binary->vector stub kernel
-def q_multimodal_audio(spark, sf_dir):
-    """STUB audio featurization: binary→float-vector mapInPandas shape
-    (output schema matches the similarity operators' embedding
-    contract). Vector-shape invariants in tests/test_llm_ops.py."""
-    from ..operators.multimodal import audio_features_stub, with_binary_payload
+_AUDIO_NIB = "strpos('0123456789abcdef', substr(h, (j % 8) * 4 + {o}, 1)) - 1"
+_AUDIO_SAMPLE = " + ".join(
+    f"({_AUDIO_NIB.format(o=o + 1)}) * {16 ** (3 - o)}" for o in range(4)
+)
+_AUDIO_RMS = ",\n           ".join(
+    f"round(sqrt(sum(CASE WHEN band = {b} THEN CAST(v AS DOUBLE) * v END)"
+    f" / count(CASE WHEN band = {b} THEN 1 END)), 4) AS rms_b{b}"
+    for b in range(4)
+)
 
-    return audio_features_stub(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 256 + (doc_id * 37) % 128 AS n FROM documents
+    ),
+    idx AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+    hx AS (
+      SELECT doc_id, n, j,
+             md5(concat(CAST(doc_id AS VARCHAR), ':',
+                        CAST(j // 8 AS VARCHAR))) AS h
+      FROM idx
+    ),
+    s AS (SELECT doc_id, n, j, {_AUDIO_SAMPLE} - 32768 AS v FROM hx),
+    z AS (
+      SELECT doc_id, n, j, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv,
+             (j * 4) // n AS band
+      FROM s
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(max(n) AS INTEGER) AS n_frames,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0)
+                AS INTEGER) AS zero_crossings,
+           {_AUDIO_RMS}
+    FROM z GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio featurization (r6, stub retired): synthesize a
+    deterministic PCM16 WAV per document (stdlib ``wave`` encoder,
+    md5-keystream samples), parse it back — actual RIFF header + frame
+    decode — and extract time-domain features (per-band RMS, zero
+    crossings, peak) in numpy. The oracle regenerates the identical
+    samples from the md5 hex (nibble lookup, the simhash-oracle trick)
+    and recomputes every feature in SQL, so the WHOLE path — encoder,
+    container round-trip, decoder, DSP — is cross-engine verified:
+    features only match if the WAV byte layout round-trips exactly.
+    RMS rounds to 4 dp at this comparison edge (IEEE divide+sqrt are
+    bit-identical; see operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import audio_features, synth_wav_payload
+
+    feats = audio_features(synth_wav_payload(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        "peak",
+        "zero_crossings",
+        *[F.round(f"rms_b{b}", 4).alias(f"rms_b{b}") for b in range(4)],
+    )
 
 
 @register("multimodal_frame_sample")  # rows-only: 1->N mapInPandas shape
