@@ -10,6 +10,14 @@ CI-visible event and a noisy one a one-line dismissal.
 Usage:
     python tools/bench_diff.py            # diff current vs baseline
     python tools/bench_diff.py --update   # accept current as baseline
+    python tools/bench_diff.py --exempt Q "reason"
+        # annotate an INTENTIONAL mid-round rewrite: Q's regressions
+        # are reported but don't fail until the next --update clears
+        # the exemption list. This replaces mid-round baseline
+        # re-seeds (VERDICT r5 item 7: each re-seed erases the
+        # regression anchor; exemptions keep the anchor and leave an
+        # audit trail in tools/bench_exemptions.json). Baseline policy:
+        # --update ONLY in the round-end snapshot commit.
 
 Rules:
 - queries are compared per scale factor ("primary" = sf0.1,
@@ -29,6 +37,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CURRENT = os.path.join(REPO, "BENCH_SCALING.json")
 BASELINE = os.path.join(REPO, "tools", "bench_baseline.json")
+EXEMPTIONS = os.path.join(REPO, "tools", "bench_exemptions.json")
 NOISE_FLOOR_SEC = 0.3
 REGRESSION_RATIO = 2.0
 # single-SF trips this large at the LARGEST benched SF fail even
@@ -60,9 +69,25 @@ def main() -> int:
     if not os.path.exists(CURRENT):
         print(f"bench_diff: no {CURRENT}; run bench.py first")
         return 2
+    if "--exempt" in sys.argv:
+        i = sys.argv.index("--exempt")
+        q = sys.argv[i + 1]
+        reason = sys.argv[i + 2] if len(sys.argv) > i + 2 else "intentional rewrite"
+        ex = {}
+        if os.path.exists(EXEMPTIONS):
+            with open(EXEMPTIONS) as fh:
+                ex = json.load(fh)
+        ex[q] = reason
+        with open(EXEMPTIONS, "w") as fh:
+            json.dump(ex, fh, indent=1)
+        print(f"bench_diff: exempted {q!r} until next --update ({reason})")
+        return 0
     if "--update" in sys.argv:
         with open(CURRENT) as src, open(BASELINE, "w") as dst:
             dst.write(src.read())
+        if os.path.exists(EXEMPTIONS):
+            os.remove(EXEMPTIONS)
+            print("bench_diff: exemption list cleared")
         print(f"bench_diff: baseline updated from {os.path.basename(CURRENT)}")
         return 0
     if not os.path.exists(BASELINE):
@@ -99,13 +124,20 @@ def main() -> int:
     # under threshold; demoting those to noise would let them bake
     # into the next baseline unnoticed (ADVICE r5).
     largest_sf = max(cur, key=lambda s: float(s) if s.replace(".", "").isdigit() else -1)
+    exempt: dict[str, str] = {}
+    if os.path.exists(EXEMPTIONS):
+        with open(EXEMPTIONS) as fh:
+            exempt = json.load(fh)
     regressions: list[str] = []
     suspects: list[str] = []
+    exempted: list[str] = []
     for q, hits in trips.items():
         correlated = len(hits) >= comparable_sfs.get(q, 1)
         for sf, prev, wall, ratio in hits:
             line = f"  sf{sf} {q}: {prev:.2f}s -> {wall:.2f}s ({ratio:.2f}x)"
-            if correlated or (sf == largest_sf and ratio > HARD_RATIO):
+            if q in exempt:
+                exempted.append(f"{line} [exempt: {exempt[q]}]")
+            elif correlated or (sf == largest_sf and ratio > HARD_RATIO):
                 regressions.append(line)
             else:
                 suspects.append(line)
@@ -116,11 +148,14 @@ def main() -> int:
         f"{len(suspects)} single-sf noise suspects, "
         f"{improvements} improvements >{REGRESSION_RATIO}x"
     )
+    if exempted:
+        print("EXEMPTED (intentional rewrites — cleared at next --update):")
+        print("\n".join(exempted))
     if suspects:
         print("NOISE SUSPECTS (regressed at one SF only — not failing):")
         print("\n".join(suspects))
     if regressions:
-        print("REGRESSIONS (correlated across scale factors):")
+        print("REGRESSIONS (correlated across SFs, or >3x at largest SF):")
         print("\n".join(regressions))
         return 1
     return 0
