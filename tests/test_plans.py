@@ -719,3 +719,16 @@ def test_minhash_lsh_guard_is_window_not_join(spark):
     for m in re.finditer(r"\(\d+\) (?:SortMerge|BroadcastHash|ShuffledHash)Join", p):
         tail = p[m.end():m.end() + 400]
         assert "band_hash" not in tail, "guard join on band keys is back"
+
+
+def test_bm25_broadcasts_and_two_phase_topk(spark):
+    """text_bm25_topk: the query-term list and term stats join
+    broadcast (no corpus-sized shuffle for the probe), and the
+    per-query top-k runs TWO windows — per-(query, partition) heads
+    then the survivor pass — so no window partition is data-sized."""
+    p = plan(spark, "text_bm25_topk")
+    assert p.count("BroadcastHashJoin") >= 2
+    # phase-1 heads window is partitioned by (query_id, __pid); the
+    # final pass by query_id alone over <= k*parts survivors
+    assert "windowspecdefinition(query_id#" in p
+    assert ", __pid#" in p

@@ -483,3 +483,101 @@ def chunk_windows(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+) -> DataFrame:
+    """BM25-style lexical retrieval: score every document against each
+    query's term bag and keep the top-``k`` per query — the retrieval
+    pass of a RAG / data-curation pipeline (e.g. mining a corpus for
+    documents relevant to a benchmark topic before decontamination).
+
+    Cross-engine exactness: textbook BM25 needs ``ln`` in the idf and
+    libm differs across engines in the last ulp (the tf·idf
+    integer-surrogate lesson, tfidf_top_terms above), so the idf is
+    the exact RATIONAL surrogate ``(2N - 2df + 1) / (2df + 1)`` — the
+    Robertson-Sparck-Jones odds ratio WITHOUT the log, monotone in
+    rarity exactly like the ln form (rare terms weigh more heavily;
+    acceptable for retrieval ranking, documented divergence from
+    textbook weighting). With k1 = 6/5 and b = 3/4 kept rational, the
+    per-term score clears denominators into one integer floor
+    division:
+
+        score_ppm_term = (1e6 · (2N-2df+1) · 22·tf·S)
+                      // ((2df+1) · (10·tf·S + 3·S + 9·dl·N))
+
+    where S = Σ dl (total corpus tokens), dl = doc length. Magnitude:
+    numerator ≤ 1e6·2N·22·tf_max·S < 10^38 for N ≤ 1e9, S ≤ 1e14,
+    tf ≤ 1e3 — DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB,
+    both exact; the summed score_ppm ≤ ~1e15 fits BIGINT.
+
+    Scale shape (100 TB): tf/df/dl are the same three keyed shuffles
+    as tfidf_top_terms; the query-term list broadcasts (a query
+    workload is KB-sized); corpus scalars (N, S) are a 1-row broadcast
+    cross join. Top-k per query is TWO-PHASE so no window ever spans a
+    data-sized partition: per-(query, input-partition) heads first
+    (parallel), then a final window over ≤ k·num_partitions survivor
+    rows per query.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    tok = _with_tokens(docs, "doc_id").select(
+        "doc_id", F.explode("__toks").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("decimal(38,0)").alias("s_tot"),
+        F.count("*").cast("decimal(38,0)").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        schema="query_id string, term string",
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    per_term = matched.select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (2 * n_docs - 2 * df + 1) * 22 * tf * s_tot)"
+            " DIV ((2 * df + 1)"
+            "      * (10 * tf * s_tot + 3 * s_tot + 9 * dl * n_docs))"
+            " AS BIGINT)"
+        ).alias("s"),
+    )
+    scores = per_term.groupBy("query_id", "doc_id").agg(
+        F.sum("s").alias("score_ppm")
+    )
+    # two-phase top-k: the aggregate's output partitions are scanned
+    # in parallel for per-partition heads; only k rows per (query,
+    # partition) reach the final per-query window
+    order = [F.col("score_ppm").desc(), F.col("doc_id")]
+    heads = (
+        scores.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id", "__pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+    )
+    return (
+        heads.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(*order)),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_ppm", "rnk")
+    )

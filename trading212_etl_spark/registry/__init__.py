@@ -109,6 +109,8 @@ _DRIVER_WINDOW = [
     # perf-watch re-verifies (plans touched in r6)
     "graph_pagerank",
     "pipeline_curate_corpus",
+    # entries ADDED in r6 (never driver-checked by construction)
+    "text_bm25_topk",
 ]
 
 

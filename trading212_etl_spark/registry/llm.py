@@ -1028,3 +1028,63 @@ def q_pipeline_curate(spark, sf_dir):
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+
+
+_BM25_QUERIES = [
+    ("spark_join", ["spark", "join", "window"]),
+    ("sort_merge", ["sort", "merge", "hash"]),
+    ("stream_batch", ["stream", "batch", "filter"]),
+]
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    st AS (SELECT CAST(sum(dl) AS HUGEINT) AS s_tot,
+                  CAST(count(*) AS HUGEINT) AS n_docs FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    per AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST((CAST(1000000 AS HUGEINT)
+                   * (2 * st.n_docs - 2 * df.df + 1)
+                   * 22 * tf.tf * st.s_tot)
+                  // ((2 * df.df + 1)
+                      * (10 * tf.tf * st.s_tot + 3 * st.s_tot
+                         + 9 * dl.dl * st.n_docs)) AS BIGINT) AS s
+      FROM tf
+      JOIN q ON q.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+    ),
+    sc AS (SELECT query_id, doc_id, sum(s) AS score_ppm
+           FROM per GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_ppm DESC, doc_id) AS INTEGER) AS rnk
+      FROM sc
+    )
+    SELECT query_id, doc_id, score_ppm, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25-style lexical retrieval top-10 per query (rational-idf
+    surrogate, exact integer ppm — see operators/textual.py bm25_topk
+    for the weighting derivation and the two-phase top-k scale
+    shape). The retrieval pass of a RAG / curation pipeline; no
+    reference analog (the script has no text search,
+    trading212.py:1-143) — LLM-pipeline extension."""
+    from ..operators.textual import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
