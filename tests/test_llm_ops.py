@@ -418,3 +418,35 @@ def test_semantic_dedup_survivors_are_cluster_minima(spark, sf_dir):
         keepers = [m for m in members if m.keep]
         assert len(keepers) == 1, label
         assert keepers[0].vec_id == min(m.vec_id for m in members) == label
+
+
+def test_pq_assign_codes_and_error(spark, sf_dir):
+    """PQ encoding invariants: every subspace code in [0, k); err_q
+    non-negative (it's a squared distance); deterministic across runs;
+    and the error shrinks when the codebook contains the exact
+    subvectors (self-quantization of a codebook row is ~0)."""
+    from trading212_etl_spark.operators.similarity import (
+        pq_assign,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_assign(emb).toPandas()
+    assert len(out) == emb.count()
+    for code in out["pq_code"]:
+        parts = [int(p) for p in code.split("-")]
+        assert len(parts) == 8 and all(0 <= p < 16 for p in parts)
+    assert (out["err_q"] >= 0).all()
+    again = pq_assign(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert again.equals(out.sort_values("vec_id").reset_index(drop=True))
+
+    # a vector equal to centroid 3 of every subspace encodes as all-3s
+    # with zero error
+    cbs = pq_codebooks()
+    flat = [v for book in cbs for v in book[3]]
+    probe = spark.createDataFrame(
+        [(0, [float(x) for x in flat])], "vec_id long, embedding array<float>"
+    )
+    row = pq_assign(probe, cbs).toPandas().iloc[0]
+    assert row["pq_code"] == "-".join(["3"] * 8)
+    assert abs(row["err_q"]) < 1e-3  # float32 storage round-trip noise

@@ -111,6 +111,7 @@ _DRIVER_WINDOW = [
     "pipeline_curate_corpus",
     # entries ADDED in r6 (never driver-checked by construction)
     "text_bm25_topk",
+    "embedding_pq_assign",
 ]
 
 

@@ -1088,3 +1088,56 @@ def q_text_bm25_topk(spark, sf_dir):
     from ..operators.textual import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+def _pq_oracle(round_dp: int = 4) -> str:
+    """DuckDB twin of pq_assign: same inlined codebook literals, same
+    fixed-order distance chains over exact float→double casts —
+    bit-identical distances, so codes need no tolerance."""
+    from ..operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks()
+    m, dsub = len(cbs), len(cbs[0][0])
+    dim = m * dsub
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(dim)
+    )
+    dcols = []
+    for mi, book in enumerate(cbs):
+        exprs = []
+        for cent in book:
+            dot = " + ".join(
+                f"x{mi * dsub + j} * ({cent[j]!r})" for j in range(dsub)
+            )
+            l2 = repr(sum(v * v for v in cent))
+            exprs.append(f"(({l2}) - 2 * ({dot}))")
+        dcols.append(f"[{', '.join(exprs)}] AS d{mi}")
+        xsq = " + ".join(
+            f"x{mi * dsub + j} * x{mi * dsub + j}" for j in range(dsub)
+        )
+        dcols.append(f"({xsq}) AS n{mi}")
+    codes = ", ".join(
+        f"list_indexof(d{mi}, list_min(d{mi})) - 1" for mi in range(m)
+    )
+    err = " + ".join(f"(n{mi} + list_min(d{mi}))" for mi in range(m))
+    return f"""
+    WITH p AS (SELECT vec_id, {xs} FROM embeddings),
+    d AS (SELECT vec_id, {", ".join(dcols)} FROM p)
+    SELECT vec_id,
+           concat_ws('-', {codes}) AS pq_code,
+           round({err}, {round_dp}) AS err_q
+    FROM d
+    """
+
+
+@register("embedding_pq_assign", oracle=_pq_oracle())
+def q_embedding_pq_assign(spark, sf_dir):
+    """Product-quantization encoding (FAISS IVF-PQ's compression
+    half): 8 subspaces × 16 centroids, 64 floats → 8 nibble codes +
+    quantization error. Whole-stage-codegen'd single projection —
+    no shuffle, no UDF (operators/similarity.py pq_assign for the
+    100 TB ADC scan design). LLM-pipeline extension; no reference
+    analog (trading212.py has no vector ops)."""
+    from ..operators.similarity import pq_assign
+
+    return pq_assign(_t(spark, sf_dir, "embeddings"))
