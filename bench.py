@@ -74,6 +74,9 @@ HEADLINE = [
     "events_anomaly_zscore",      # rolling 20-event z-score window
     "orders_rfm_segments",        # aggregate-first ntile segmentation
     "multimodal_image_meta",      # Arrow mapInPandas decode
+    "multimodal_audio_features",  # real WAV codec + DSP kernel (r6)
+    "text_bm25_topk",             # rational-idf BM25 retrieval (r6)
+    "embedding_pq_assign",        # PQ encode, Arrow matmul (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

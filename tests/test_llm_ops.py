@@ -450,3 +450,46 @@ def test_pq_assign_codes_and_error(spark, sf_dir):
     row = pq_assign(probe, cbs).toPandas().iloc[0]
     assert row["pq_code"] == "-".join(["3"] * 8)
     assert abs(row["err_q"]) < 1e-3  # float32 storage round-trip noise
+
+
+def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
+    """ADC over PQ codes is an approximation of exact L2 search: the
+    top-10 by ADC distance must substantially overlap the top-10 by
+    exact squared L2 (quantization only coarsens, it doesn't
+    scramble). Also: ranks are 1..10 per query, distances
+    non-negative and non-decreasing with rank."""
+    import numpy as np
+
+    from trading212_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_data,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    adc = pq_adc_topk(
+        emb, queries, k=10, codebooks=pq_codebooks_from_data(emb)
+    ).toPandas()
+    assert set(adc.groupby("query_id")["rank"].count()) == {10}
+    for _, g in adc.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert (g["adc_dist"].values >= 0).all()
+        assert (np.diff(g["adc_dist"].values) >= -1e-9).all()
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    hits = total = 0
+    for qid, g in adc.groupby("query_id"):
+        q = vecs[qid]
+        exact = sorted(
+            ((np.sum((q - v) ** 2), cid) for cid, v in vecs.items() if cid != qid)
+        )[:10]
+        exact_ids = {cid for _, cid in exact}
+        hits += len(exact_ids & set(g["corpus_id"]))
+        total += 10
+    # ~0.31 measured with the data-derived 8x16 codebooks (64x
+    # compression, no re-rank); overfetch 5x/10x + exact re-rank
+    # reaches 0.66/0.89 (operators/similarity.py) -- recall at this
+    # compression is corpus-dependent, so pin a conservative floor
+    # far above the random baseline (10/500 = 0.02)
+    assert hits / total >= 0.2, f"ADC recall vs exact L2 too low: {hits/total}"

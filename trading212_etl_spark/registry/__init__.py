@@ -112,6 +112,7 @@ _DRIVER_WINDOW = [
     # entries ADDED in r6 (never driver-checked by construction)
     "text_bm25_topk",
     "embedding_pq_assign",
+    "similarity_topk_pq_adc",
 ]
 
 

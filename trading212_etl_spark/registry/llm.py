@@ -1090,54 +1090,169 @@ def q_text_bm25_topk(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
 
 
-def _pq_oracle(round_dp: int = 4) -> str:
-    """DuckDB twin of pq_assign: same inlined codebook literals, same
-    fixed-order distance chains over exact float→double casts —
-    bit-identical distances, so codes need no tolerance."""
-    from ..operators.similarity import pq_codebooks
-
-    cbs = pq_codebooks()
-    m, dsub = len(cbs), len(cbs[0][0])
+def _pq_oracle(round_dp: int = 4, m: int = 8, dsub: int = 8, k_cb: int = 16) -> str:
+    """DuckDB twin of pq_assign over DATA-DERIVED codebooks: the
+    codebook (subvectors of the first k_cb corpus vectors, the
+    _data_centroids init) is rebuilt IN SQL, scores use the same
+    expanded form, and err_q's chains replicate the kernel's
+    dim-sequential left folds exactly — argmin is ulp-safe (distinct
+    centroids sit O(1) apart; duplicate centroids tie exactly and
+    both engines break ties to the lowest index), err doubles match
+    bit-for-bit before the single 4-dp round."""
     dim = m * dsub
     xs = ", ".join(
         f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(dim)
     )
-    dcols = []
-    for mi, book in enumerate(cbs):
-        exprs = []
-        for cent in book:
-            dot = " + ".join(
-                f"x{mi * dsub + j} * ({cent[j]!r})" for j in range(dsub)
-            )
-            l2 = repr(sum(v * v for v in cent))
-            exprs.append(f"(({l2}) - 2 * ({dot}))")
-        dcols.append(f"[{', '.join(exprs)}] AS d{mi}")
-        xsq = " + ".join(
-            f"x{mi * dsub + j} * x{mi * dsub + j}" for j in range(dsub)
+    branches = []
+    for mi in range(m):
+        idx = range(mi * dsub, (mi + 1) * dsub)
+        xsq = " + ".join(f"p.x{i} * p.x{i}" for i in idx)
+        dot = " + ".join(f"p.x{i} * cb.x{i}" for i in idx)
+        l2 = " + ".join(f"cb.x{i} * cb.x{i}" for i in idx)
+        branches.append(
+            f"SELECT p.vec_id, {mi} AS m, cb.c,"
+            f" (({l2}) - 2 * ({dot})) AS score,"
+            f" ({xsq}) + (({l2}) - 2 * ({dot})) AS err"
+            f" FROM p CROSS JOIN cbs cb"
         )
-        dcols.append(f"({xsq}) AS n{mi}")
-    codes = ", ".join(
-        f"list_indexof(d{mi}, list_min(d{mi})) - 1" for mi in range(m)
-    )
-    err = " + ".join(f"(n{mi} + list_min(d{mi}))" for mi in range(m))
+    s_sql = "\n      UNION ALL ".join(branches)
+    err_chain = " + ".join(f"el[{i + 1}]" for i in range(m))
     return f"""
     WITH p AS (SELECT vec_id, {xs} FROM embeddings),
-    d AS (SELECT vec_id, {", ".join(dcols)} FROM p)
-    SELECT vec_id,
-           concat_ws('-', {codes}) AS pq_code,
-           round({err}, {round_dp}) AS err_q
-    FROM d
+    cbs AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, {xs}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k_cb})
+    ),
+    s AS (
+      {s_sql}
+    ),
+    codes AS (
+      SELECT vec_id, m, c, err FROM s
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY score ASC, c ASC) = 1
+    ),
+    g AS (
+      SELECT vec_id,
+             string_agg(CAST(c AS VARCHAR), '-' ORDER BY m) AS pq_code,
+             list(err ORDER BY m) AS el
+      FROM codes GROUP BY vec_id
+    )
+    SELECT vec_id, pq_code, round({err_chain}, {round_dp}) AS err_q
+    FROM g
     """
 
 
 @register("embedding_pq_assign", oracle=_pq_oracle())
 def q_embedding_pq_assign(spark, sf_dir):
     """Product-quantization encoding (FAISS IVF-PQ's compression
-    half): 8 subspaces × 16 centroids, 64 floats → 8 nibble codes +
-    quantization error. Whole-stage-codegen'd single projection —
-    no shuffle, no UDF (operators/similarity.py pq_assign for the
-    100 TB ADC scan design). LLM-pipeline extension; no reference
-    analog (trading212.py has no vector ops)."""
-    from ..operators.similarity import pq_assign
+    half): 8 subspaces x 16 data-derived centroids, 64 floats -> 8
+    nibble codes + quantization error. Arrow matmul kernel, map-only
+    (operators/similarity.py pq_assign for the 100 TB ADC scan design
+    and why the pure-expression form was rejected). LLM-pipeline
+    extension; no reference analog (trading212.py has no vector
+    ops)."""
+    from ..operators.similarity import pq_assign, pq_codebooks_from_data
 
-    return pq_assign(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_assign(emb, pq_codebooks_from_data(emb))
+
+
+def _pq_adc_oracle(
+    k: int = 10, round_dp: int = 4, m: int = 8, dsub: int = 8, k_cb: int = 16
+) -> str:
+    """DuckDB twin of pq_adc_topk over the same SQL-derived data
+    codebooks as _pq_oracle: partial-distance chains and the final
+    8-lookup sum replicate the engine's fixed left-fold order — raw
+    distances bit-identical, ranks tolerance-free."""
+    dim = m * dsub
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(dim)
+    )
+    s_branches = []
+    pd_branches = []
+    for mi in range(m):
+        idx = range(mi * dsub, (mi + 1) * dsub)
+        dot = " + ".join(f"p.x{i} * cb.x{i}" for i in idx)
+        l2 = " + ".join(f"cb.x{i} * cb.x{i}" for i in idx)
+        s_branches.append(
+            f"SELECT p.vec_id, {mi} AS m, cb.c,"
+            f" (({l2}) - 2 * ({dot})) AS score"
+            f" FROM p CROSS JOIN cbs cb"
+        )
+        chain = " + ".join(
+            f"(q.x{i} - cb.x{i}) * (q.x{i} - cb.x{i})" for i in idx
+        )
+        pd_branches.append(
+            f"SELECT q.query_id, {mi} AS m, cb.c, ({chain}) AS pdist"
+            f" FROM q CROSS JOIN cbs cb"
+        )
+    s_sql = "\n      UNION ALL ".join(s_branches)
+    pd_sql = "\n      UNION ALL ".join(pd_branches)
+    joins = "\n      ".join(
+        f"JOIN pd pd{mi} ON pd{mi}.query_id = qq.query_id"
+        f" AND pd{mi}.m = {mi} AND pd{mi}.c = v.c{mi}"
+        for mi in range(m)
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {mi} THEN c END) AS c{mi}" for mi in range(m)
+    )
+    dist = " + ".join(f"pd{mi}.pdist" for mi in range(m))
+    return f"""
+    WITH p AS (SELECT vec_id, {xs} FROM embeddings),
+    cbs AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, {xs}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k_cb})
+    ),
+    s AS (
+      {s_sql}
+    ),
+    cl AS (
+      SELECT vec_id, m, c FROM s
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY score ASC, c ASC) = 1
+    ),
+    codes AS (
+      SELECT vec_id AS corpus_id, {code_cols} FROM cl GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, {xs}
+          FROM embeddings WHERE vec_id < 8),
+    pd AS (
+      {pd_sql}
+    ),
+    sel AS (
+      SELECT qq.query_id, v.corpus_id, {dist} AS adc_raw
+      FROM codes v
+      CROSS JOIN (SELECT DISTINCT query_id FROM pd) qq
+      {joins}
+      WHERE v.corpus_id <> qq.query_id
+    ),
+    r AS (
+      SELECT query_id, corpus_id, adc_raw,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_raw ASC, corpus_id ASC) AS rank
+      FROM sel
+    )
+    SELECT query_id, corpus_id,
+           round(adc_raw, {round_dp}) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_pq_adc", oracle=_pq_adc_oracle())
+def q_similarity_pq_adc(spark, sf_dir):
+    """PQ + asymmetric-distance top-10 (FAISS IVF-PQ's search half,
+    paired with embedding_pq_assign): per-query LUT of 8x16 partial
+    distances to the data-derived codebook, corpus scanned as nibble
+    codes only — query cost independent of embedding width; two-phase
+    per-query top-k (see operators/similarity.py pq_adc_topk). Raw
+    distances bit-identical to the oracle (fixed-order chains), rank
+    tolerance-free. Recall vs exact L2 and the overfetch+re-rank
+    ladder are pinned in tests/test_llm_ops.py."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import pq_adc_topk, pq_codebooks_from_data
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks_from_data(emb)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, codebooks=cbs)
