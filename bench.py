@@ -77,6 +77,7 @@ HEADLINE = [
     "multimodal_audio_features",  # real WAV codec + DSP kernel (r6)
     "text_bm25_topk",             # rational-idf BM25 retrieval (r6)
     "embedding_pq_assign",        # PQ encode, Arrow matmul (r6)
+    "similarity_topk_pq_adc",     # PQ ADC search, LUT projection (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

