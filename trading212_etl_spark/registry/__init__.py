@@ -113,6 +113,7 @@ _DRIVER_WINDOW = [
     "text_bm25_topk",
     "embedding_pq_assign",
     "similarity_topk_pq_adc",
+    "text_bpe_merges",
 ]
 
 

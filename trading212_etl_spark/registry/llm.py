@@ -1256,3 +1256,74 @@ def q_similarity_pq_adc(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cbs = pq_codebooks_from_data(emb)
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, codebooks=cbs)
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pr AS (
+      SELECT doc_id,
+             unnest([toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]
+                     for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS pair
+      FROM t
+    ),
+    c AS (SELECT pair, count(*) AS n_pair,
+                 count(DISTINCT doc_id) AS n_docs
+          FROM pr GROUP BY pair),
+    r AS (SELECT pair, n_pair, n_docs,
+                 row_number() OVER (ORDER BY n_pair DESC, pair ASC) AS merge_rank
+          FROM c)
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, n_pair, n_docs
+    FROM r WHERE merge_rank <= 20
+    """,
+)
+def q_text_bpe_merges(spark, sf_dir):
+    """One BPE merge round (the vocabulary-induction primitive behind
+    BPE/WordPiece tokenizer training): count every ADJACENT token
+    pair across the corpus and rank the top-20 merge candidates by
+    frequency. Adjacent pairs come straight off the token array as a
+    pure projection (``transform`` over index sequence — no
+    self-join, no window, no position shuffle); one hash-aggregate on
+    the pair string and a TakeOrderedAndProject top-k are the only
+    exchanges, so a 100 TB corpus costs one map pass plus a
+    vocabulary-sized shuffle. Iterating rounds (re-tokenize with the
+    merged symbol, repeat) composes this entry with the
+    materialization policy exactly like connected_components.
+    LLM-pipeline extension; no reference analog."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            # CASE guard, not greatest(): Spark's sequence(1, 0) is the
+            # DESCENDING [1, 0], not empty, so a 1-token document
+            # would emit a phantom pair the DuckDB range()-based
+            # oracle (empty for len < 2) never sees
+            F.expr(
+                "CASE WHEN size(__toks) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(__toks) - 1),"
+                " i -> concat(__toks[i - 1], ' ', __toks[i])) END"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_pair"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    ranked = counts.orderBy(F.col("n_pair").desc(), F.col("pair").asc()).limit(20)
+    from pyspark.sql import Window
+
+    return ranked.withColumn(
+        "merge_rank",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("n_pair").desc(), F.col("pair").asc()
+            )
+        ),
+    ).select("merge_rank", "pair", "n_pair", "n_docs")
