@@ -114,6 +114,7 @@ _DRIVER_WINDOW = [
     "embedding_pq_assign",
     "similarity_topk_pq_adc",
     "text_bpe_merges",
+    "privacy_k_anonymity",
 ]
 
 

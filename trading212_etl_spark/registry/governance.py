@@ -1573,3 +1573,57 @@ def q_events_ewma(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+               AS bal_band,
+             count(*) AS k,
+             count(DISTINCT c_custkey % 10) AS l_div
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT k AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+           k < 5 AS below_k5
+    FROM g GROUP BY k
+    """,
+)
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity risk profile — the privacy audit a training-data
+    release runs before publishing: group the table by its
+    quasi-identifiers (nation, market segment, account-balance band)
+    and histogram the equivalence-class sizes. A class of size k < 5
+    means those rows are re-identifiable to within 5 candidates;
+    ``min_l_diversity`` adds the l-diversity floor (distinct sensitive
+    values per class — custkey mod 10 stands in for a sensitive
+    attribute on this schema). Two hash-aggregates, the second over
+    class-count rows (vocabulary-sized); the balance band is exact
+    DECIMAL floor division so band edges can't straddle a float
+    boundary across engines. At 100 TB: the first groupBy is the only
+    data-sized shuffle and it map-side combines."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("decimal(18,2)") / 1000)
+        .cast("bigint")
+        .alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(F.col("c_custkey") % 10).alias("l_div"),
+    )
+    return g.groupBy(F.col("k").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.min("l_div").alias("min_l_diversity"),
+        (F.col("group_size") < 5).alias("below_k5"),
+    ).select("group_size", "n_groups", "n_rows", "min_l_diversity", "below_k5")
