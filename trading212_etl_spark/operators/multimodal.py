@@ -94,46 +94,6 @@ def decode_image_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
-def resize_stub(binary_df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """STUB image resize: binary in → binary out with target-dim
-    metadata (a real deployment swaps the kernel body for
-    PIL ``Image.resize``; here the payload is deterministically
-    truncated/cycled to w*h*3 bytes so downstream schema and sizing
-    logic are real). The 1→1 binary-to-binary mapInPandas shape —
-    the template for any re-encode kernel."""
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("image", T.BinaryType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-        ]
-    )
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n_out = target_w * target_h * 3
-
-        def fake_resize(payload: bytes) -> bytes:
-            # STUB kernel — deterministic fake: cycle payload bytes to
-            # the target buffer size (real: decode + resample + encode)
-            if not payload:
-                return bytes(n_out)
-            reps = n_out // len(payload) + 1
-            return (payload * reps)[:n_out]
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "image": [fake_resize(p) for p in pdf["payload"]],
-                    "width": target_w,
-                    "height": target_h,
-                }
-            )
-
-    return binary_df.mapInPandas(resize, out_schema)
-
-
 def synth_wav_payload(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     """Deterministic synthetic PCM16 mono WAV corpus — REAL WAV
     encoding via the stdlib ``wave`` module (the only audio codec this
@@ -280,3 +240,152 @@ def frame_sample_stub(binary_df: DataFrame, every_n_bytes: int = 100) -> DataFra
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_byte"])
 
     return binary_df.mapInPandas(sample, schema)
+
+
+def synth_bmp_payload(binary_docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic 24-bit BMP corpus — REAL BMP encoding
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up rows padded to
+    4 bytes, the actual on-disk format), no codec library needed: BMP
+    is struct arithmetic. Doc ``d`` gets a ``(16 + d%16) ×
+    (12 + (d*7)%12)`` grayscale image whose pixel ``i`` (row-major
+    from the TOP) is byte ``i%16`` of ``md5(f"{d}:{i//16}")`` — the
+    md5-keystream construction shared with synth_wav_payload, so
+    downstream kernels are DuckDB-oracle-able. Distributed
+    ``mapInPandas``; one digest yields 16 pixels."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    encode, _ = _bmp_codec()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 12 + (d * 7) % 12
+                n = w * h
+                raw = b"".join(
+                    hashlib.md5(f"{d}:{g}".encode()).digest()
+                    for g in range((n + 15) // 16)
+                )[:n]
+                gray = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                payloads.append(encode(gray))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return binary_docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+def _bmp_codec():
+    """24-bit BMP encoder/decoder pair, defined INSIDE a factory so
+    kernel closures capture them BY VALUE (cloudpickle): Python
+    workers cannot import this package (the driver injects it via
+    sys.path — see decode_image_meta), so a module-level reference
+    would die with ModuleNotFoundError on the executor."""
+
+    def encode(gray) -> bytes:
+        # real format: 54-byte header, rows padded to 4-byte
+        # multiples, stored BOTTOM-UP per the spec
+        import struct
+
+        import numpy as np
+
+        h, w = gray.shape
+        row = ((w * 3 + 3) // 4) * 4
+        size = 54 + row * h
+        header = struct.pack(
+            "<2sIHHIIiiHHIIiiII",
+            b"BM", size, 0, 0, 54,          # file header
+            40, w, h, 1, 24, 0, row * h,    # info header (BI_RGB)
+            2835, 2835, 0, 0,
+        )
+        px = np.zeros((h, row), dtype=np.uint8)
+        bgr = np.repeat(gray[:, :, None], 3, axis=2).reshape(h, w * 3)
+        px[:, : w * 3] = bgr
+        return header + px[::-1].tobytes()  # bottom-up row order
+
+    def decode(payload: bytes):
+        # parse headers, strip row padding, undo bottom-up order;
+        # returns the grayscale (blue-channel) array
+        import struct
+
+        import numpy as np
+
+        assert payload[:2] == b"BM", "not a BMP payload"
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
+        row = ((w * 3 + 3) // 4) * 4
+        px = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=off)
+        px = px.reshape(h, row)[::-1]  # back to top-down
+        return px[:, : w * 3].reshape(h, w, 3)[:, :, 0].copy()
+
+    return encode, decode
+
+
+# module-level aliases for tests and driver-side callers
+_bmp_encode, _bmp_decode = _bmp_codec()
+
+
+def resize_images(
+    binary_df: DataFrame, target_w: int = 16, target_h: int = 12
+) -> DataFrame:
+    """REAL image resize (no stub): decode the BMP container,
+    nearest-neighbor resample in numpy (``src = (dst · src_dim) //
+    dst_dim`` — pure integer index math, so the DuckDB oracle can
+    regenerate every sampled pixel), re-encode as BMP. Emits the
+    resized binary plus verifiable facts: output dims, the exact
+    re-encoded byte size (pins the row-padding layout), and the
+    integer pixel sum of the resized image (pins the resample map and
+    the container round-trip). The 1→1 binary-to-binary mapInPandas
+    shape — the template for any re-encode kernel; swap the resample
+    line for PIL/cv2 interpolation in a deployment with codecs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    encode, decode = _bmp_codec()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        xs = (np.arange(target_w)[None, :], np.arange(target_h)[:, None])
+
+        def one(payload: bytes):
+            gray = decode(bytes(payload))
+            sh, sw = gray.shape
+            out = gray[(xs[1] * sh) // target_h, (xs[0] * sw) // target_w]
+            enc = encode(out.astype(np.uint8))
+            return enc, len(enc), int(out.sum(dtype=np.int64))
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "image": [r[0] for r in rows],
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [r[1] for r in rows],
+                    "pixel_sum": [r[2] for r in rows],
+                }
+            )
+
+    return binary_df.mapInPandas(resize, out_schema)

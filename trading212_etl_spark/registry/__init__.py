@@ -97,11 +97,11 @@ _DRIVER_WINDOW = [
     "customer_order_count_distribution",
     "sample_weighted",
     "sample_temperature_mixture",
-    # audio is ORACLED as of r6 (real wav codec + DSP kernel)
+    # audio and resize are ORACLED as of r6 (real wav / bmp kernels)
     "multimodal_audio_features",
+    "multimodal_resize",
     # never-checked rows-only-by-design entries (driver records a
     # rows-only row; COVERAGE.md documents why no oracle can exist)
-    "multimodal_resize",
     "multimodal_frame_sample",
     "events_hll_rollup",
     "pipeline_curate_corpus_lsh",

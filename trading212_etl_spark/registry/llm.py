@@ -858,15 +858,54 @@ def q_multimodal_meta(spark, sf_dir):
     return decode_image_meta(with_binary_payload(_t(spark, sf_dir, "documents")))
 
 
-@register("multimodal_resize")  # rows-only: binary->binary stub kernel
-def q_multimodal_resize(spark, sf_dir):
-    """STUB resize: binary→binary mapInPandas re-encode shape with
-    typed target dims. Byte-size invariants in tests/test_llm_ops.py."""
-    from ..operators.multimodal import resize_stub, with_binary_payload
+_NIB = "strpos('0123456789abcdef', substr(h, (i % 16) * 2 + {o}, 1)) - 1"
 
-    return resize_stub(
-        with_binary_payload(_t(spark, sf_dir, "documents")), 64, 48
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 16 + doc_id % 16 AS sw, 12 + (doc_id * 7) % 12 AS sh
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((ty.y * sh) // 12) * sw + ((tx.x * sw) // 16) AS i
+      FROM d CROSS JOIN range(0, 16) tx(x) CROSS JOIN range(0, 12) ty(y)
+    ),
+    hx AS (
+      SELECT doc_id, i,
+             md5(concat(CAST(doc_id AS VARCHAR), ':',
+                        CAST(i // 16 AS VARCHAR))) AS h
+      FROM px
+    ),
+    v AS (
+      SELECT doc_id,
+             ({_NIB.format(o=1)}) * 16 + ({_NIB.format(o=2)}) AS val
+      FROM hx
     )
+    SELECT doc_id, 16 AS width, 12 AS height, 630 AS n_bytes,
+           CAST(sum(val) AS BIGINT) AS pixel_sum
+    FROM v GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """REAL image resize (r6, stub retired): synthesize a true 24-bit
+    BMP per document (pure-struct encoder — padded bottom-up rows, the
+    actual on-disk format), parse the container back, nearest-neighbor
+    resample to 16x12 with integer index math, re-encode. The oracle
+    regenerates every SAMPLED source pixel from the md5 keystream and
+    recomputes the resized pixel sum plus the exact re-encoded byte
+    size (54 + 12 rows x 48 padded bytes), so the encoder, header
+    parse, padding/bottom-up handling, and the resample map are all
+    cross-engine verified. The resized binary itself is exercised by
+    the round-trip test (tests/test_llm_ops.py); this entry emits the
+    verifiable metadata columns."""
+    from ..operators.multimodal import resize_images, synth_bmp_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_images(synth_bmp_payload(docs), target_w=16, target_h=12)
+    return out.select("doc_id", "width", "height", "n_bytes", "pixel_sum")
 
 
 _AUDIO_NIB = "strpos('0123456789abcdef', substr(h, (j % 8) * 4 + {o}, 1)) - 1"
