@@ -16,7 +16,8 @@ from trading212_etl_spark.operators.multimodal import (
     audio_features,
     synth_wav_payload,
     decode_image_meta,
-    frame_sample_stub,
+    sample_frames,
+    synth_avi_payload,
     resize_images,
     synth_bmp_payload,
     with_binary_payload,
@@ -186,21 +187,39 @@ def test_similarity_ivf_recall(spark, sf_dir):
     assert recall >= 0.7, f"IVF n_probe=3/8 recall too low: {recall}"
 
 
-def test_multimodal_decode_shapes(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    payload = with_binary_payload(docs)
-    meta = decode_image_meta(payload).toPandas()
-    assert len(meta) == docs.count()
-    assert ((meta.width >= 64) & (meta.width < 704)).all()
-    assert ((meta.height >= 64) & (meta.height < 544)).all()
-    assert (meta.channels == 3).all()
-    # ASCII corpus: mean byte value within printable range
-    assert ((meta.mean_intensity > 32) & (meta.mean_intensity < 127)).all()
-    frames = frame_sample_stub(payload, every_n_bytes=100)
-    n_expected = docs.select(
-        F.sum(F.ceil(F.length("text") / 100.0).cast("long"))
-    ).first()[0]
-    assert frames.count() == n_expected
+def test_multimodal_decode_and_frame_sample_real(spark, sf_dir):
+    """Image metadata and video frame sampling are REAL (r6): headers
+    parsed, pixels decoded. Cross-check dims/byte-size formulas and
+    one doc's frame pixels against an independent recomputation."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    meta = decode_image_meta(synth_bmp_payload(docs)).toPandas()
+    assert len(meta) == 8
+    for _, r in meta.iterrows():
+        d = int(r["doc_id"])
+        sw, sh = 16 + d % 16, 12 + (d * 7) % 12
+        assert (r["width"], r["height"], r["channels"]) == (sw, sh, 3)
+        assert r["n_bytes"] == 54 + sh * (((sw * 3 + 3) // 4) * 4)
+        assert 0 <= r["mean_intensity"] <= 255
+
+    frames = sample_frames(synth_avi_payload(docs), every_n=2).toPandas()
+    for _, r in frames.iterrows():
+        d = int(r["doc_id"])
+        assert r["n_frames"] == 6 + d % 5
+        assert r["frame_idx"] % 2 == 0
+    d = int(frames.iloc[0]["doc_id"])
+    w, h = 8 + d % 8, 6 + d % 6
+    n = w * h
+    f = int(frames.iloc[0]["frame_idx"])
+    raw = b"".join(
+        hashlib.md5(f"{d}:{f}:{g}".encode()).digest()
+        for g in range((n + 15) // 16)
+    )[:n]
+    want = int(np.frombuffer(raw, dtype=np.uint8).sum(dtype=np.int64))
+    assert frames.iloc[0]["pixel_sum"] == want
 
 
 def test_multimodal_resize_real_bmp_roundtrip(spark, sf_dir):

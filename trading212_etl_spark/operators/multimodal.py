@@ -2,13 +2,20 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container ships exactly one codec — the stdlib ``wave`` module —
-so the AUDIO path is fully real (``synth_wav_payload`` encodes PCM16
-WAV, ``audio_features`` parses it back and computes time-domain DSP,
-DuckDB-oracled end to end). The image/video *decode kernels* remain
-deterministic fakes (clearly marked — swap in PIL/ffmpeg in a real
-deployment). Everything Spark-side is real and tested throughout:
-binary schema, Arrow batch transfer, UDF signatures,
+Every kernel here is REAL as of r6 — no stub decode paths remain:
+
+- **audio**: PCM16 WAV via the stdlib ``wave`` module (encode +
+  parse + time-domain DSP features);
+- **image**: 24-bit BMP via a pure-struct codec (_bmp_codec — BMP is
+  header arithmetic plus 4-byte-padded bottom-up rows), with real
+  header-parse metadata and nearest-neighbor resampling;
+- **video**: uncompressed DIB-stream AVI via a RIFF chunk-tree
+  writer/walker (_avi_codec), with every-Nth frame decode.
+
+Payload synthesis uses md5-keystream pixels/samples so every kernel
+is DuckDB-oracle-able end to end; a production deployment swaps the
+codec pair for PIL/librosa/ffmpeg without touching the Spark
+plumbing: binary schema, Arrow batch transfer, UDF signatures,
 partition-parallel execution, metadata struct shape.
 
 Scale design: decode is the textbook Pandas-UDF case — per-row Python
@@ -69,18 +76,22 @@ def decode_image_meta(binary_df: DataFrame) -> DataFrame:
     pickled by value, never by module reference.
     """
 
+    decode_bmp = _bmp_codec()[1]
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode_image_bytes(payload: bytes) -> tuple[int, int, int, int, float]:
-            # STUB decode kernel — deterministic fake. A real deployment
-            # replaces this body with e.g. PIL.Image.open(io.BytesIO(p));
-            # the container ships no codecs, so dims derive from byte
-            # content and mean_intensity is the true byte mean.
-            n = len(payload)
-            width = 64 + (n % 640)
-            height = 64 + ((n * 31) % 480)
-            channels = 3
-            mean_intensity = (sum(payload) / n) if n else 0.0
-            return n, width, height, channels, mean_intensity
+            # REAL decode (r6): parse the BMP container — size, dims
+            # from BITMAPINFOHEADER, channels from bpp — and the true
+            # mean intensity of the decoded pixel array. Swap for
+            # PIL.Image.open in a deployment with more codecs.
+            import struct
+
+            payload = bytes(payload)
+            gray = decode_bmp(payload)
+            h, w = gray.shape
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            mean_intensity = int(gray.sum(dtype="int64")) / (w * h)
+            return len(payload), w, h, bpp // 8, mean_intensity
 
         for pdf in batches:
             meta = [decode_image_bytes(p) for p in pdf["payload"]]
@@ -217,31 +228,6 @@ def audio_features(binary_df: DataFrame, n_bands: int = 4) -> DataFrame:
     return binary_df.mapInPandas(featurize, out_schema)
 
 
-def frame_sample_stub(binary_df: DataFrame, every_n_bytes: int = 100) -> DataFrame:
-    """STUB frame sampler: emits one 'frame' row per ``every_n_bytes``
-    of payload (a real video pipeline emits one row per sampled frame
-    with its own binary column). Demonstrates the 1→N mapInPandas
-    shape (row explosion inside the Arrow batch)."""
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("frame_byte", T.IntegerType()),
-        ]
-    )
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
-                    rows.append((doc_id, i, payload[off]))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_byte"])
-
-    return binary_df.mapInPandas(sample, schema)
-
-
 def synth_bmp_payload(binary_docs: DataFrame) -> DataFrame:
     """Deterministic synthetic 24-bit BMP corpus — REAL BMP encoding
     (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up rows padded to
@@ -258,7 +244,6 @@ def synth_bmp_payload(binary_docs: DataFrame) -> DataFrame:
             T.StructField("payload", T.BinaryType()),
         ]
     )
-
     encode, _ = _bmp_codec()
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -360,7 +345,6 @@ def resize_images(
             T.StructField("pixel_sum", T.LongType()),
         ]
     )
-
     encode, decode = _bmp_codec()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,3 +373,195 @@ def resize_images(
             )
 
     return binary_df.mapInPandas(resize, out_schema)
+
+
+def _avi_codec():
+    """Uncompressed-AVI (DIB 'vids' stream) writer/parser pair — the
+    same by-value factory contract as _bmp_codec. AVI is a RIFF
+    container: the writer emits the real structure (avih MainAVIHeader,
+    strh/strf stream headers, a movi LIST of 00db frame chunks, frames
+    as 4-byte-padded bottom-up DIB rows); the parser WALKS the chunk
+    tree generically (no hardcoded offsets), so it reads any
+    spec-shaped uncompressed AVI, not just its own output."""
+
+    def encode(frames, usec_per_frame: int = 100_000) -> bytes:
+        # frames: list of (h, w) uint8 grayscale arrays, equal dims
+        import struct
+
+        import numpy as np
+
+        h, w = frames[0].shape
+        row = ((w * 3 + 3) // 4) * 4
+        fsize = row * h
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            usec_per_frame, fsize * 10, 0, 0, len(frames), 0, 1, fsize,
+            w, h, 0, 0, 0, 0,
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, len(frames),
+            fsize, 0, 0, 0, 0, w, h,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0
+        )
+
+        def chunk(fcc: bytes, data: bytes) -> bytes:
+            pad = b"\x00" if len(data) % 2 else b""
+            return fcc + struct.pack("<I", len(data)) + data + pad
+
+        def lst(kind: bytes, data: bytes) -> bytes:
+            return chunk(b"LIST", kind + data)
+
+        movi = b""
+        for fr in frames:
+            px = np.zeros((h, row), dtype=np.uint8)
+            px[:, : w * 3] = np.repeat(fr[:, :, None], 3, 2).reshape(h, w * 3)
+            movi += chunk(b"00db", px[::-1].tobytes())
+        body = (
+            lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+            + lst(b"movi", movi)
+        )
+        return chunk(b"RIFF", b"AVI " + body)
+
+    def parse(payload: bytes):
+        # returns (n_frames, width, height, usec_per_frame,
+        #          [(frame_idx, grayscale array), ...]) for ALL frames
+        import struct
+
+        import numpy as np
+
+        def walk(buf, pos, end):
+            # yields (fcc, list_kind_or_None, data_start, data_len)
+            while pos + 8 <= end:
+                fcc = buf[pos : pos + 4]
+                n = struct.unpack_from("<I", buf, pos + 4)[0]
+                if fcc == b"LIST" or fcc == b"RIFF":
+                    yield fcc, buf[pos + 8 : pos + 12], pos + 12, n - 4
+                else:
+                    yield fcc, None, pos + 8, n
+                pos += 8 + n + (n % 2)
+
+        (fcc, kind, start, length), = list(walk(payload, 0, 12))
+        assert fcc == b"RIFF" and kind == b"AVI ", "not an AVI payload"
+        meta = {}
+        frames = []
+        def visit(pos, end):
+            for fcc, kind, s, n in walk(payload, pos, end):
+                if fcc in (b"LIST", b"RIFF"):
+                    visit(s, s + n)
+                elif fcc == b"avih":
+                    u, = struct.unpack_from("<I", payload, s)
+                    tf, = struct.unpack_from("<I", payload, s + 16)
+                    w, h = struct.unpack_from("<II", payload, s + 32)
+                    meta.update(usec=u, n_frames=tf, w=w, h=h)
+                elif fcc == b"00db":
+                    frames.append((s, n))
+        visit(start, start + length)
+        w, h = meta["w"], meta["h"]
+        row = ((w * 3 + 3) // 4) * 4
+        out = []
+        for idx, (s, n) in enumerate(frames):
+            assert n == row * h, "frame chunk size mismatch"
+            px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=s)
+            px = px.reshape(h, row)[::-1]
+            out.append((idx, px[:, : w * 3].reshape(h, w, 3)[:, :, 0]))
+        return meta["n_frames"], w, h, meta["usec"], out
+
+    return encode, parse
+
+
+_avi_encode, _avi_parse = _avi_codec()
+
+
+def synth_avi_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic uncompressed-AVI corpus — REAL RIFF/AVI
+    encoding (_avi_codec). Doc ``d``: ``6 + d%5`` frames of
+    ``(8 + d%8) × (6 + d%6)`` grayscale; pixel ``i`` of frame ``f`` is
+    byte ``i%16`` of ``md5(f"{d}:{f}:{i//16}")`` — the shared
+    md5-keystream construction, so frame sampling is
+    DuckDB-oracle-able end to end."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    encode, _ = _avi_codec()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def frames_for(d: int):
+            w, h = 8 + d % 8, 6 + d % 6
+            n = w * h
+            out = []
+            for f in range(6 + d % 5):
+                raw = b"".join(
+                    hashlib.md5(f"{d}:{f}:{g}".encode()).digest()
+                    for g in range((n + 15) // 16)
+                )[:n]
+                out.append(np.frombuffer(raw, dtype=np.uint8).reshape(h, w))
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode(frames_for(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, out_schema)
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling (no stub): walk the AVI's RIFF chunk
+    tree, decode every ``every_n``-th DIB frame, and emit one row per
+    sampled frame with its stats — the 1→N mapInPandas row-explosion
+    shape of video ingestion. Emitted facts (dims from the avih
+    header, per-frame integer pixel sums, frame count) pin the
+    container walk and the bottom-up padded-row decode against the
+    DuckDB oracle. Swap the parser for ffmpeg/PyAV in a deployment
+    with codecs; the Spark plumbing is identical."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+    _, parse = _avi_codec()
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nf, w, h, _usec, frames = parse(bytes(payload))
+                for idx, gray in frames:
+                    if idx % every_n == 0:
+                        rows.append(
+                            (
+                                doc_id, idx, w, h, nf,
+                                int(gray.sum(dtype=np.int64)),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "n_frames", "pixel_sum",
+                ],
+            )
+
+    return binary_df.mapInPandas(sample, schema)

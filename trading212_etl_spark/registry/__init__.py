@@ -97,18 +97,19 @@ _DRIVER_WINDOW = [
     "customer_order_count_distribution",
     "sample_weighted",
     "sample_temperature_mixture",
-    # audio and resize are ORACLED as of r6 (real wav / bmp kernels)
+    # ALL multimodal kernels are REAL + ORACLED as of r6 (wav/bmp/avi)
     "multimodal_audio_features",
     "multimodal_resize",
+    "multimodal_frame_sample",
     # never-checked rows-only-by-design entries (driver records a
     # rows-only row; COVERAGE.md documents why no oracle can exist)
-    "multimodal_frame_sample",
     "events_hll_rollup",
     "pipeline_curate_corpus_lsh",
     "agg_approx_sketches",
     # perf-watch re-verifies (plans touched in r6)
     "graph_pagerank",
     "pipeline_curate_corpus",
+    "multimodal_image_meta",
     # entries ADDED in r6 (never driver-checked by construction)
     "text_bm25_topk",
     "embedding_pq_assign",

@@ -834,28 +834,46 @@ def q_embedding_norms(spark, sf_dir):
 
 @register(
     "multimodal_image_meta",
-    oracle="""
-    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
-               FROM documents)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 16 + doc_id % 16 AS sw, 12 + (doc_id * 7) % 12 AS sh
+      FROM documents
+    ),
+    px AS (SELECT doc_id, sw, sh, unnest(range(0, sw * sh)) AS i FROM d),
+    hxs AS (
+      SELECT doc_id, sw, sh, i,
+             md5(concat(CAST(doc_id AS VARCHAR), ':',
+                        CAST(i // 16 AS VARCHAR))) AS h
+      FROM px
+    ),
+    v AS (
+      SELECT doc_id, sw, sh,
+             ({{nib1}}) * 16 + ({{nib2}}) AS val
+      FROM hxs
+    )
     SELECT doc_id,
-           CAST(n AS INTEGER) AS n_bytes,
-           CAST(64 + (n % 640) AS INTEGER) AS width,
-           CAST(64 + ((n * 31) % 480) AS INTEGER) AS height,
+           CAST(54 + sh * (((sw * 3 + 3) // 4) * 4) AS INTEGER) AS n_bytes,
+           CAST(sw AS INTEGER) AS width,
+           CAST(sh AS INTEGER) AS height,
            3 AS channels,
-           CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1),
-                i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / n
-             AS mean_intensity
-    FROM b
-    """,
+           CAST(sum(val) AS DOUBLE) / (sw * sh) AS mean_intensity
+    FROM v GROUP BY doc_id, sw, sh
+    """.format(
+        nib1="strpos('0123456789abcdef', substr(h, (i % 16) * 2 + 1, 1)) - 1",
+        nib2="strpos('0123456789abcdef', substr(h, (i % 16) * 2 + 2, 1)) - 1",
+    ),
 )
 def q_multimodal_meta(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload → Arrow-batched
-    mapInPandas decode (STUB kernel, deterministic fake dims + true
-    byte mean) → typed metadata. The oracle replays the fake-decode
-    arithmetic; corpus text is ASCII so char codes == bytes."""
-    from ..operators.multimodal import decode_image_meta, with_binary_payload
+    """Multimodal ingest metadata, REAL decode (r6): parse each BMP's
+    actual headers — byte size, dims from BITMAPINFOHEADER, channel
+    count from the bpp field — plus the true mean pixel intensity
+    from the decoded (padding-stripped, re-flipped) pixel array. The
+    oracle recomputes byte size from the spec's row-padding formula
+    and the intensity from the md5 pixel keystream, so header layout
+    and pixel decode are both cross-engine verified."""
+    from ..operators.multimodal import decode_image_meta, synth_bmp_payload
 
-    return decode_image_meta(with_binary_payload(_t(spark, sf_dir, "documents")))
+    return decode_image_meta(synth_bmp_payload(_t(spark, sf_dir, "documents")))
 
 
 _NIB = "strpos('0123456789abcdef', substr(h, (i % 16) * 2 + {o}, 1)) - 1"
@@ -976,13 +994,56 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: 1->N mapInPandas shape
-def q_multimodal_frames(spark, sf_dir):
-    """STUB frame sampler: one row per 100 payload bytes — the 1→N
-    row-explosion shape of video frame sampling."""
-    from ..operators.multimodal import frame_sample_stub, with_binary_payload
+_VNIB = "strpos('0123456789abcdef', substr(hx, (i % 16) * 2 + {o}, 1)) - 1"
 
-    return frame_sample_stub(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+             6 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+    px AS (
+      SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS i
+      FROM fr WHERE f % 2 = 0
+    ),
+    hxs AS (
+      SELECT doc_id, w, h, nf, f, i,
+             md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(f AS VARCHAR),
+                        ':', CAST(i // 16 AS VARCHAR))) AS hx
+      FROM px
+    ),
+    v AS (
+      SELECT doc_id, w, h, nf, f,
+             ({_VNIB.format(o=1)}) * 16 + ({_VNIB.format(o=2)}) AS val
+      FROM hxs
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(sum(val) AS BIGINT) AS pixel_sum
+    FROM v GROUP BY doc_id, f, w, h, nf
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """REAL video frame sampling (r6, stub retired — the last one):
+    synthesize a true uncompressed AVI per document (RIFF container,
+    avih/strh/strf headers, DIB frame chunks — struct arithmetic, no
+    codec library), walk the chunk tree back, decode every 2nd frame,
+    emit one row per sampled frame (the 1→N mapInPandas shape of
+    video ingestion). The oracle regenerates every sampled frame's
+    pixels from the md5 keystream and recomputes dims / frame count /
+    per-frame pixel sums, so the container writer, the generic RIFF
+    walk, and the padded bottom-up frame decode are cross-engine
+    verified."""
+    from ..operators.multimodal import sample_frames, synth_avi_payload
+
+    return sample_frames(
+        synth_avi_payload(_t(spark, sf_dir, "documents")), every_n=2
+    )
 
 
 @register(
