@@ -20,7 +20,6 @@ from trading212_etl_spark.operators.multimodal import (
     synth_avi_payload,
     resize_images,
     synth_bmp_payload,
-    with_binary_payload,
 )
 from trading212_etl_spark.operators.similarity import (
     cosine_topk_bruteforce,

@@ -49,19 +49,6 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def with_binary_payload(docs: DataFrame) -> DataFrame:
-    """Attach an opaque binary column. In production this is the
-    image/audio payload read from object storage; here the document
-    text's UTF-8 bytes stand in (deterministic, schema-identical).
-
-    Deliberately NOT fanned out: each mapInPandas partition forks a
-    Python worker (pandas import + Arrow setup, ~0.4 s each), so at
-    bench scale 32 near-empty partitions cost more than one full one
-    (measured 6x slower). At 100 TB the scan's own splits provide the
-    parallelism and the per-worker cost amortizes."""
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-
-
 def decode_image_meta(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched decode: binary payload → typed metadata row.
 
