@@ -161,15 +161,28 @@ def domain_mixture_plan(
         .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("tokens_avail"))
         .withColumn("weight", wmap[F.col("domain")])
     )
-    scale = F.min(F.col("tokens_avail") / F.col("weight")).over(
-        Window.partitionBy()
-    )
+    # binding-constraint scale via 1-row broadcast cross join, not an
+    # empty-partition window (the domain frame is |weights|-row)
+    scale = F.col("__scale")
     rate = F.least(
         F.lit(1.0), F.col("weight") * scale / F.col("tokens_avail")
     )
-    return counts.withColumn("rate", F.round(rate, 4)).withColumn(
-        "tokens_take",
-        F.floor(F.col("rate") * F.col("tokens_avail")).cast("long"),
+    return (
+        counts.crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.min(F.col("tokens_avail") / F.col("weight")).alias(
+                        "__scale"
+                    )
+                )
+            )
+        )
+        .withColumn("rate", F.round(rate, 4))
+        .withColumn(
+            "tokens_take",
+            F.floor(F.col("rate") * F.col("tokens_avail")).cast("long"),
+        )
+        .drop("__scale")
     )
 
 

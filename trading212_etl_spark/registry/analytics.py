@@ -1503,8 +1503,12 @@ def q_dq_freshness_skew(spark, sf_dir):
         F.max(F.unix_seconds("ts")).alias("latest_s"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    frontier = F.max("latest_s").over(Window.partitionBy())
-    return per_type.select(
+    # frontier via 1-row broadcast cross join (bounded K-row frame;
+    # an empty-partition window warns and single-partitions)
+    frontier = F.col("__frontier")
+    return per_type.crossJoin(
+        F.broadcast(per_type.agg(F.max("latest_s").alias("__frontier")))
+    ).select(
         "event_type",
         "n_events",
         (frontier - F.col("latest_s")).cast("bigint").alias("staleness_s"),

@@ -1241,7 +1241,6 @@ def q_agg_heavy_hitters(spark, sf_dir):
     unbounded domains the streaming analog is a Misra-Gries /
     space-saving sketch, which trades the exact gate for O(k)
     state."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1254,8 +1253,12 @@ def q_agg_heavy_hitters(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    tot = freq.select(
-        "p_brand", "cnt", F.sum("cnt").over(Window.partitionBy()).alias("total")
+    # global total via a 1-row broadcast cross join (the winsorize
+    # cut-point pattern), not an empty-partition window: same value on
+    # this bounded 25-row frame, but no SinglePartition WindowExec and
+    # no "No Partition Defined" warning drowning the bench tail
+    tot = freq.crossJoin(
+        F.broadcast(freq.agg(F.sum("cnt").alias("total")))
     )
     return tot.where(F.col("cnt") * 100 >= F.col("total")).select(
         "p_brand",

@@ -164,10 +164,12 @@ def q_stats_independence(spark, sf_dir):
         .over(Window.partitionBy("price_band"))
         .cast("decimal(38,0)")
         .alias("c"),
-        F.sum("o")
-        .over(Window.partitionBy())
-        .cast("decimal(38,0)")
-        .alias("n"),
+    ).crossJoin(
+        # grand total via 1-row broadcast cross join, not an
+        # empty-partition window (bounded band-cell frame)
+        F.broadcast(
+            cells.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+        )
     )
     return tot.select(
         "qty_band",
@@ -247,7 +249,10 @@ def q_events_user_lifecycle(spark, sf_dir):
         "week_seq",
         F.lag("week_seq").over(by_user).alias("prev_week"),
         F.lead("week_seq").over(by_user).alias("next_week"),
-        F.max("week_seq").over(Window.partitionBy()).alias("last_week"),
+    ).crossJoin(
+        # calendar frontier via 1-row broadcast cross join, not an
+        # empty-partition window over the (user, week) frame
+        F.broadcast(weeks.agg(F.max("week_seq").alias("last_week")))
     )
     return seq.groupBy("week_seq").agg(
         F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
