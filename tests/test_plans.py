@@ -151,6 +151,20 @@ NESTED_LOOP_BY_DESIGN = {
     "orders_anomalous_days",
     # 1-row broadcast of the daily-revenue median onto the day frame
     "orders_runs_test_daily",
+    # r6: the five ex-empty-partition-window sites — each a 1-row
+    # broadcast scalar (grand total / frontier / binding constraint)
+    # cross-joined onto a bounded aggregate frame
+    "agg_heavy_hitters",
+    "dq_freshness_skew",
+    "events_user_lifecycle_weekly",
+    "stats_qty_price_independence",
+    "sample_domain_mixture",
+    "sample_temperature_mixture",
+    # r6: 1-row corpus-stats broadcast onto the tf frame
+    "text_bm25_topk",
+    # r6: 8-row per-query LUT broadcast onto the code scan (ADC is a
+    # deliberate scan of all codes per query — the codes ARE the index)
+    "similarity_topk_pq_adc",
 }
 
 
