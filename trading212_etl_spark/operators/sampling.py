@@ -155,7 +155,11 @@ def domain_mixture_plan(
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
-    counts = (
+    from ..partitioning import freeze_partitions
+
+    # pinned: feeds the per-domain rows AND the 1-row binding-
+    # constraint branch (unpinned, the corpus tokenize+agg runs twice)
+    counts = freeze_partitions(
         docs.filter(F.col(domain_col).isin(domains))
         .groupBy(F.col(domain_col).alias("domain"))
         .agg(F.sum(F.size(tokens(F.col(text_col)))).alias("tokens_avail"))

@@ -116,6 +116,11 @@ _DRIVER_WINDOW = [
     "similarity_topk_pq_adc",
     "text_bpe_merges",
     "privacy_k_anonymity",
+    # plans changed in the r6 empty-partition-window cleanup
+    "agg_heavy_hitters",
+    "events_user_lifecycle_weekly",
+    "stats_qty_price_independence",
+    "sample_domain_mixture",
 ]
 
 

@@ -1498,10 +1498,16 @@ def q_dq_freshness_skew(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..partitioning import freeze_partitions
+
     ev = _t(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.max(F.unix_seconds("ts")).alias("latest_s"),
-        F.count(F.lit(1)).alias("n_events"),
+    # pinned: feeds the output rows AND the 1-row frontier branch —
+    # unpinned, the scalar branch re-executes the fact aggregate
+    per_type = freeze_partitions(
+        ev.groupBy("event_type").agg(
+            F.max(F.unix_seconds("ts")).alias("latest_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
     # frontier via 1-row broadcast cross join (bounded K-row frame;
     # an empty-partition window warns and single-partitions)

@@ -1243,9 +1243,15 @@ def q_agg_heavy_hitters(spark, sf_dir):
     state."""
     from pyspark.sql import functions as F
 
+    from ..partitioning import freeze_partitions
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    freq = (
+    # freq is PINNED: it feeds both the output rows and the 1-row
+    # grand-total branch, and without the pin the scalar branch would
+    # re-execute the fact join+aggregate (exchange reuse does not
+    # fire across an extra aggregate level — the LSH-guard lesson)
+    freq = freeze_partitions(
         li.join(
             F.broadcast(p.select("p_partkey", "p_brand")),
             li.l_partkey == p.p_partkey,

@@ -149,8 +149,14 @@ def q_stats_independence(spark, sf_dir):
         .otherwise("premium")
         .alias("price_band"),
     )
-    cells = banded.groupBy("qty_band", "price_band").agg(
-        F.count(F.lit(1)).alias("o")
+    from ..partitioning import freeze_partitions
+
+    # pinned: the band-cell frame feeds the output and the 1-row
+    # grand-total branch (unpinned, the fact aggregate runs twice)
+    cells = freeze_partitions(
+        banded.groupBy("qty_band", "price_band").agg(
+            F.count(F.lit(1)).alias("o")
+        )
     )
     tot = cells.select(
         "qty_band",
@@ -235,14 +241,20 @@ def q_events_user_lifecycle(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..partitioning import freeze_partitions
+
     ev = _t(spark, sf_dir, "events")
-    weeks = ev.select(
-        "user_id",
-        F.expr(
-            "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-25')"
-            " DIV 7 AS BIGINT)"
-        ).alias("week_seq"),
-    ).distinct()
+    # pinned: feeds the per-user lag/lead frame AND the 1-row
+    # calendar-frontier branch (unpinned, the distinct runs twice)
+    weeks = freeze_partitions(
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-25')"
+                " DIV 7 AS BIGINT)"
+            ).alias("week_seq"),
+        ).distinct()
+    )
     by_user = Window.partitionBy("user_id").orderBy("week_seq")
     seq = weeks.select(
         "user_id",
