@@ -116,6 +116,8 @@ _DRIVER_WINDOW = [
     "similarity_topk_pq_adc",
     "text_bpe_merges",
     "privacy_k_anonymity",
+    "events_attribution_linear",
+    "embedding_drift_split",
     # plans changed in the r6 empty-partition-window cleanup
     "agg_heavy_hitters",
     "events_user_lifecycle_weekly",

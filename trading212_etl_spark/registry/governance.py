@@ -1636,3 +1636,83 @@ def q_privacy_k_anonymity(spark, sf_dir):
         F.min("l_div").alias("min_l_diversity"),
         (F.col("group_size") < 5).alias("below_k5"),
     ).select("group_size", "n_groups", "n_rows", "min_l_diversity", "below_k5")
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    d AS (
+      SELECT DISTINCT p.user_id, p.ts AS pts, p.event_id AS pid,
+             t.event_type AS channel
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+    ),
+    n AS (SELECT user_id, pts, pid, count(*) AS k
+          FROM d GROUP BY 1, 2, 3),
+    credit AS (
+      SELECT d.channel, 1000000 // n.k AS ppm
+      FROM d JOIN n USING (user_id, pts, pid)
+      UNION ALL
+      SELECT 'direct' AS channel, 1000000 AS ppm
+      FROM p ANTI JOIN d ON d.user_id = p.user_id
+                        AND d.pts = p.ts AND d.pid = p.event_id
+    )
+    SELECT channel, count(*) AS n_credited,
+           CAST(sum(ppm) AS BIGINT) AS credit_ppm_total
+    FROM credit GROUP BY channel
+    """,
+)
+def q_events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution (the companion to the
+    last-touch entry): every purchase splits one unit of credit
+    equally across the DISTINCT channels the user touched before it
+    (integer ppm, floor division — the sub-ppm remainder is
+    documented truncation, not float drift); purchases with no prior
+    touches credit 'direct' in full. ONE keyed window (collect_list
+    over the per-user prefix) replaces the self-join a naive
+    formulation needs — shuffle on user_id only, per-user history is
+    the bounded frame — while the oracle uses the equivalent
+    prefix-join formulation. Deterministic under ties via the
+    (ts, event_id) total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = _t(spark, sf_dir, "events").withColumn(
+        "chs",
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("event_type") != "purchase", F.col("event_type"))
+            ).over(w)
+        ),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "chs", F.size("chs").alias("k")
+    )
+    credited = p.where(F.col("k") > 0).select(
+        F.explode("chs").alias("channel"),
+        F.expr("1000000 DIV k").alias("ppm"),
+    )
+    direct = p.where(F.col("k") == 0).select(
+        F.lit("direct").alias("channel"), F.lit(1000000).alias("ppm")
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum("ppm").cast("bigint").alias("credit_ppm_total"),
+        )
+    )

@@ -1573,3 +1573,85 @@ def q_orders_benford(spark, sf_dir):
         ).alias("share_ppm"),
     )
 
+
+
+@register(
+    "embedding_drift_split",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id % 2 AS cohort, u.i AS dim,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ),
+    m AS (
+      SELECT cohort, dim, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1
+      FROM vals GROUP BY cohort, dim
+    ),
+    pair AS (
+      SELECT a.dim,
+             CAST(a.s1 // a.n AS BIGINT) AS mean_a_micro,
+             CAST(b.s1 // b.n AS BIGINT) AS mean_b_micro
+      FROM m a JOIN m b ON a.dim = b.dim
+      WHERE a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT CAST(dim AS INT) AS dim, mean_a_micro, mean_b_micro,
+           abs(mean_a_micro - mean_b_micro) AS shift_abs_micro,
+           CAST(row_number() OVER (
+             ORDER BY abs(mean_a_micro - mean_b_micro) DESC, dim)
+             AS INT) AS drift_rank
+    FROM pair
+    """,
+)
+def q_embedding_drift_split(spark, sf_dir):
+    """Embedding-population drift monitor — the retraining gate an
+    embedding pipeline runs when the encoder or the corpus changes:
+    per-dimension mean shift between two cohorts (vec_id parity
+    stands in for before/after populations), ranked by absolute
+    shift. The float lesson rides the dim-variance entry's idiom:
+    floor(x·10⁶) micro-quantization on exactly-widened doubles, then
+    all moments in exact integers — no float summation order
+    anywhere. One posexplode shuffle keyed by (cohort, dim) — 128
+    groups at any corpus size — then a 64-row self-join and ranking
+    window. Production swaps the parity split for a snapshot-date
+    column; per-dim variance (for a z-scored shift) composes from
+    embedding_dim_variance_ranking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings")
+    vals = e.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "cohort",
+        (F.col("pos") + 1).alias("dim"),
+        F.expr("CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    m = vals.groupBy("cohort", "dim").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+    )
+    a = m.where(F.col("cohort") == 0).select(
+        "dim", F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_a_micro")
+    )
+    b = m.where(F.col("cohort") == 1).select(
+        "dim", F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_b_micro")
+    )
+    pair = a.join(b, "dim").withColumn(
+        "shift_abs_micro",
+        F.abs(F.col("mean_a_micro") - F.col("mean_b_micro")),
+    )
+    w = Window.partitionBy(bounded_bucket("dim")).orderBy(
+        F.col("shift_abs_micro").desc(), F.col("dim")
+    )
+    return pair.select(
+        F.col("dim").cast("int").alias("dim"),
+        "mean_a_micro",
+        "mean_b_micro",
+        "shift_abs_micro",
+        F.row_number().over(w).cast("int").alias("drift_rank"),
+    )
