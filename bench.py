@@ -78,6 +78,11 @@ HEADLINE = [
     "text_bm25_topk",             # rational-idf BM25 retrieval (r6)
     "embedding_pq_assign",        # PQ encode, Arrow matmul (r6)
     "similarity_topk_pq_adc",     # PQ ADC search, LUT projection (r6)
+    "multimodal_frame_sample",    # RIFF/AVI chunk-walk frame decode (r6)
+    "text_bpe_merges",            # adjacent-pair merge counts (r6)
+    "privacy_k_anonymity",        # quasi-id class-size audit (r6)
+    "events_attribution_linear",  # multi-touch ppm credit (r6)
+    "embedding_drift_split",      # per-dim cohort mean shift (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -214,3 +214,80 @@ def test_presence_bitmap_day_domain(spark):
         "no /root/testdata/sf*/events.parquet found — the day-63 "
         "tripwire ran vacuously; update the testdata paths"
     )
+
+
+def test_attribution_linear_credit_conservation(spark, sf_dir):
+    """Every purchase distributes AT MOST 1e6 ppm (floor truncation
+    loses < k ppm per purchase, never gains), and exactly 1e6 for
+    purchases with 0 or 1 prior channels — so total credited ppm is
+    bounded by n_purchases * 1e6 and within n_purchases * 16 of it
+    (k <= 16 distinct channel types in the corpus)."""
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.registry import QUERIES
+    from trading212_etl_spark.sources import load_table
+
+    out = QUERIES["events_attribution_linear"](spark, sf_dir).toPandas()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    total = int(out["credit_ppm_total"].sum())
+    assert total <= n_purchases * 1_000_000
+    assert total >= n_purchases * (1_000_000 - 16)
+
+
+def test_bm25_degenerate_uniform_corpus(spark):
+    """All-identical corpus: every doc has identical tf/dl, so every
+    matching doc scores identically and the top-k tie-break is pure
+    doc_id order — the rank column must be 1..k over doc_id ascending
+    (determinism under total ties, the bm25 boundary case)."""
+    from trading212_etl_spark.operators.textual import bm25_topk
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "'spark join window hash' AS text"
+    )
+    out = (
+        bm25_topk(docs, [("q", ["spark", "join"])], k=10)
+        .orderBy("rnk")
+        .toPandas()
+    )
+    assert list(out["doc_id"]) == list(range(10))
+    assert out["score_ppm"].nunique() == 1
+
+
+def test_pq_adc_duplicate_vectors_tie_deterministically(spark):
+    """Duplicate embeddings produce identical codes and identical ADC
+    distances; the top-k must break those ties by corpus_id — run
+    twice and require byte-identical output (the determinism contract
+    every registry entry carries)."""
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_data,
+    )
+
+    base = spark.range(40).selectExpr(
+        "id AS vec_id",
+        # only 4 distinct vectors, each repeated 10x
+        "transform(sequence(1, 64), j -> CAST((id % 4) * j AS FLOAT))"
+        " AS embedding",
+    )
+    cbs = pq_codebooks_from_data(base)
+    a = (
+        pq_adc_topk(base, base.filter(F.col("vec_id") < 2), k=5, codebooks=cbs)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    b = (
+        pq_adc_topk(base, base.filter(F.col("vec_id") < 2), k=5, codebooks=cbs)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert a.equals(b)
+    # within each query, equal distances must be ordered by corpus_id
+    for _, g in a.groupby("query_id"):
+        same = g[g["adc_dist"] == g["adc_dist"].min()]
+        assert list(same["corpus_id"]) == sorted(same["corpus_id"])
