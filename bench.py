@@ -83,6 +83,7 @@ HEADLINE = [
     "privacy_k_anonymity",        # quasi-id class-size audit (r6)
     "events_attribution_linear",  # multi-touch ppm credit (r6)
     "embedding_drift_split",      # per-dim cohort mean shift (r6)
+    "sink_ivf_partitioned_ann",   # cell-partitioned write + DPP probe (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

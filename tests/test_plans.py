@@ -746,3 +746,13 @@ def test_bm25_broadcasts_and_two_phase_topk(spark):
     # final pass by query_id alone over <= k*parts survivors
     assert "windowspecdefinition(query_id#" in p
     assert ", __pid#" in p
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark):
+    """sink_ivf_partitioned_ann: the probe join keys on the PARTITION
+    column of the cell-partitioned corpus with a broadcast query side,
+    so dynamic partition pruning must appear on the scan — the probe
+    reads n_probe cell directories, not the corpus."""
+    p = plan(spark, "sink_ivf_partitioned_ann")
+    assert "dynamicpruningexpression(cell" in p
+    assert "BroadcastHashJoin" in p

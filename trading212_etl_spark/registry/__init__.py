@@ -118,6 +118,7 @@ _DRIVER_WINDOW = [
     "privacy_k_anonymity",
     "events_attribution_linear",
     "embedding_drift_split",
+    "sink_ivf_partitioned_ann",
     # plans changed in the r6 empty-partition-window cleanup
     "agg_heavy_hitters",
     "events_user_lifecycle_weekly",

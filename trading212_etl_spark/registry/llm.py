@@ -1427,3 +1427,106 @@ def q_text_bpe_merges(spark, sf_dir):
             )
         ),
     ).select("merge_rank", "pair", "n_pair", "n_docs")
+
+
+@register(
+    "sink_ivf_partitioned_ann",
+    oracle=ORACLES["similarity_topk_ivf"],
+)
+def q_sink_ivf_partitioned_ann(spark, sf_dir):
+    """The IVF storage layout made physical (the 100 TB design the
+    similarity_topk_ivf docstring promises): the corpus is WRITTEN
+    ``partitionBy(cell)`` to Parquet, and each probe then reads only
+    its ``n_probe`` cell partitions — the `cell IN (...)` predicate is
+    a PARTITION FILTER, so the scan lists 3 of 8 directories and
+    never opens the rest (plan-pinned in tests/test_plans.py). Same
+    centroids, probes, and scoring as similarity_topk_ivf, hence the
+    same oracle verbatim — what this entry adds is the layout: at
+    100 TB the ANN index IS the directory structure, rebuilt by one
+    partitioned write per centroid refresh."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import _cent_dots_expr, _data_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _data_centroids(emb, 8)
+    cent_dots = lambda col: _cent_dots_expr(col, cents)  # noqa: E731
+    path = _scratch(sf_dir, "ivf_cells")
+    if not os.path.isdir(os.path.join(path, "cell=1")):
+        assigned = (
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("c_emb"),
+            )
+            .withColumn("__dots", cent_dots("c_emb"))
+            .withColumn(
+                "cell",
+                F.array_position(
+                    F.col("__dots"), F.array_max("__dots")
+                ).cast("int"),
+            )
+            .drop("__dots")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    corpus = spark.read.parquet(path)
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .withColumn("__dots", cent_dots("q_emb"))
+        .withColumn(
+            "__cell_l",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.reverse(
+                            F.array_sort(
+                                F.transform(
+                                    F.col("__dots"),
+                                    lambda d, i: F.struct(
+                                        d.alias("d"), (i + 1).alias("idx")
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["idx"],
+                    ),
+                    1,
+                    3,
+                )
+            ),
+        )
+        .withColumn("cell", F.col("__cell_l").cast("int"))
+        .drop("__dots", "__cell_l")
+    )
+    from ..operators.similarity import cosine
+
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
