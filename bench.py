@@ -84,6 +84,7 @@ HEADLINE = [
     "events_attribution_linear",  # multi-touch ppm credit (r6)
     "embedding_drift_split",      # per-dim cohort mean shift (r6)
     "sink_ivf_partitioned_ann",   # cell-partitioned write + DPP probe (r6)
+    "sample_preference_pairs",    # DPO pair construction (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -119,6 +119,7 @@ _DRIVER_WINDOW = [
     "events_attribution_linear",
     "embedding_drift_split",
     "sink_ivf_partitioned_ann",
+    "sample_preference_pairs",
     # plans changed in the r6 empty-partition-window cleanup
     "agg_heavy_hitters",
     "events_user_lifecycle_weekly",

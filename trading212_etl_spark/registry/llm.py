@@ -1530,3 +1530,121 @@ def q_sink_ivf_partitioned_ann(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_QBP_SQL = """
+    WITH t AS (
+      SELECT doc_id, source, text, {toks} AS toks,
+             regexp_extract_all(text, '[^a-z0-9\\s]') AS syms
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             greatest(len(toks), 1) AS n_tok1,
+             greatest(length(text), 1) AS n_chars1,
+             len(list_filter(toks, t -> list_contains(
+               ['the','a','and','of','to','in','is'], t))) AS n_stop,
+             len(syms) AS n_sym,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CAST(
+               (CASE WHEN sum_len >= 10 * n_tok1 THEN 1000 * 3
+                     ELSE CAST(floor(300 * sum_len / n_tok1) AS BIGINT) END)
+               + (CASE WHEN 4 * n_stop >= n_tok1 THEN 4000
+                       ELSE CAST(floor(16000 * n_stop / n_tok1) AS BIGINT) END)
+               + (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 2000 ELSE 0 END)
+               + (1000 - CASE WHEN 10 * n_sym >= n_chars1 THEN 1000
+                              ELSE CAST(floor(10000 * n_sym / n_chars1) AS BIGINT) END)
+             AS BIGINT) AS quality_bp
+      FROM m
+    )
+"""
+
+
+@register(
+    "sample_preference_pairs",
+    oracle=_QBP_SQL.format(toks=_TOKS) + """
+    , r AS (
+      SELECT doc_id, source, quality_bp,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY quality_bp DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    SELECT a.source,
+           a.doc_id AS chosen_doc_id, b.doc_id AS rejected_doc_id,
+           a.quality_bp AS chosen_bp, b.quality_bp AS rejected_bp,
+           a.quality_bp - b.quality_bp AS margin_bp
+    FROM r a JOIN r b
+      ON a.source = b.source AND b.rn = a.rn + a.n // 2
+    WHERE a.rn <= a.n // 2 AND a.quality_bp > b.quality_bp
+    """,
+)
+def q_sample_preference_pairs(spark, sf_dir):
+    """Preference-pair construction (DPO/RLHF data prep): within each
+    source, rank documents by the exact-integer quality score and
+    pair rank i (chosen) with rank i + n/2 (rejected) — top-half vs
+    bottom-half, so every pair has a positive quality margin and each
+    document appears in at most one pair (no near-tie adjacent
+    pairing). Pairs with zero margin are dropped (a tie teaches a
+    preference model nothing). One keyed window per source + a
+    self-join on (source, rank) — both shuffles on the source key;
+    rank determinism via the (quality_bp, doc_id) total order."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import _with_tokens, quality_bp_col
+
+    docs = _t(spark, sf_dir, "documents")
+    # score inline (quality_bp_col over a source-carrying projection)
+    # instead of quality_score(...) + a join back for the source
+    # column — one scan, no doc_id shuffle
+    q = _with_tokens(docs, "doc_id", "source", "text").select(
+        "doc_id",
+        "source",
+        quality_bp_col(F.col("__toks"), F.col("text")).alias("quality_bp"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_bp").desc(), F.col("doc_id")
+    )
+    r = q.select(
+        "doc_id",
+        "source",
+        "quality_bp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    a = r.select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("quality_bp").alias("chosen_bp"),
+        "rn",
+        "n",
+    ).where(F.col("rn") <= F.expr("n DIV 2"))
+    b = r.select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("quality_bp").alias("rejected_bp"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.source == b.source)
+            & (F.col("rn_b") == F.col("rn") + F.expr("n DIV 2")),
+        )
+        .where(F.col("chosen_bp") > F.col("rejected_bp"))
+        .select(
+            a.source,
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_bp",
+            "rejected_bp",
+            (F.col("chosen_bp") - F.col("rejected_bp")).alias("margin_bp"),
+        )
+    )
