@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_drift_split",      # per-dim cohort mean shift (r6)
     "sink_ivf_partitioned_ann",   # cell-partitioned write + DPP probe (r6)
     "sample_preference_pairs",    # DPO pair construction (r6)
+    "text_wordpiece_encode",      # greedy segmentation kernel (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -591,3 +591,68 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "doc_id", "score_ppm", "rnk")
     )
+
+
+# greedy-segmentation vocabulary: corpus-common whole words plus full
+# single-character coverage (every [a-z0-9] word segments without UNK;
+# punctuation tokens fall to the UNK path). Shared verbatim with the
+# DuckDB oracle's literal table.
+SEGMENT_VOCAB = (
+    ["the", "join", "spark", "stream", "sort", "merge", "hash", "scan",
+     "batch", "filter", "window", "table", "row", "data", "key", "order"]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+)
+
+
+def wordpiece_encode_stats(docs: DataFrame) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (the counterpart to
+    bm25/bpe vocabulary induction): greedy longest-prefix segmentation
+    of every word against a broadcast vocabulary — the WordPiece/
+    unigram-greedy inference loop — emitting per-document piece and
+    UNK counts. The kernel is an Arrow-batched pandas UDF (per-word
+    Python loop over a dict-of-lengths vocab — string chomping is not
+    expressible as a fixed-depth Catalyst expression), fed by the
+    JVM-side regex tokenizer; the vocabulary travels in the closure
+    (KB-sized — a production 32k-piece vocab broadcasts the same
+    way). One map pass, no shuffle; the DuckDB oracle replays the
+    identical greedy loop as a recursive CTE, so the segmentation is
+    cross-engine verified piece count for piece count."""
+    import pyspark.sql.types as T
+
+    vocab = set(SEGMENT_VOCAB)
+    max_len = max(len(v) for v in vocab)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+            T.StructField("n_unk", T.LongType()),
+        ]
+    )
+
+    def seg_stats(batches):
+        import pandas as pd  # noqa: F811 (worker-side import by value)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, words in zip(pdf["doc_id"], pdf["__toks"]):
+                pieces = unk = 0
+                for w in words:
+                    i, n = 0, len(w)
+                    while i < n:
+                        for l in range(min(max_len, n - i), 0, -1):
+                            if w[i : i + l] in vocab:
+                                pieces += 1
+                                i += l
+                                break
+                        else:
+                            pieces += 1
+                            unk += 1
+                            i += 1
+                rows.append((int(doc_id), len(words), pieces, unk))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_pieces", "n_unk"]
+            )
+
+    return _with_tokens(docs, "doc_id").mapInPandas(seg_stats, out_schema)

@@ -106,10 +106,9 @@ _DRIVER_WINDOW = [
     "events_hll_rollup",
     "pipeline_curate_corpus_lsh",
     "agg_approx_sketches",
-    # perf-watch re-verify (plan touched in r6; graph_pagerank already
-    # has a green r5 driver row and only a comment changed, so it
-    # yields its slot to the new entries — window is exactly 50)
-    "pipeline_curate_corpus",
+    # (graph_pagerank and pipeline_curate_corpus keep their green r5/r3
+    # driver rows and yield their perf-watch slots to the new entries —
+    # window is exactly 50)
     "multimodal_image_meta",
     # entries ADDED in r6 (never driver-checked by construction)
     "text_bm25_topk",
@@ -121,6 +120,7 @@ _DRIVER_WINDOW = [
     "embedding_drift_split",
     "sink_ivf_partitioned_ann",
     "sample_preference_pairs",
+    "text_wordpiece_encode",
     # plans changed in the r6 empty-partition-window cleanup
     "agg_heavy_hitters",
     "events_user_lifecycle_weekly",

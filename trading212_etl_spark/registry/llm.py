@@ -1648,3 +1648,59 @@ def q_sample_preference_pairs(spark, sf_dir):
             (F.col("chosen_bp") - F.col("rejected_bp")).alias("margin_bp"),
         )
     )
+
+
+def _wordpiece_oracle() -> str:
+    """DuckDB twin of wordpiece_encode_stats: the greedy longest-prefix
+    loop as a recursive CTE — each step consumes the longest vocab
+    piece matching the remaining suffix (single-char fallback counts
+    UNK), exactly the kernel's loop."""
+    from ..operators.textual import SEGMENT_VOCAB
+
+    vlits = ", ".join(f"('{v}', {len(v)})" for v in SEGMENT_VOCAB)
+    return f"""
+    WITH RECURSIVE v(piece, plen) AS (VALUES {vlits}),
+    tok AS (
+      SELECT doc_id, u.w AS word, u.i AS widx FROM (
+        SELECT doc_id,
+               unnest({_TOKS}) AS w,
+               unnest(range(1, len({_TOKS}) + 1)) AS i
+        FROM documents
+      ) u(doc_id, w, i)
+    ),
+    seg AS (
+      SELECT doc_id, widx, word AS suffix, 0 AS n_pieces, 0 AS n_unk
+      FROM tok
+      UNION ALL
+      SELECT s.doc_id, s.widx,
+             substr(s.suffix, coalesce(best.plen, 1) + 1),
+             s.n_pieces + 1,
+             s.n_unk + (CASE WHEN best.plen IS NULL THEN 1 ELSE 0 END)
+      FROM seg s LEFT JOIN LATERAL (
+        SELECT max(plen) AS plen FROM v
+        WHERE substr(s.suffix, 1, v.plen) = v.piece
+      ) best ON TRUE
+      WHERE s.suffix <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(n_unk) AS BIGINT) AS n_unk
+    FROM seg WHERE suffix = ''
+    GROUP BY doc_id
+    """
+
+
+@register("text_wordpiece_encode", oracle=_wordpiece_oracle())
+def q_text_wordpiece_encode(spark, sf_dir):
+    """Tokenizer application at corpus scale: greedy longest-prefix
+    segmentation of every word against a broadcast vocabulary (the
+    WordPiece/unigram-greedy inference loop), per-document piece and
+    UNK counts. Arrow-batched pandas UDF kernel — string chomping is
+    unbounded-depth and not Catalyst-expressible — fed by the
+    JVM-side tokenizer, one map pass, no shuffle; the oracle replays
+    the identical loop as a recursive CTE
+    (operators/textual.py wordpiece_encode_stats)."""
+    from ..operators.textual import wordpiece_encode_stats
+
+    return wordpiece_encode_stats(_t(spark, sf_dir, "documents"))
