@@ -86,6 +86,7 @@ HEADLINE = [
     "sink_ivf_partitioned_ann",   # cell-partitioned write + DPP probe (r6)
     "sample_preference_pairs",    # DPO pair construction (r6)
     "text_wordpiece_encode",      # greedy segmentation kernel (r6)
+    "events_concurrency_peak",    # +1/-1 sweep via ordered_prefix (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -125,7 +125,9 @@ _DRIVER_WINDOW = [
     "agg_heavy_hitters",
     "events_user_lifecycle_weekly",
     "stats_qty_price_independence",
-    "sample_domain_mixture",
+    # (sample_domain_mixture keeps its green r3 row; its slot goes to
+    # the brand-new sweep entry below)
+    "events_concurrency_peak",
 ]
 
 

@@ -392,3 +392,108 @@ def q_streaming_sliding(spark, sf_dir):
     return run_streaming_sliding_agg(spark, sf_dir, "2 hours", "1 hour")
 
 
+
+
+@register(
+    "events_concurrency_peak",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq,
+             ts
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY user_id, session_seq
+    ),
+    sweep AS (
+      SELECT user_id, session_seq, session_start AS ts, 1 AS delta, 0 AS ekey
+      FROM sess
+      UNION ALL
+      SELECT user_id, session_seq, session_end AS ts, -1 AS delta, 1 AS ekey
+      FROM sess
+    ),
+    run AS (
+      SELECT ts, CAST(sum(delta) OVER (
+               ORDER BY ts, ekey, user_id, session_seq
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM sweep
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           max(conc) AS peak_concurrency,
+           min(ts) FILTER (WHERE conc = pk) AS peak_at
+    FROM (SELECT *, max(conc) OVER (PARTITION BY CAST(ts AS DATE)) AS pk
+          FROM run)
+    GROUP BY day
+    """,
+)
+def q_events_concurrency_peak(spark, sf_dir):
+    """Peak concurrent sessions per day — the capacity-planning query
+    (how many users were active AT ONCE, not per bucket): the classic
+    +1/−1 interval sweep over session [start, end] endpoints (closed
+    intervals: starts sort before ends at the same instant) with a
+    GLOBAL running sum over event time. That global ordered scan is
+    exactly the 100 TB shape ``ordered_prefix`` exists for — range
+    partition on the sweep order, per-partition prefix sums, offset
+    cascade — so no single-partition WindowExec ever materializes;
+    peak extraction is then a per-day argmax (struct max: highest
+    concurrency, earliest instant). Sessions come from the same
+    30-minute gap rule as events_sessionize_30m."""
+    from pyspark.sql import functions as F
+
+    from ..operators.events import sessionize
+    from ..partitioning import ordered_prefix
+
+    sess = sessionize(_t(spark, sf_dir, "events"), 30).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    sweep = sess.select(
+        "user_id",
+        "session_seq",
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("ekey"),
+    ).unionByName(
+        sess.select(
+            "user_id",
+            "session_seq",
+            F.col("session_end").alias("ts"),
+            F.lit(-1).alias("delta"),
+            F.lit(1).alias("ekey"),
+        )
+    )
+    run = ordered_prefix(
+        sweep,
+        [F.col("ts"), F.col("ekey"), F.col("user_id"), F.col("session_seq")],
+        sum_cols=["delta"],
+    ).select("ts", F.col("run_delta").alias("conc"))
+    day = F.col("ts").cast("date").alias("day")
+    # per-day argmax: highest concurrency, earliest instant — struct
+    # max over (conc, -epoch) then unpack
+    best = run.groupBy(day).agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.max(
+            F.struct(
+                F.col("conc"),
+                (-F.unix_micros("ts")).alias("neg_us"),
+            )
+        ).alias("__b"),
+    )
+    return best.select(
+        "day",
+        "peak_concurrency",
+        F.timestamp_micros(-F.col("__b.neg_us")).alias("peak_at"),
+    )
