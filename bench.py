@@ -87,6 +87,7 @@ HEADLINE = [
     "sample_preference_pairs",    # DPO pair construction (r6)
     "text_wordpiece_encode",      # greedy segmentation kernel (r6)
     "events_concurrency_peak",    # +1/-1 sweep via ordered_prefix (r6)
+    "events_time_to_convert",     # struct-min firsts + exact pcts (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

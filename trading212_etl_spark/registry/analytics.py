@@ -1696,3 +1696,74 @@ def q_orders_seasonal_dow(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type <> 'purchase'
+                      THEN struct_pack(s := CAST(floor(epoch(ts)) AS BIGINT),
+                                       eid := event_id,
+                                       ch := event_type) END) AS ft,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp_s
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT ft.ch AS first_channel, fp_s - ft.s AS tconv_s
+      FROM per_user
+      WHERE ft IS NOT NULL AND fp_s IS NOT NULL AND fp_s > ft.s
+    )
+    SELECT first_channel,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(tconv_s, 0.50), 2) AS p50_s,
+           round(quantile_cont(tconv_s, 0.90), 2) AS p90_s,
+           CAST(max(tconv_s) AS BIGINT) AS max_s
+    FROM conv GROUP BY first_channel
+    """,
+)
+def q_events_time_to_convert(spark, sf_dir):
+    """Funnel velocity: per first-touch channel, exact p50/p90 of the
+    seconds from a user's FIRST touch to their FIRST purchase (users
+    whose first purchase precedes any touch drop out — they converted
+    before the funnel saw them). Both 'firsts' come from ONE
+    groupBy(user) with conditional struct-min aggregates — no window,
+    no self-join, one data-sized shuffle; percentiles then run over
+    the converted-users frame (population-sized). The struct min
+    orders by (epoch, event_id, channel), the same lexicographic
+    total order DuckDB's struct min uses, so same-instant ties are
+    engine-identical. Interpolated percentiles over integer seconds
+    are dyadic-exact (the events_gap_percentiles argument)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    t_s = F.unix_seconds("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    t_s.alias("s"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("ch"),
+                ),
+            )
+        ).alias("ft"),
+        F.min(F.when(F.col("event_type") == "purchase", t_s)).alias("fp_s"),
+    )
+    conv = per_user.where(
+        F.col("ft").isNotNull()
+        & F.col("fp_s").isNotNull()
+        & (F.col("fp_s") > F.col("ft.s"))
+    ).select(
+        F.col("ft.ch").alias("first_channel"),
+        (F.col("fp_s") - F.col("ft.s")).alias("tconv_s"),
+    )
+    return conv.groupBy("first_channel").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(tconv_s, 0.50)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(tconv_s, 0.90)"), 2).alias("p90_s"),
+        F.max("tconv_s").alias("max_s"),
+    )
