@@ -88,6 +88,8 @@ HEADLINE = [
     "text_wordpiece_encode",      # greedy segmentation kernel (r6)
     "events_concurrency_peak",    # +1/-1 sweep via ordered_prefix (r6)
     "events_time_to_convert",     # struct-min firsts + exact pcts (r6)
+    "supplier_service_scorecard", # fact-fact lag KPI rollup (r6)
+    "orders_reorder_interval",    # repurchase-cycle percentiles (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1767,3 +1767,126 @@ def q_events_time_to_convert(spark, sf_dir):
         F.round(F.expr("percentile(tconv_s, 0.90)"), 2).alias("p90_s"),
         F.max("tconv_s").alias("max_s"),
     )
+
+
+@register(
+    "supplier_service_scorecard",
+    oracle="""
+    WITH l AS (
+      SELECT li.l_suppkey,
+             date_diff('day', o.o_orderdate, li.l_shipdate) AS lag_d,
+             CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(lag_d) * 1000 // count(*) AS BIGINT)
+             AS ship_lag_avg_days_milli,
+           CAST(sum(CASE WHEN lag_d > 90 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS late90_ppm,
+           CAST(sum(ret) * 1000000 // count(*) AS BIGINT) AS return_ppm
+    FROM l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_supplier_service_scorecard(spark, sf_dir):
+    """Supplier service-level scorecard — the KPI sheet a procurement
+    pipeline publishes per supplier: mean order→ship lag in exact
+    milli-days (integer DIV, no float averaging), share of lines
+    shipped more than 90 days after order in ppm, and returns rate in
+    ppm. One fact-fact join on orderkey (the shipment-lead-time
+    shape), then a map-side-combinable groupBy on suppkey carrying
+    four longs per (task, supplier); the supplier dimension
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_d"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    agg = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lag_d").alias("sum_lag"),
+        F.sum((F.col("lag_d") > 90).cast("long")).alias("n_late"),
+        F.sum("ret").alias("n_ret"),
+    )
+    return agg.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        agg.l_suppkey == F.col("s_suppkey"),
+    ).select(
+        "s_name",
+        "n_lines",
+        F.expr("CAST(sum_lag * 1000 DIV n_lines AS BIGINT)").alias(
+            "ship_lag_avg_days_milli"
+        ),
+        F.expr("CAST(n_late * 1000000 DIV n_lines AS BIGINT)").alias(
+            "late90_ppm"
+        ),
+        F.expr("CAST(n_ret * 1000000 DIV n_lines AS BIGINT)").alias(
+            "return_ppm"
+        ),
+    )
+
+
+@register(
+    "orders_reorder_interval",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(quantile_cont(gap_d, 0.50), 2) AS p50_d,
+           round(quantile_cont(gap_d, 0.90), 2) AS p90_d,
+           CAST(max(gap_d) AS BIGINT) AS max_d
+    FROM g WHERE gap_d IS NOT NULL
+    GROUP BY segment
+    """,
+)
+def q_orders_reorder_interval(spark, sf_dir):
+    """Repurchase-cycle profile: days between a customer's consecutive
+    orders, exact p50/p90 per market segment — the cadence input to
+    replenishment forecasting and churn-window calibration (how long
+    is 'too long since last order'?). Same shape as
+    events_gap_percentiles on the orders fact: one customer-keyed lag
+    window (broadcast segment join rides the same shuffle), then
+    dyadic-exact interpolated percentiles over integer day gaps.
+    Ties in order dates break on o_orderkey — identical total order
+    in both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_d"),
+        )
+        .where(F.col("gap_d").isNotNull())
+    )
+    return g.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.expr("percentile(gap_d, 0.50)"), 2).alias("p50_d"),
+        F.round(F.expr("percentile(gap_d, 0.90)"), 2).alias("p90_d"),
+        F.max("gap_d").alias("max_d"),
+    )
