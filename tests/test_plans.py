@@ -160,6 +160,8 @@ NESTED_LOOP_BY_DESIGN = {
     "stats_qty_price_independence",
     "sample_domain_mixture",
     "sample_temperature_mixture",
+    # r6: three 1-row audit aggregates cross-joined into one gate row
+    "pipeline_release_gate",
     # r6: 1-row corpus-stats broadcast onto the tf frame
     "text_bm25_topk",
     # r6: 8-row per-query LUT broadcast onto the code scan (ADC is a

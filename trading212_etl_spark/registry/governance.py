@@ -1716,3 +1716,104 @@ def q_events_attribution_linear(spark, sf_dir):
             F.sum("ppm").cast("bigint").alias("credit_ppm_total"),
         )
     )
+
+
+@register(
+    "pipeline_release_gate",
+    oracle="""
+    WITH dq AS (
+      SELECT count(*) FILTER (WHERE CAST(o_totalprice AS DOUBLE) <= 0
+                                 OR o_custkey IS NULL) AS dq_violations,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+    ),
+    kmin AS (
+      SELECT CAST(min(k) AS BIGINT) AS min_k FROM (
+        SELECT count(*) AS k FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+      )
+    ),
+    fresh AS (
+      SELECT CAST(count(*) FILTER (
+               WHERE frontier - latest_s > 3600) AS BIGINT) AS stale_types
+      FROM (
+        SELECT max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                 AS latest_s,
+               max(max(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)))
+                 OVER () AS frontier
+        FROM events GROUP BY event_type
+      )
+    )
+    SELECT dq.n_orders,
+           CAST(dq.dq_violations AS BIGINT) AS dq_violations,
+           kmin.min_k,
+           fresh.stale_types,
+           (dq.dq_violations = 0 AND kmin.min_k >= 5
+            AND fresh.stale_types = 0) AS release_go
+    FROM dq CROSS JOIN kmin CROSS JOIN fresh
+    """,
+)
+def q_pipeline_release_gate(spark, sf_dir):
+    """The release decision itself: one GO/NO-GO row composing the
+    governance battery — data-quality violations must be zero
+    (positive totals, keyed rows), the customer quasi-identifier
+    classes must all clear k ≥ 5 (privacy_k_anonymity's gate), and no
+    event type may lag the ingest frontier by over an hour
+    (dq_freshness_skew's gate). Three independent 1-row audit
+    aggregates cross-joined into the summary row (the
+    delete_propagation pattern) — each sub-audit is one
+    map-side-combinable pass over its table, so the whole gate costs
+    three scans regardless of scale, and a pipeline runs it as the
+    last step before publishing a training snapshot."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    dq = o.agg(
+        F.sum(
+            (
+                (F.col("o_totalprice").cast("double") <= 0)
+                | F.col("o_custkey").isNull()
+            ).cast("long")
+        ).alias("dq_violations"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    kmin = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.min("k").alias("min_k"))
+    )
+    from ..partitioning import freeze_partitions
+
+    # pinned: feeds its own frontier scalar (dq_freshness_skew's rule)
+    per_type = freeze_partitions(
+        ev.groupBy("event_type").agg(
+            F.max(F.unix_seconds("ts")).alias("latest_s")
+        )
+    )
+    fresh = (
+        per_type.crossJoin(
+            F.broadcast(per_type.agg(F.max("latest_s").alias("frontier")))
+        )
+        .agg(
+            F.sum(
+                (F.col("frontier") - F.col("latest_s") > 3600).cast("long")
+            ).alias("stale_types")
+        )
+    )
+    return (
+        dq.crossJoin(F.broadcast(kmin))
+        .crossJoin(F.broadcast(fresh))
+        .select(
+            "n_orders",
+            "dq_violations",
+            "min_k",
+            "stale_types",
+            (
+                (F.col("dq_violations") == 0)
+                & (F.col("min_k") >= 5)
+                & (F.col("stale_types") == 0)
+            ).alias("release_go"),
+        )
+    )
