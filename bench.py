@@ -91,6 +91,7 @@ HEADLINE = [
     "supplier_service_scorecard", # fact-fact lag KPI rollup (r6)
     "orders_reorder_interval",    # repurchase-cycle percentiles (r6)
     "pipeline_release_gate",      # composed governance GO/NO-GO (r6)
+    "text_bigram_coherence",      # pair-level LM fluency signal (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

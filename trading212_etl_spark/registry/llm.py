@@ -1704,3 +1704,82 @@ def q_text_wordpiece_encode(spark, sf_dir):
     from ..operators.textual import wordpiece_encode_stats
 
     return wordpiece_encode_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_coherence",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pr AS (
+      SELECT doc_id,
+             unnest([toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]
+                     for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS pair
+      FROM t
+    ),
+    pf AS (SELECT doc_id, pair, count(*) AS pf FROM pr GROUP BY 1, 2),
+    cv AS (SELECT pair, CAST(sum(pf) AS BIGINT) AS cpf FROM pf GROUP BY pair),
+    tot AS (SELECT CAST(sum(cpf) AS BIGINT) AS total_pairs FROM cv),
+    sc AS (
+      SELECT pf.doc_id, pf.pf,
+             CAST(floor(cv.cpf * 1000000000 / tot.total_pairs) AS BIGINT)
+               AS p_ppb
+      FROM pf JOIN cv USING (pair) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(pf) AS BIGINT) AS n_pairs,
+           CAST(sum(pf * p_ppb) // sum(pf) AS BIGINT)
+             AS avg_pair_freq_ppb
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q_text_bigram_coherence(spark, sf_dir):
+    """Bigram-coherence quality signal — the pair-level companion to
+    text_unigram_lm_score: a document whose ADJACENT WORD PAIRS are
+    corpus-common reads as fluent, while shuffled or boilerplate-
+    spliced text scores low even when its individual words are common
+    (word-order sensitivity the unigram signal cannot have). Same
+    exact-integer surrogate policy (pair probability in floor-ppb,
+    weighted integer mean via DIV — no ln, no float summation) and
+    the same scale shape: explode adjacent pairs (the text_bpe_merges
+    extraction, sub-2-token guard included), map-side-combined
+    groupBy(doc, pair), vocabulary-sized pair-count aggregate
+    broadcast back, one groupBy(doc) for the score."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import tokens
+    from ..partitioning import freeze_partitions
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(__toks) - 1),"
+                " i -> concat(__toks[i - 1], ' ', __toks[i])) END"
+            )
+        ).alias("pair"),
+    )
+    # pinned: pf feeds the pair vocabulary AND the scoring join
+    pf = freeze_partitions(
+        pairs.groupBy("doc_id", "pair").agg(F.count("*").alias("pf"))
+    )
+    cv = pf.groupBy("pair").agg(F.sum("pf").alias("cpf"))
+    tot = cv.agg(F.sum("cpf").alias("total_pairs"))
+    # NO broadcast hint on the pair vocabulary: unlike the unigram
+    # term vocab, bigram vocabularies grow toward quadratic in the
+    # term count — AQE broadcasts when it fits and degrades to a
+    # shuffle join when it doesn't (the pagerank rationale)
+    sc = pf.join(cv, "pair").crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "pf",
+        F.floor(
+            F.col("cpf") * F.lit(1_000_000_000) / F.col("total_pairs")
+        ).alias("p_ppb"),
+    )
+    return sc.groupBy("doc_id").agg(
+        F.sum("pf").alias("n_pairs"),
+        F.expr("CAST(sum(pf * p_ppb) DIV sum(pf) AS BIGINT)").alias(
+            "avg_pair_freq_ppb"
+        ),
+    )
