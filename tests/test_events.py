@@ -276,3 +276,56 @@ def test_streaming_checkpoint_resume_no_reprocessing(spark, tmp_path):
     assert sum(n for _, n in got_2) == 1, got_2
     # and its batch ids continue past the first run's (shared log)
     assert min(b for b, _ in got_2) > max(b for b, _ in got_1)
+
+
+def test_concurrency_sweep_integrity(spark, sf_dir):
+    """The +1/-1 sweep behind events_concurrency_peak must be
+    self-consistent: every session contributes one start and one end
+    (global delta sum == 0), the running concurrency never goes
+    negative under the closed-interval ordering (+1 sorts before -1
+    at the same instant), and each day's reported peak is attained by
+    some sweep instant of that day."""
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.operators.events import sessionize
+    from trading212_etl_spark.partitioning import ordered_prefix
+    from trading212_etl_spark.registry import QUERIES
+    from trading212_etl_spark.sources import load_table
+
+    sess = sessionize(load_table(spark, sf_dir, "events"), 30).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    sweep = sess.select(
+        "user_id", "session_seq",
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"), F.lit(0).alias("ekey"),
+    ).unionByName(
+        sess.select(
+            "user_id", "session_seq",
+            F.col("session_end").alias("ts"),
+            F.lit(-1).alias("delta"), F.lit(1).alias("ekey"),
+        )
+    )
+    run = ordered_prefix(
+        sweep,
+        [F.col("ts"), F.col("ekey"), F.col("user_id"), F.col("session_seq")],
+        sum_cols=["delta"],
+    )
+    stats = run.agg(
+        F.min("run_delta").alias("mn"), F.max("run_delta").alias("mx"),
+        F.sum("delta").alias("total"),
+    ).first()
+    assert stats["total"] == 0, "unbalanced sweep"
+    assert stats["mn"] >= 0, "concurrency went negative"
+    peaks = {
+        r["day"]: r["peak_concurrency"]
+        for r in QUERIES["events_concurrency_peak"](spark, sf_dir).collect()
+    }
+    by_day = {
+        r["day"]: r["mx"]
+        for r in run.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.max("run_delta").alias("mx"))
+        .collect()
+    }
+    assert peaks == by_day
+    assert stats["mx"] == max(peaks.values())
