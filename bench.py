@@ -92,6 +92,7 @@ HEADLINE = [
     "orders_reorder_interval",    # repurchase-cycle percentiles (r6)
     "pipeline_release_gate",      # composed governance GO/NO-GO (r6)
     "text_bigram_coherence",      # pair-level LM fluency signal (r6)
+    "profile_correlation_matrix", # single-pass exact-moment corr (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1655,3 +1655,104 @@ def q_embedding_drift_split(spark, sf_dir):
         "shift_abs_micro",
         F.row_number().over(w).cast("int").alias("drift_rank"),
     )
+
+
+_CORR_COLS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_c", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+    ("disc_bp", "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+    ("tax_bp", "CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+]
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORR_COLS)
+    for b, _ in [c for c in _CORR_COLS[i + 1 :]]
+]
+
+
+def _corr_oracle() -> str:
+    cols = ", ".join(f"{expr} AS {n}" for n, expr in _CORR_COLS)
+    moments = ", ".join(
+        f"CAST(sum(CAST({n} AS HUGEINT)) AS HUGEINT) AS s_{n}, "
+        f"CAST(sum(CAST({n} AS HUGEINT) * {n}) AS HUGEINT) AS ss_{n}"
+        for n, _ in _CORR_COLS
+    )
+    xmoms = ", ".join(
+        f"CAST(sum(CAST({a} AS HUGEINT) * {b}) AS HUGEINT) AS sx_{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+        f" CAST(CASE WHEN (n * ss_{a} - s_{a} * s_{a}) = 0"
+        f"        OR (n * ss_{b} - s_{b} * s_{b}) = 0 THEN 0"
+        f" ELSE floor(1000 * (CAST(n AS DOUBLE) * CAST(sx_{a}_{b} AS DOUBLE)"
+        f"   - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+        f"   - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+        f"   - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))) END"
+        f" AS BIGINT) AS corr_milli FROM m"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH v AS (SELECT {cols} FROM lineitem),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, {moments}, {xmoms}
+      FROM v
+    )
+    {rows}
+    """
+
+
+@register("profile_correlation_matrix", oracle=_corr_oracle())
+def q_profile_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation over the fact table's numeric
+    columns — the profiling matrix a feature-engineering pass runs to
+    drop redundant columns before training. ONE aggregate pass
+    collects every raw moment (Σx, Σx², Σxy for all 6 pairs) as exact
+    integers over pre-quantized columns (cents / basis points — the
+    events_hourly_autocorrelation idiom), then each coefficient is
+    assembled from the 1-row moment frame with the only floats being
+    the final widen + sqrt (IEEE-identical cross-engine; floor at
+    milli precision). Shuffle volume: 15 integers per task, total —
+    the matrix costs one scan at any scale."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        *[F.expr(expr).alias(n) for n, expr in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for n, _ in _CORR_COLS:
+        aggs.append(F.sum(_d38(n)).alias(f"s_{n}"))
+        aggs.append(F.sum(_d38(n) * F.col(n)).alias(f"ss_{n}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(_d38(a) * F.col(b)).alias(f"sx_{a}_{b}"))
+    m = v.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        return F.expr(
+            f"CAST(CASE WHEN (n * ss_{a} - s_{a} * s_{a}) = 0"
+            f"        OR (n * ss_{b} - s_{b} * s_{b}) = 0 THEN 0"
+            f" ELSE floor(1000 * (CAST(n AS DOUBLE) * CAST(sx_{a}_{b} AS DOUBLE)"
+            f"   - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f"   - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f"   - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))) END"
+            f" AS BIGINT)"
+        )
+
+    # all 6 coefficients assembled from the ONE 1-row moment frame via
+    # a struct array + explode — no temp view, no re-aggregation
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr_expr(a, b).alias("corr_milli"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(pairs_arr).alias("p")).select("p.*")
