@@ -164,6 +164,8 @@ NESTED_LOOP_BY_DESIGN = {
     "pipeline_release_gate",
     # r6: 1-row corpus-stats broadcast onto the tf frame
     "text_bm25_topk",
+    # r6: 1-row total-pairs broadcast onto the pair-frequency frame
+    "text_bigram_coherence",
     # r6: 8-row per-query LUT broadcast onto the code scan (ADC is a
     # deliberate scan of all codes per query — the codes ARE the index)
     "similarity_topk_pq_adc",
