@@ -51,19 +51,27 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r06: window closes full driver verification (VERDICT r5 item 1).
-# Front-loaded: the 7 entries whose latest driver row predates their
-# oracle (`err: no_oracle` in r1/r2 — the five streaming twins plus
-# the two md5-mode LSH/SimHash entries oracled in r5). Then the 27
-# never-driver-checked entries (22 oracled — the r3 applied-stats
-# block — and 5 rows-only-by-design: 3 multimodal stubs, HLL, the LSH
-# curation twin), plus agg_approx_sketches for a fresh rows-only row.
-# Tail slots re-verify this round's perf-watch rewrites
-# (dedup_minhash_lsh is already front-loaded; graph_pagerank,
-# pipeline_curate_corpus). With 35+3 < 50, trailing slots fall
-# through to entries added this round (registered after this list is
-# applied they'd queue last — new r6 entries are appended explicitly
-# at the end of this list as they land).
+# r06 window (exactly 50): closes the r5 verdict's verification debt
+# and fronts this round's new/changed surface. In order:
+#   1. the 7 stale `err: no_oracle` entries (five streaming twins +
+#      the two md5-mode LSH/SimHash entries, oracled in r5, never
+#      driver-re-sampled);
+#   2. the 27 previously never-driver-checked entries (the r3
+#      applied-stats block; 22 oracled + rows-only-by-design rows),
+#      including the four multimodal entries whose kernels became
+#      REAL and ORACLED this round (wav/bmp/avi codecs);
+#   3. agg_approx_sketches for a fresh rows-only row;
+#   4. pipeline_curate_corpus (perf-watch re-verify) and
+#      multimodal_image_meta (decode semantics changed to real);
+#   5. every entry ADDED in r6 that fits (bm25, PQ encode + ADC, BPE
+#      merges, k-anonymity, linear attribution, embedding drift, IVF
+#      sink, preference pairs, wordpiece, concurrency sweep) and the
+#      four entries whose plans changed in the empty-partition-window
+#      cleanup. graph_pagerank / sample_domain_mixture keep their
+#      green r5/r3 rows and yielded slots; r6 entries past slot 50
+#      (time_to_convert, scorecard, reorder_interval, release_gate,
+#      bigram_coherence, correlation_matrix) are locally sim-green at
+#      sf0.01 AND sf0.1 and queue first for the r7 rotation.
 _DRIVER_WINDOW = [
     # --- r06 window ---
     # stale `no_oracle` rows: oracled since, never driver-re-sampled
