@@ -1756,3 +1756,73 @@ def q_profile_correlation_matrix(spark, sf_dir):
         ]
     )
     return m.select(F.explode(pairs_arr).alias("p")).select("p.*")
+
+
+@register(
+    "stats_discount_qty_ols",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_per_bp,
+           CAST((sy - (n * sxy - sx * sy) * sx
+                      // ((n * sxx - sx * sx))) // n AS BIGINT)
+             AS intercept_approx,
+           CAST(sx // n AS BIGINT) AS mean_x_bp,
+           CAST(sy // n AS BIGINT) AS mean_y
+    FROM m
+    """,
+)
+def q_stats_discount_qty_ols(spark, sf_dir):
+    """Simple OLS as one aggregate: the regression slope of quantity
+    on discount (micro-units of quantity per basis point of discount)
+    from the five raw moments — the do-we-move-volume-with-discounts
+    screen that complements the chi-square independence test and the
+    diff-in-diff entry with an effect SIZE. All arithmetic is exact
+    integer: quantized inputs (discount in bp), HUGEINT/DECIMAL(38)
+    moment sums, and the closed-form slope as one integer floor
+    division — the estimator is engine-identical with no float in
+    sight (the intercept reuses the integer slope, floor-composed, so
+    it is an exact-arithmetic approximation, documented). One
+    map-side-combinable scan; five integers of shuffle per task."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr(
+            "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(_d38("x")).alias("sx"),
+        F.sum(_d38("y")).alias("sy"),
+        F.sum(_d38("x") * F.col("x")).alias("sxx"),
+        F.sum(_d38("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.expr("CAST(n AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro_per_bp"),
+        F.expr(
+            "CAST((sy - (n * sxy - sx * sy) * sx"
+            " DIV (n * sxx - sx * sx)) DIV n AS BIGINT)"
+        ).alias("intercept_approx"),
+        F.expr("CAST(sx DIV n AS BIGINT)").alias("mean_x_bp"),
+        F.expr("CAST(sy DIV n AS BIGINT)").alias("mean_y"),
+    )
