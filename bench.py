@@ -94,6 +94,7 @@ HEADLINE = [
     "text_bigram_coherence",      # pair-level LM fluency signal (r6)
     "profile_correlation_matrix", # single-pass exact-moment corr (r6)
     "stats_discount_qty_ols",     # integer closed-form regression (r6)
+    "embedding_knn_outlier",      # exact-chain OOD screen (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

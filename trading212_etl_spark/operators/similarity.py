@@ -868,3 +868,75 @@ def pq_codebooks_from_data(
         [list(r.e[mi * dsub : (mi + 1) * dsub]) for r in rows]
         for mi in range(m)
     ]
+
+
+def knn_outlier_scores(
+    corpus: DataFrame,
+    n_refs: int = 32,
+    k: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """kNN-distance outlier scoring for embedding-space cleaning: each
+    vector's distance to its ``k``-th nearest of ``n_refs`` reference
+    vectors (the first ``n_refs`` by vec_id — the _data_centroids
+    take-first init; production uses a uniform sample). A large
+    k-NN-to-reference distance flags out-of-distribution embeddings —
+    encoder glitches, corrupted inputs, wrong-modality rows — before
+    they poison ANN indexes or clustering.
+
+    Map-only Arrow kernel: the reference block is KB-sized and rides
+    the closure; each batch computes all ``n_refs`` squared distances
+    with dim-SEQUENTIAL accumulation (the pq_assign exactness
+    pattern: ``acc = acc + (x_j − r_j)²`` in index order, vectorized
+    across rows) so every distance is bit-identical to the oracle's
+    left-fold chain, and the k-th selection under the (distance,
+    ref_idx) lexicographic order is therefore engine-identical
+    including exact ties — no ulp argument needed anywhere."""
+    import pyspark.sql.types as T
+
+    refs = [
+        (int(r.vec_id), list(r.e))
+        for r in corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .orderBy("vec_id")
+        .limit(n_refs)
+        .collect()
+    ]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("knn_dist", T.DoubleType()),
+        ]
+    )
+    ref_mat = [e for _, e in refs]
+    dsub = len(ref_mat[0])
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        R = np.asarray(ref_mat, dtype=np.float64)  # (n_refs, dim)
+
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n = len(pdf)
+            d = np.zeros((n, len(R)))
+            for j in range(dsub):
+                diff = x[:, j : j + 1] - R[None, :, j]
+                d = d + diff * diff
+            # k-th smallest under (distance, ref_idx) lexicographic
+            # order; argsort(kind='stable') on d gives exactly that
+            order = np.argsort(d, axis=1, kind="stable")
+            kth = d[np.arange(n), order[:, k - 1]]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "knn_dist": kth}
+            )
+
+    raw = corpus.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    return raw.select(
+        "vec_id", F.round("knn_dist", round_dp).alias("knn_dist")
+    )

@@ -1783,3 +1783,51 @@ def q_text_bigram_coherence(spark, sf_dir):
             "avg_pair_freq_ppb"
         ),
     )
+
+
+def _knn_outlier_oracle(n_refs: int = 32, k: int = 4, round_dp: int = 4) -> str:
+    """DuckDB twin of knn_outlier_scores: the reference block rebuilt
+    in SQL (first n_refs by vec_id), every distance the same
+    fixed-order chain, k-th pick via (distance, ref rank) ordering —
+    bit-identical doubles, tie handling included."""
+    dim = 64
+    xs = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(dim)
+    )
+    chain = " + ".join(
+        f"(p.x{i} - r.x{i}) * (p.x{i} - r.x{i})" for i in range(dim)
+    )
+    return f"""
+    WITH p AS (SELECT vec_id, {xs} FROM embeddings),
+    r AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS rn, {xs}
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_refs})
+    ),
+    d AS (
+      SELECT p.vec_id, r.rn, ({chain}) AS dist
+      FROM p CROSS JOIN r
+    ),
+    pick AS (
+      SELECT vec_id, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, rn ASC) AS o
+      FROM d
+    )
+    SELECT vec_id, round(dist, {round_dp}) AS knn_dist
+    FROM pick WHERE o = {k}
+    """
+
+
+@register("embedding_knn_outlier", oracle=_knn_outlier_oracle())
+def q_embedding_knn_outlier(spark, sf_dir):
+    """kNN-distance outlier scores over the embedding corpus (distance
+    to the 4th-nearest of 32 reference vectors) — the
+    out-of-distribution screen run before ANN indexing or clustering.
+    Map-only Arrow kernel with dim-sequential exact distance chains
+    (operators/similarity.py knn_outlier_scores); the oracle rebuilds
+    the reference block in SQL and replays the identical chains, so
+    distances AND the k-th selection (ties included) are
+    engine-identical with no tolerance."""
+    from ..operators.similarity import knn_outlier_scores
+
+    return knn_outlier_scores(_t(spark, sf_dir, "embeddings"))
