@@ -95,6 +95,7 @@ HEADLINE = [
     "profile_correlation_matrix", # single-pass exact-moment corr (r6)
     "stats_discount_qty_ols",     # integer closed-form regression (r6)
     "embedding_knn_outlier",      # exact-chain OOD screen (r6)
+    "events_burn_rate_alert",     # multiwindow SLO burn tiers (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

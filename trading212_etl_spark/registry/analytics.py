@@ -1890,3 +1890,88 @@ def q_orders_reorder_interval(spark, sf_dir):
         F.round(F.expr("percentile(gap_d, 0.90)"), 2).alias("p90_d"),
         F.max("gap_d").alias("max_d"),
     )
+
+
+@register(
+    "events_burn_rate_alert",
+    oracle="""
+    WITH h AS (
+      SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+              + hour(ts)) AS hour_idx,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hour_idx, n_total, n_error,
+             CAST(sum(n_error) OVER l AS BIGINT) AS err_6h,
+             CAST(sum(n_total) OVER l AS BIGINT) AS tot_6h
+      FROM h
+      WINDOW l AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour_idx,
+           CAST(n_error * 1000000 // n_total AS BIGINT) AS short_ppm,
+           CAST(err_6h * 1000000 // tot_6h AS BIGINT) AS long_ppm,
+           (n_error * 1000 > 14 * n_total
+            AND err_6h * 1000 > 14 * tot_6h) AS page_alert,
+           (n_error * 1000 > 6 * n_total
+            AND err_6h * 1000 > 6 * tot_6h) AS ticket_alert
+    FROM w
+    """,
+)
+def q_events_burn_rate_alert(spark, sf_dir):
+    """Multi-window multi-burn-rate SLO alerting (the SRE-workbook
+    policy the single-window SLI entry feeds): page when BOTH the
+    1-hour and trailing 6-hour error rates burn the 99.9% budget at
+    14x (fast burn confirmed by the long window — resistant to
+    one-hour blips), ticket at 6x. Thresholds are cross-multiplied to
+    exact integer predicates (rate > 14·0.001 ⇔ err·1000 > 14·total)
+    so the alert boundary never sits on a float. The trailing window
+    is a RANGE frame over the hour-indexed aggregate, partitioned by
+    the bounded_bucket pseudo-constant (domain-bounded hour index —
+    the orders_anomalous_days pattern), so no unpartitioned
+    WindowExec appears and the frame is calendar-bounded at any data
+    volume."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    h = ev.groupBy(
+        (
+            F.unix_date(F.col("ts").cast("date")) * 24 + F.hour("ts")
+        ).alias("hour_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_err).cast("bigint").alias("n_error"),
+    )
+    w = (
+        Window.partitionBy(bounded_bucket("hour_idx"))
+        .orderBy("hour_idx")
+        .rangeBetween(-5, 0)
+    )
+    ww = h.select(
+        "hour_idx",
+        "n_total",
+        "n_error",
+        F.sum("n_error").over(w).alias("err_6h"),
+        F.sum("n_total").over(w).alias("tot_6h"),
+    )
+    return ww.select(
+        "hour_idx",
+        F.expr("CAST(n_error * 1000000 DIV n_total AS BIGINT)").alias(
+            "short_ppm"
+        ),
+        F.expr("CAST(err_6h * 1000000 DIV tot_6h AS BIGINT)").alias(
+            "long_ppm"
+        ),
+        (
+            (F.col("n_error") * 1000 > 14 * F.col("n_total"))
+            & (F.col("err_6h") * 1000 > 14 * F.col("tot_6h"))
+        ).alias("page_alert"),
+        (
+            (F.col("n_error") * 1000 > 6 * F.col("n_total"))
+            & (F.col("err_6h") * 1000 > 6 * F.col("tot_6h"))
+        ).alias("ticket_alert"),
+    )
