@@ -96,6 +96,8 @@ HEADLINE = [
     "stats_discount_qty_ols",     # integer closed-form regression (r6)
     "embedding_knn_outlier",      # exact-chain OOD screen (r6)
     "events_burn_rate_alert",     # multiwindow SLO burn tiers (r6)
+    "events_bounce_rate_daily",   # 1-event-session share (r6)
+    "dedup_rate_by_source",       # provenance dup scorecard (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

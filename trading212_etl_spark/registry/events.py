@@ -497,3 +497,63 @@ def q_events_concurrency_peak(spark, sf_dir):
         "peak_concurrency",
         F.timestamp_micros(-F.col("__b.neg_us")).alias("peak_at"),
     )
+
+
+@register(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq,
+             ts
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             CAST(min(ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS bounce_ppm
+    FROM sess GROUP BY day
+    """,
+)
+def q_events_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: share of sessions with exactly one event
+    (the engagement-health metric next to stickiness and retention),
+    keyed to the session's START day. Rides the same 30-minute gap
+    sessionization as events_sessionize_30m — one user-keyed window
+    chain plus two bounded aggregates; the rate is exact integer
+    ppm."""
+    from pyspark.sql import functions as F
+
+    from ..operators.events import sessionize
+
+    sess = sessionize(_t(spark, sf_dir, "events"), 30)
+    daily = sess.select(
+        F.col("session_start").cast("date").alias("day"),
+        (F.col("n_events") == 1).cast("long").alias("is_bounce"),
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("is_bounce").cast("bigint").alias("n_bounce"),
+        F.expr(
+            "CAST(sum(is_bounce) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("bounce_ppm"),
+    )

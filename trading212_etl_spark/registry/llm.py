@@ -1831,3 +1831,45 @@ def q_embedding_knn_outlier(spark, sf_dir):
     from ..operators.similarity import knn_outlier_scores
 
     return knn_outlier_scores(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH g AS (
+      SELECT source, sha256(text) AS h, doc_id FROM documents
+    ),
+    c AS (SELECT h, count(*) AS n_copies FROM g GROUP BY h)
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM g JOIN c USING (h)
+    GROUP BY g.source
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Duplication-rate provenance report: per source, the share of
+    documents whose exact content (sha256) appears more than once in
+    the WHOLE corpus — the per-provider contamination scorecard a
+    curation pipeline uses to down-weight scrapers that mirror each
+    other. Digest group sizes aggregate once (64-byte keys, the
+    dedup_exact shuffle), then join back onto the digest frame — the
+    corpus text itself never shuffles. Exact integer ppm."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("source", F.sha2("text", 256).alias("h"))
+    c = g.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    j = g.join(c, "h").select(
+        "source", (F.col("n_copies") > 1).cast("long").alias("dup")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup").cast("bigint").alias("n_in_dup_groups"),
+        F.expr("CAST(sum(dup) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )
