@@ -70,8 +70,10 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 #      cleanup. graph_pagerank / sample_domain_mixture keep their
 #      green r5/r3 rows and yielded slots; r6 entries past slot 50
 #      (time_to_convert, scorecard, reorder_interval, release_gate,
-#      bigram_coherence, correlation_matrix) are locally sim-green at
-#      sf0.01 AND sf0.1 and queue first for the r7 rotation.
+#      bigram_coherence, correlation_matrix, discount_qty_ols,
+#      knn_outlier, burn_rate_alert, bounce_rate, dedup_rate_by_source)
+#      are locally sim-green at sf0.01 AND sf0.1 and queue first for
+#      the r7 rotation.
 _DRIVER_WINDOW = [
     # --- r06 window ---
     # stale `no_oracle` rows: oracled since, never driver-re-sampled
