@@ -1873,3 +1873,43 @@ def q_dedup_rate_by_source(spark, sf_dir):
             "dup_ppm"
         ),
     )
+
+
+@register(
+    "sample_curriculum_order",
+    oracle=_QBP_SQL.format(toks=_TOKS) + """
+    SELECT doc_id, quality_bp,
+           CAST(row_number() OVER (ORDER BY quality_bp DESC, doc_id)
+                AS BIGINT) AS curriculum_rank
+    FROM q
+    """,
+)
+def q_sample_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: a GLOBAL training-order rank over the
+    corpus — highest-quality documents first (quality-descending,
+    doc_id tiebreak), the sequencing a curriculum-learning data
+    loader consumes. The global row_number rides ``ordered_prefix``
+    (range partition on the sort order, per-partition ranks, offset
+    cascade) so no single-partition WindowExec exists at any corpus
+    size — the same rewrite as the rfm/pareto entries, here over the
+    quality score."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import _with_tokens, quality_bp_col
+    from ..partitioning import ordered_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    q = _with_tokens(docs, "doc_id", "text").select(
+        "doc_id",
+        quality_bp_col(F.col("__toks"), F.col("text")).alias("quality_bp"),
+    )
+    ranked = ordered_prefix(
+        q,
+        [F.col("quality_bp").desc(), F.col("doc_id")],
+        rn_name="curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_bp",
+        F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+    )
