@@ -99,6 +99,7 @@ HEADLINE = [
     "events_bounce_rate_daily",   # 1-event-session share (r6)
     "dedup_rate_by_source",       # provenance dup scorecard (r6)
     "sample_curriculum_order",    # global quality rank, ordered_prefix (r6)
+    "text_rake_keyphrases",       # islands segmentation + RAKE scores (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1913,3 +1913,130 @@ def q_sample_curriculum_order(spark, sf_dir):
         "quality_bp",
         F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
     )
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.w AS w, u.i AS i,
+             list_contains(['the','a','and','of','to','in','is'], u.w)
+               OR NOT regexp_matches(u.w, '^[a-z0-9]') AS is_stop
+      FROM (
+        SELECT doc_id, unnest(toks) AS w,
+               unnest(range(1, len(toks) + 1)) AS i
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      ) u(doc_id, w, i)
+    ),
+    runs AS (
+      SELECT doc_id, w, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS run_id
+      FROM tok WHERE NOT is_stop
+    ),
+    phrases AS (
+      SELECT doc_id, run_id,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM runs GROUP BY doc_id, run_id
+    ),
+    words AS (
+      SELECT r.w, p.plen
+      FROM runs r JOIN phrases p USING (doc_id, run_id)
+    ),
+    wscore AS (
+      SELECT w, CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS s_milli
+      FROM words GROUP BY w
+    ),
+    pscore AS (
+      SELECT p.doc_id, p.phrase,
+             CAST(sum(ws.s_milli) AS BIGINT) AS score_milli
+      FROM phrases p
+      JOIN runs r USING (doc_id, run_id)
+      JOIN wscore ws ON ws.w = r.w
+      GROUP BY p.doc_id, p.run_id, p.phrase
+    ),
+    ranked AS (
+      SELECT doc_id, phrase, score_milli,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score_milli DESC, phrase ASC) AS rnk
+      FROM (SELECT DISTINCT doc_id, phrase, score_milli FROM pscore)
+    )
+    SELECT doc_id, phrase, score_milli, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al.'s Rapid Automatic
+    Keyword Extraction): candidate phrases are maximal stopword-free
+    token runs (gaps-and-islands over token positions), each word
+    scores degree/frequency — co-occurrence-weighted rarity — as the
+    exact integer surrogate ``floor(1000·Σ plen / freq)``, and a
+    phrase scores the sum of its members' scores (with multiplicity).
+    Top-3 phrases per document, duplicate phrase strings deduped
+    before ranking so ties are well-defined. Shuffles: one doc-keyed
+    islands window, one (doc, run) phrase aggregate, a
+    vocabulary-sized word-score aggregate joined back (no broadcast
+    hint — word vocab scales with the corpus), and the per-doc top-k
+    window. All scoring integer-exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        "w",
+        (
+            F.col("w").isin(*STOPWORDS["en"])
+            | ~F.col("w").rlike("^[a-z0-9]")
+        ).alias("is_stop"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    runs = (
+        tok.where(~F.col("is_stop"))
+        .withColumn("run_id", F.col("i") - F.row_number().over(wdoc))
+        .select("doc_id", "run_id", "i", "w")
+    )
+    from ..partitioning import freeze_partitions
+
+    # pinned: runs feeds phrases, the word-degree join, and the
+    # phrase-score join
+    runs = freeze_partitions(runs)
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "w"))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    words = runs.join(phrases, ["doc_id", "run_id"]).select("w", "plen")
+    wscore = words.groupBy("w").agg(
+        F.expr("CAST(sum(plen) * 1000 DIV count(*) AS BIGINT)").alias(
+            "s_milli"
+        )
+    )
+    pscore = (
+        phrases.join(runs, ["doc_id", "run_id"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(F.sum("s_milli").cast("bigint").alias("score_milli"))
+    )
+    distinct_p = pscore.select("doc_id", "phrase", "score_milli").distinct()
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("phrase").asc()
+    )
+    return (
+        distinct_p.withColumn("rnk", F.row_number().over(wrank))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "phrase", "score_milli", F.col("rnk").cast("int").alias("rnk"))
+    )
