@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_rate_by_source",       # provenance dup scorecard (r6)
     "sample_curriculum_order",    # global quality rank, ordered_prefix (r6)
     "text_rake_keyphrases",       # islands segmentation + RAKE scores (r6)
+    "orders_seasonal_decomposition",  # STL-lite trend+seasonal+MAD (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1826,3 +1826,117 @@ def q_stats_discount_qty_ols(spark, sf_dir):
         F.expr("CAST(sx DIV n AS BIGINT)").alias("mean_x_bp"),
         F.expr("CAST(sy DIV n AS BIGINT)").alias("mean_y"),
     )
+
+
+@register(
+    "orders_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    det AS (
+      SELECT day, day_idx, rev_cents,
+             CAST(sum(rev_cents) OVER w AS BIGINT)
+               // count(*) OVER w AS trend_cents
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT day_idx % 7 AS dow7,
+             CAST(sum(rev_cents - trend_cents) AS BIGINT)
+               // count(*) AS seasonal_cents
+      FROM det GROUP BY 1
+    ),
+    resid AS (
+      SELECT d.day, d.rev_cents, d.trend_cents, s.seasonal_cents,
+             d.rev_cents - d.trend_cents - s.seasonal_cents AS residual_cents
+      FROM det d JOIN seas s ON s.dow7 = d.day_idx % 7
+    ),
+    fence AS (
+      SELECT quantile_cont(abs(residual_cents), 0.5) AS mad FROM resid
+    )
+    SELECT r.day, r.rev_cents, r.trend_cents, r.seasonal_cents,
+           r.residual_cents,
+           abs(r.residual_cents) > 3 * 1.4826 * f.mad AS is_anomaly
+    FROM resid r CROSS JOIN fence f
+    """,
+)
+def q_orders_seasonal_decomposition(spark, sf_dir):
+    """Full STL-lite decomposition — the capstone the trend-residual,
+    seasonal-index, and MAD entries build toward: daily revenue =
+    ±3-day centered-MA TREND + day-of-week SEASONAL (per-DOW mean of
+    the detrended series, exact integer DIV over the epoch-day mod-7
+    cycle) + RESIDUAL, with the anomaly fence on the residual AFTER
+    both adjustments — so a quiet-but-normal Sunday no longer trips
+    the detector the trend-only entry would. All components stay
+    integer cents; the single float is the shared MAD fence
+    expression. Windows: the trend frame rides the bounded_bucket
+    day-index spec (orders_anomalous_days's fix), the seasonal term
+    is a 7-group aggregate broadcast back, the fence a 1-row
+    broadcast."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..partitioning import freeze_partitions
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_idx"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy(bounded_bucket("day_idx"))
+        .orderBy("day_idx")
+        .rangeBetween(-3, 3)
+    )
+    # pinned: det feeds the seasonal aggregate AND the residual join
+    det = freeze_partitions(
+        daily.withColumn("__ms", F.sum("rev_cents").over(w))
+        .withColumn("__mn", F.count(F.lit(1)).over(w))
+        .select(
+            "day",
+            "day_idx",
+            "rev_cents",
+            F.expr("__ms DIV __mn").alias("trend_cents"),
+        )
+    )
+    seas = det.groupBy((F.col("day_idx") % 7).alias("dow7")).agg(
+        F.expr(
+            "CAST(sum(rev_cents - trend_cents) AS BIGINT) DIV count(*)"
+        ).alias("seasonal_cents")
+    )
+    resid = det.join(
+        F.broadcast(seas), det.day_idx % 7 == F.col("dow7")
+    ).select(
+        "day",
+        "rev_cents",
+        "trend_cents",
+        "seasonal_cents",
+        (
+            F.col("rev_cents") - F.col("trend_cents") - F.col("seasonal_cents")
+        ).alias("residual_cents"),
+    )
+    resid = freeze_partitions(resid)
+    fence = resid.agg(
+        F.expr("percentile(abs(residual_cents), 0.5)").alias("mad")
+    )
+    return resid.crossJoin(F.broadcast(fence)).select(
+        "day",
+        "rev_cents",
+        "trend_cents",
+        "seasonal_cents",
+        "residual_cents",
+        (
+            F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
+        ).alias("is_anomaly"),
+    )
