@@ -101,6 +101,7 @@ HEADLINE = [
     "sample_curriculum_order",    # global quality rank, ordered_prefix (r6)
     "text_rake_keyphrases",       # islands segmentation + RAKE scores (r6)
     "orders_seasonal_decomposition",  # STL-lite trend+seasonal+MAD (r6)
+    "parts_abc_classification",   # cumulative-share classes (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1975,3 +1975,68 @@ def q_events_burn_rate_alert(spark, sf_dir):
             & (F.col("err_6h") * 1000 > 6 * F.col("tot_6h"))
         ).alias("ticket_alert"),
     )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_partkey, rev_cents,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+      FROM rev
+    )
+    SELECT l_partkey, rev_cents,
+           CAST(run_cents * 10000 // total_cents AS BIGINT) AS cum_share_bp,
+           CASE WHEN run_cents * 100 <= 80 * total_cents THEN 'A'
+                WHEN run_cents * 100 <= 95 * total_cents THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def q_parts_abc_classification(spark, sf_dir):
+    """ABC inventory classification — parts ranked by revenue with
+    cumulative-share classes (A to 80%, B to 95%, C the tail), the
+    stock-policy segmentation every ops team runs. Thresholds are
+    cross-multiplied integer predicates (run·100 ≤ 80·total) so class
+    boundaries never sit on a float, and the cumulative sum over the
+    revenue-descending total order rides ``ordered_prefix`` — its
+    run_/total_ outputs give the running and grand totals in the same
+    pass with no single-partition window and no second scan."""
+    from pyspark.sql import functions as F
+
+    from ..partitioning import ordered_prefix
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    r = ordered_prefix(
+        rev,
+        [F.col("rev_cents").desc(), F.col("l_partkey")],
+        sum_cols=["rev_cents"],
+    )
+    return r.select(
+        "l_partkey",
+        "rev_cents",
+        F.expr(
+            "CAST(run_rev_cents * 10000 DIV total_rev_cents AS BIGINT)"
+        ).alias("cum_share_bp"),
+        F.when(
+            F.col("run_rev_cents") * 100 <= 80 * F.col("total_rev_cents"), "A"
+        )
+        .when(
+            F.col("run_rev_cents") * 100 <= 95 * F.col("total_rev_cents"), "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
