@@ -102,6 +102,7 @@ HEADLINE = [
     "text_rake_keyphrases",       # islands segmentation + RAKE scores (r6)
     "orders_seasonal_decomposition",  # STL-lite trend+seasonal+MAD (r6)
     "parts_abc_classification",   # cumulative-share classes (r6)
+    "events_type_lift_matrix",    # session association lift (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

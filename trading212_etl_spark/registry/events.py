@@ -557,3 +557,99 @@ def q_events_bounce_rate(spark, sf_dir):
             "CAST(sum(is_bounce) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("bounce_ppm"),
     )
+
+
+@register(
+    "events_type_lift_matrix",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM g
+    ),
+    st AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+    n AS (SELECT CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT)
+                   AS n_sessions FROM st),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+           FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_pair,
+           CAST(p.n_pair * n.n_sessions * 1000
+                // (ta.n_t * tb.n_t) AS BIGINT) AS lift_milli
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def q_events_type_lift_matrix(spark, sf_dir):
+    """Session-level association mining: lift of every event-type
+    pair — do checkout and search co-occur in the same session more
+    than chance? Lift = P(a,b)/(P(a)P(b)) kept as the exact integer
+    surrogate ``floor(1000·n_pair·n_sessions/(n_a·n_b))`` (log-free
+    PMI equivalent, same ordering — the ln-avoidance policy). The
+    pair join runs per (user, session) — bounded by the distinct
+    types in one session (≤ type-vocabulary), never a corpus cross
+    join; type counts and the 1-row session total broadcast back.
+    Sessions are the shared 30-minute gap rule."""
+    from pyspark.sql import functions as F
+
+    from ..operators.events import label_sessions
+    from ..partitioning import freeze_partitions
+
+    st = freeze_partitions(
+        label_sessions(_t(spark, sf_dir, "events"), 30)
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    n = st.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_seq"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_a"),
+                                  F.col("n_t").alias("n_a"))), "type_a")
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_b"),
+                                  F.col("n_t").alias("n_b"))), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.expr(
+                "CAST(n_pair * n_sessions * 1000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
