@@ -162,6 +162,10 @@ NESTED_LOOP_BY_DESIGN = {
     "sample_temperature_mixture",
     # r6: three 1-row audit aggregates cross-joined into one gate row
     "pipeline_release_gate",
+    # r6: 1-row MAD fence broadcast onto the decomposed day frame
+    "orders_seasonal_decomposition",
+    # r6: 1-row session-total broadcast onto the pair-count frame
+    "events_type_lift_matrix",
     # r6: 1-row corpus-stats broadcast onto the tf frame
     "text_bm25_topk",
     # r6: 1-row total-pairs broadcast onto the pair-frequency frame
