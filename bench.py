@@ -103,6 +103,7 @@ HEADLINE = [
     "orders_seasonal_decomposition",  # STL-lite trend+seasonal+MAD (r6)
     "parts_abc_classification",   # cumulative-share classes (r6)
     "events_type_lift_matrix",    # session association lift (r6)
+    "orders_revenue_bridge_monthly",  # growth-accounting waterfall (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -2040,3 +2040,141 @@ def q_parts_abc_classification(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "orders_revenue_bridge_monthly",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey AS cust,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT cust, midx, rev,
+             lag(midx) OVER w AS pmidx,
+             lag(rev) OVER w AS prev
+      FROM cm WINDOW w AS (PARTITION BY cust ORDER BY midx)
+    ),
+    cur AS (
+      SELECT midx,
+             sum(CASE WHEN pmidx IS NULL OR pmidx < midx - 1
+                      THEN rev ELSE 0 END) AS new_cents,
+             sum(CASE WHEN pmidx = midx - 1 AND rev > prev
+                      THEN rev - prev ELSE 0 END) AS expansion_cents,
+             sum(CASE WHEN pmidx = midx - 1 AND rev < prev
+                      THEN prev - rev ELSE 0 END) AS contraction_cents
+      FROM lagd GROUP BY midx
+    ),
+    nxt AS (
+      SELECT cust, midx, rev,
+             lead(midx) OVER w AS nmidx
+      FROM cm WINDOW w AS (PARTITION BY cust ORDER BY midx)
+    ),
+    churn AS (
+      SELECT midx + 1 AS midx,
+             sum(rev) AS churned_cents
+      FROM nxt
+      WHERE nmidx IS NULL OR nmidx > midx + 1
+      GROUP BY midx + 1
+    )
+    SELECT c.midx AS month_idx,
+           CAST(c.new_cents AS BIGINT) AS new_cents,
+           CAST(c.expansion_cents AS BIGINT) AS expansion_cents,
+           CAST(c.contraction_cents AS BIGINT) AS contraction_cents,
+           CAST(coalesce(ch.churned_cents, 0) AS BIGINT) AS churned_cents,
+           CAST(c.new_cents + c.expansion_cents - c.contraction_cents
+                - coalesce(ch.churned_cents, 0) AS BIGINT) AS net_change_cents
+    FROM cur c LEFT JOIN churn ch ON ch.midx = c.midx
+    """,
+)
+def q_orders_revenue_bridge_monthly(spark, sf_dir):
+    """Monthly revenue bridge (SaaS-style growth accounting in cents):
+    each month's change decomposes into NEW (customer absent the
+    prior month — including lapsed returners), EXPANSION /
+    CONTRACTION (same-customer delta vs an adjacent prior month), and
+    CHURNED (the full prior-month revenue of customers with no
+    revenue this month, attributed via a lead window so no dense
+    month scaffold is materialized). The identity new + expansion −
+    contraction − churned = net change holds exactly in integer cents
+    (invariant-testable). Two customer-keyed windows over the
+    (customer × month) aggregate — population-sized, not order-sized
+    — then month-level rollups; the churn side joins back on month
+    index."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..partitioning import freeze_partitions
+
+    o = _t(spark, sf_dir, "orders")
+    cm = freeze_partitions(
+        o.groupBy(
+            F.col("o_custkey").alias("cust"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).alias("midx"),
+        ).agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("cust").orderBy("midx")
+    lagd = cm.select(
+        "midx",
+        "rev",
+        F.lag("midx").over(w).alias("pmidx"),
+        F.lag("rev").over(w).alias("prev"),
+    )
+    cur = lagd.groupBy("midx").agg(
+        F.sum(
+            F.when(
+                F.col("pmidx").isNull() | (F.col("pmidx") < F.col("midx") - 1),
+                F.col("rev"),
+            ).otherwise(0)
+        ).alias("new_cents"),
+        F.sum(
+            F.when(
+                (F.col("pmidx") == F.col("midx") - 1)
+                & (F.col("rev") > F.col("prev")),
+                F.col("rev") - F.col("prev"),
+            ).otherwise(0)
+        ).alias("expansion_cents"),
+        F.sum(
+            F.when(
+                (F.col("pmidx") == F.col("midx") - 1)
+                & (F.col("rev") < F.col("prev")),
+                F.col("prev") - F.col("rev"),
+            ).otherwise(0)
+        ).alias("contraction_cents"),
+    )
+    nxt = cm.select(
+        "midx", "rev", F.lead("midx").over(w).alias("nmidx")
+    )
+    churn = (
+        nxt.where(F.col("nmidx").isNull() | (F.col("nmidx") > F.col("midx") + 1))
+        .groupBy((F.col("midx") + 1).alias("midx"))
+        .agg(F.sum("rev").alias("churned_cents"))
+    )
+    return (
+        cur.join(churn, "midx", "left")
+        .select(
+            F.col("midx").alias("month_idx"),
+            F.col("new_cents").cast("bigint").alias("new_cents"),
+            F.col("expansion_cents").cast("bigint").alias("expansion_cents"),
+            F.col("contraction_cents").cast("bigint").alias("contraction_cents"),
+            F.coalesce("churned_cents", F.lit(0))
+            .cast("bigint")
+            .alias("churned_cents"),
+            (
+                F.col("new_cents")
+                + F.col("expansion_cents")
+                - F.col("contraction_cents")
+                - F.coalesce("churned_cents", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("net_change_cents"),
+        )
+    )
