@@ -104,6 +104,7 @@ HEADLINE = [
     "parts_abc_classification",   # cumulative-share classes (r6)
     "events_type_lift_matrix",    # session association lift (r6)
     "orders_revenue_bridge_monthly",  # growth-accounting waterfall (r6)
+    "orders_forecast_seasonal_naive", # weekday-lag backtest (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -1817,3 +1817,30 @@ def q_pipeline_release_gate(spark, sf_dir):
             ).alias("release_go"),
         )
     )
+
+
+@register(
+    "streaming_error_rate_sli",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS err_ppm,
+           (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            * 1000 > count(*)) AS budget_burn
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_error_sli(spark, sf_dir):
+    """§2.9 streaming — the reliability SLI as a watermarked
+    event-time window aggregate (streaming/windows.py:
+    streaming_error_sli_agg): per-hour (n_total, n_error) state is
+    algebraic, so the converged complete-mode stream equals the batch
+    SLI rollup bit-for-bit — ppm and the exact cross-multiplied burn
+    flag included. The ops face of the streaming battery next to the
+    VWAP/presence twins."""
+    from ..streaming.windows import run_streaming_error_sli
+
+    return run_streaming_error_sli(spark, sf_dir, "1 hour")

@@ -1940,3 +1940,71 @@ def q_orders_seasonal_decomposition(spark, sf_dir):
             F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "orders_forecast_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT day, day_idx, rev_cents,
+             lag(rev_cents, 7) OVER (ORDER BY day_idx) AS forecast_cents,
+             lag(day_idx, 7) OVER (ORDER BY day_idx) AS fidx
+      FROM daily
+    )
+    SELECT day, rev_cents, forecast_cents,
+           abs(rev_cents - forecast_cents) AS abs_err_cents
+    FROM f
+    WHERE forecast_cents IS NOT NULL AND fidx = day_idx - 7
+    """,
+)
+def q_orders_forecast_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecasting backtest — the baseline every
+    forecasting pipeline must beat: predict each day's revenue as the
+    SAME WEEKDAY one week earlier and report the per-day absolute
+    error in exact cents. The lag guards on the day-index gap (a
+    7-ROW lag only equals a 7-DAY lag when the calendar is dense, so
+    days whose offset-7 row isn't exactly 7 days back drop out rather
+    than silently comparing the wrong weekday). One day-level
+    aggregate plus a bounded_bucket-partitioned lag window —
+    calendar-bounded at any volume. MAE/MAPE rollups compose
+    downstream; the per-day frame keeps the entry join-able to the
+    decomposition entries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_idx"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx")
+    f = daily.select(
+        "day",
+        "day_idx",
+        "rev_cents",
+        F.lag("rev_cents", 7).over(w).alias("forecast_cents"),
+        F.lag("day_idx", 7).over(w).alias("fidx"),
+    )
+    return f.where(
+        F.col("forecast_cents").isNotNull()
+        & (F.col("fidx") == F.col("day_idx") - 7)
+    ).select(
+        "day",
+        "rev_cents",
+        "forecast_cents",
+        F.abs(F.col("rev_cents") - F.col("forecast_cents")).alias(
+            "abs_err_cents"
+        ),
+    )

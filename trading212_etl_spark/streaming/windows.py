@@ -542,3 +542,40 @@ def run_streaming_presence_bitmap(
     the batch bitmap exactly."""
     agg = streaming_presence_bitmap(_events_stream(spark, events_dir))
     return _run_to_memory(spark, agg, "stream_presence_out", "complete")
+
+
+def streaming_error_sli_agg(stream: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_error_rate_sli: the hourly error-rate
+    SLI as a watermarked event-time window aggregate. State per
+    (window) is the algebraic (n_total, n_error) pair — commutative
+    merges, so the converged complete-mode output equals the batch
+    rollup exactly, integer ppm and the cross-multiplied burn flag
+    included (no rate float exists on either path)."""
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(is_err).cast("bigint").alias("n_error"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "n_total",
+            "n_error",
+            F.expr("CAST(n_error * 1000000 DIV n_total AS BIGINT)").alias(
+                "err_ppm"
+            ),
+            (F.col("n_error") * 1000 > F.col("n_total")).alias("budget_burn"),
+        )
+    )
+
+
+def run_streaming_error_sli(
+    spark: SparkSession, events_dir: str, duration: str = "1 hour"
+) -> DataFrame:
+    """Drive :func:`streaming_error_sli_agg` to completion over the
+    static events parquet; converged output must equal the batch SLI
+    bit-for-bit."""
+    agg = streaming_error_sli_agg(_events_stream(spark, events_dir), duration)
+    return _run_to_memory(spark, agg, "stream_sli_out", "complete")
