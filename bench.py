@@ -105,6 +105,7 @@ HEADLINE = [
     "events_type_lift_matrix",    # session association lift (r6)
     "orders_revenue_bridge_monthly",  # growth-accounting waterfall (r6)
     "orders_forecast_seasonal_naive", # weekday-lag backtest (r6)
+    "features_user_behavior_profile", # BOW type-share features (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -653,3 +653,63 @@ def q_events_type_lift_matrix(spark, sf_dir):
             ).alias("lift_milli"),
         )
     )
+
+
+@register(
+    "features_user_behavior_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events FROM c
+          GROUP BY user_id)
+    SELECT c.user_id,
+           t.n_events,
+           CAST(count(*) AS BIGINT) AS n_distinct_types,
+           string_agg(c.event_type || ':' ||
+                      CAST(c.n * 1000000 // t.n_events AS VARCHAR),
+                      ',' ORDER BY c.event_type) AS profile_ppm
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.n_events
+    """,
+)
+def q_features_user_behavior_profile(spark, sf_dir):
+    """Per-user behavioral profile features: the event-type
+    bag-of-words vector (share of each type in exact integer ppm)
+    serialized in type order — the feature frame a churn model or the
+    embedding operators consume as the behavioral modality. One
+    (user, type)-keyed aggregate; the per-user total reuses that
+    frame (pinned — its scalar branch would otherwise rescan the
+    fact); the profile serializes via the ordered-string-agg
+    convention so the driver's hash gate sees a deterministic
+    cell."""
+    from pyspark.sql import functions as F
+
+    from ..partitioning import freeze_partitions
+
+    ev = _t(spark, sf_dir, "events")
+    c = freeze_partitions(
+        ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("n_events"))
+    j = c.join(t, "user_id").select(
+        "user_id",
+        "n_events",
+        "event_type",
+        F.expr("CAST(n * 1000000 DIV n_events AS BIGINT)").alias("ppm"),
+    )
+    return j.groupBy("user_id", "n_events").agg(
+        F.count(F.lit(1)).alias("n_distinct_types"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "ppm"))),
+                lambda s: F.concat_ws(
+                    ":", s["event_type"], s["ppm"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("profile_ppm"),
+    ).select("user_id", "n_events", "n_distinct_types", "profile_ppm")
