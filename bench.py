@@ -106,6 +106,7 @@ HEADLINE = [
     "orders_revenue_bridge_monthly",  # growth-accounting waterfall (r6)
     "orders_forecast_seasonal_naive", # weekday-lag backtest (r6)
     "features_user_behavior_profile", # BOW type-share features (r6)
+    "orders_gap_burstiness",      # (sigma-mu)/(sigma+mu) cadence (r6)
     "sort_limit_topk",            # TakeOrderedAndProject
     "graph_pagerank",             # iterative join+agg rounds, lineage cuts
     "text_unigram_lm_score",      # explode + vocab broadcast + re-agg

@@ -2178,3 +2178,87 @@ def q_orders_revenue_bridge_monthly(spark, sf_dir):
             .alias("net_change_cents"),
         )
     )
+
+
+@register(
+    "orders_gap_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(gap_d AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(gap_d AS HUGEINT) * gap_d) AS HUGEINT) AS s2
+      FROM g WHERE gap_d IS NOT NULL GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_gaps,
+           CAST(floor(1000 *
+             (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                    / CAST(n AS DOUBLE)
+              - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                      / CAST(n AS DOUBLE)
+                + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS BIGINT) AS burstiness_milli
+    FROM m
+    """,
+)
+def q_orders_gap_burstiness(spark, sf_dir):
+    """Burstiness of the repurchase process per segment: the
+    Goh-Barabási coefficient B = (σ−μ)/(σ+μ) over inter-order day
+    gaps — B→−1 for clockwork ordering, 0 for Poisson, →1 for bursty
+    — the events-side Fano entry's companion on the orders fact. Raw
+    moments are exact integers (the correlation-matrix idiom); σ and
+    μ assemble from the one 3-number frame with IEEE sqrt/divide
+    identical cross-engine, floored at milli. Same lag-window shape
+    as orders_reorder_interval."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+                "gap_d"
+            ),
+        )
+        .where(F.col("gap_d").isNotNull())
+    )
+    m = g.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("gap_d").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("gap_d").cast("decimal(38,0)") * F.col("gap_d")).alias(
+            "s2"
+        ),
+    )
+    return m.select(
+        "segment",
+        F.expr("CAST(n AS BIGINT)").alias("n_gaps"),
+        F.expr(
+            "CAST(floor(1000 *"
+            " (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))"
+            "        / CAST(n AS DOUBLE)"
+            "  - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            "          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))"
+            "          / CAST(n AS DOUBLE)"
+            "    + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("burstiness_milli"),
+    )
