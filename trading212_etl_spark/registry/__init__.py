@@ -51,93 +51,77 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r06 window (exactly 50): closes the r5 verdict's verification debt
-# and fronts this round's new/changed surface. In order:
-#   1. the 7 stale `err: no_oracle` entries (five streaming twins +
-#      the two md5-mode LSH/SimHash entries, oracled in r5, never
-#      driver-re-sampled);
-#   2. the 27 previously never-driver-checked entries (the r3
-#      applied-stats block; 22 oracled + rows-only-by-design rows),
-#      including the four multimodal entries whose kernels became
-#      REAL and ORACLED this round (wav/bmp/avi codecs);
-#   3. agg_approx_sketches for a fresh rows-only row;
-#   4. pipeline_curate_corpus (perf-watch re-verify) and
-#      multimodal_image_meta (decode semantics changed to real);
-#   5. every entry ADDED in r6 that fits (bm25, PQ encode + ADC, BPE
-#      merges, k-anonymity, linear attribution, embedding drift, IVF
-#      sink, preference pairs, wordpiece, concurrency sweep) and the
-#      four entries whose plans changed in the empty-partition-window
-#      cleanup. graph_pagerank / sample_domain_mixture keep their
-#      green r5/r3 rows and yielded slots; r6 entries past slot 50
-#      (time_to_convert, scorecard, reorder_interval, release_gate,
-#      bigram_coherence, correlation_matrix, discount_qty_ols,
-#      knn_outlier, burn_rate_alert, bounce_rate, dedup_rate_by_source)
-#      are locally sim-green at sf0.01 AND sf0.1 and queue first for
-#      the r7 rotation.
+# r07 window (exactly 50): executes the r6 verdict's rotation plan —
+# (1) the 21 entries that have never had a driver CORRECTNESS row
+# (every r6 addition past slot 50), making cumulative driver coverage
+# 254/254; (2) the two entries whose plans changed in r7 (bpe-merge
+# rank rewrite, preference-pair self-join aliasing); (3) 27 stale
+# high-risk re-samples — the recursive-CTE twins, the seeded-plane
+# LSH family, the similarity suite, both pipelines, and the stalest
+# r1/r2-row oracles. Any entry ADDED in r7 must displace a slot from
+# group (3) so never-checked debt stays zero (r6 verdict item 2).
 _DRIVER_WINDOW = [
-    # --- r06 window ---
-    # stale `no_oracle` rows: oracled since, never driver-re-sampled
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "streaming_tumbling_1h",
-    "streaming_stream_static_join",
-    "streaming_stream_stream_join",
-    "streaming_dedup_exactly_once",
-    "streaming_stateful_user_stats",
-    # never-checked: the r3 applied-statistics block
-    "orders_anomalous_days",
-    "orders_runs_test_daily",
-    "orders_yoy_growth_monthly",
-    "orders_fiscal_445_rollup",
-    "orders_seasonal_dow_index",
-    "orders_segment_migration_matrix",
-    "events_hourly_autocorrelation",
-    "events_power_analysis_mde",
-    "events_twap_hourly",
-    "events_anomaly_zscore",
-    "events_funnel_windowed",
-    "events_heatmap_dow_hour",
-    "events_ewma_smoothed",
-    "events_gap_percentiles",
-    "events_watermark_lateness_audit",
-    "events_funnel_conversion_ppm",
-    "events_error_rate_sli",
-    "clean_mad_outliers",
-    "dq_freshness_skew",
-    "customer_order_count_distribution",
-    "sample_weighted",
-    "sample_temperature_mixture",
-    # ALL multimodal kernels are REAL + ORACLED as of r6 (wav/bmp/avi)
-    "multimodal_audio_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # never-checked rows-only-by-design entries (driver records a
-    # rows-only row; COVERAGE.md documents why no oracle can exist)
-    "events_hll_rollup",
-    "pipeline_curate_corpus_lsh",
-    "agg_approx_sketches",
-    # (graph_pagerank and pipeline_curate_corpus keep their green r5/r3
-    # driver rows and yield their perf-watch slots to the new entries —
-    # window is exactly 50)
-    "multimodal_image_meta",
-    # entries ADDED in r6 (never driver-checked by construction)
-    "text_bm25_topk",
-    "embedding_pq_assign",
-    "similarity_topk_pq_adc",
+    # --- r07 window (exactly 50) ---
+    # (1) the 21 entries that have NEVER had a driver CORRECTNESS row
+    # (r6 additions past window slot 50 — r6 verdict item 1); closing
+    # these makes cumulative driver coverage 254/254.
+    "events_bounce_rate_daily",
+    "events_type_lift_matrix",
+    "features_user_behavior_profile",
+    "text_bigram_coherence",
+    "embedding_knn_outlier",
+    "dedup_rate_by_source",
+    "sample_curriculum_order",
+    "text_rake_keyphrases",
+    "pipeline_release_gate",
+    "streaming_error_rate_sli",
+    "events_time_to_convert",
+    "supplier_service_scorecard",
+    "orders_reorder_interval",
+    "events_burn_rate_alert",
+    "parts_abc_classification",
+    "orders_revenue_bridge_monthly",
+    "orders_gap_burstiness",
+    "profile_correlation_matrix",
+    "stats_discount_qty_ols",
+    "orders_seasonal_decomposition",
+    "orders_forecast_seasonal_naive",
+    # (2) plans CHANGED in r7 — must re-prove green after the rewrite:
+    # bpe merge_rank moved off the foldable-lit(1) window onto
+    # ordered_prefix; preference pairs' self-join right side renamed.
     "text_bpe_merges",
-    "privacy_k_anonymity",
-    "events_attribution_linear",
-    "embedding_drift_split",
-    "sink_ivf_partitioned_ann",
     "sample_preference_pairs",
-    "text_wordpiece_encode",
-    # plans changed in the r6 empty-partition-window cleanup
-    "agg_heavy_hitters",
-    "events_user_lifecycle_weekly",
-    "stats_qty_price_independence",
-    # (sample_domain_mixture keeps its green r3 row; its slot goes to
-    # the brand-new sweep entry below)
-    "events_concurrency_peak",
+    # (3) stale high-risk re-samples (r6 verdict item 1's second half):
+    # recursive-CTE twins, the seeded-plane LSH family, the similarity
+    # suite, flagship + curation pipelines, and the stalest oracles
+    # still holding r1/r2 rows.
+    "text_lang_id",  # stalest in the registry (r1)
+    "flagship_pipeline",  # r3
+    "pipeline_curate_corpus",  # r3, perf-watch
+    "dedup_connected_components",  # r2, recursive-CTE oracle
+    "dedup_semantic_clusters",  # r5, recursive-CTE oracle
+    "similarity_topk_lsh",  # r3, seeded-plane
+    "embedding_near_dup_lsh",  # r3, seeded-plane
+    "similarity_topk_bruteforce",  # r3
+    "similarity_topk_ivf",  # r3
+    "dedup_exact",  # r2
+    "dedup_jaccard_pairs",  # r2
+    "dedup_containment_pairs",  # r2
+    "dedup_decontaminate",  # r2
+    "dedup_boilerplate_lines",  # r2
+    "agg_salted_skew",  # r2, skew machinery
+    "sink_bucketed_colocated_join",  # r2, bucketing machinery
+    "join_range_interval",  # r2
+    "streaming_foreachbatch_ingest",  # r2
+    "window_keep_first",  # r2
+    "window_topn_per_group",  # r2
+    "window_lag_lead_running",  # r2
+    "window_analytic_battery",  # r2
+    "events_funnel",  # r2
+    "agg_rollup",  # r2
+    "agg_cube",  # r2
+    "agg_pivot",  # r2
+    "tpch_q3_shipping_priority",  # r2
 ]
 
 
