@@ -190,6 +190,27 @@ def bounded_bucket(col: str, cap: int = 1_000_000) -> Column:
     return F.floor(F.col(col) / F.lit(cap))
 
 
+def scalar_bucket(col: str) -> Column:
+    """Non-foldable pseudo-constant partition key for windows over
+    DOMAIN-BOUNDED frames whose key is a string/band column with no
+    integer index (``bounded_bucket`` needs one). ``crc32`` of any
+    value is < 2^32 by construction, so ``floor(crc32(col) / 2^32)``
+    is 0 for EVERY row at EVERY scale — unlike ``bounded_bucket``
+    there is no cap a growing domain can outgrow — while surviving
+    the optimizer (a column-dependent expression cannot be
+    constant-folded, so the window keeps a partition spec and the
+    "No Partition Defined" warning never fires). Same scale contract
+    as ``bounded_bucket``: the FRAME under the window must be
+    domain-bounded (an already-aggregated band/brand/dimension
+    frame), because all its rows still land on one partition. For a
+    global scalar over such a frame this is CHEAPER than the
+    persist + 1-row-broadcast-cross-join pattern: one small window
+    exchange instead of a cached branch plus a broadcast job (the
+    r6 bench regression on the heavy-hitters/chi-square pair was
+    exactly that overhead)."""
+    return F.floor(F.crc32(F.col(col).cast("string")) / F.lit(2**32))
+
+
 def freeze_partitions(df: DataFrame) -> DataFrame:
     """Pin a frame's partition ASSIGNMENT across multi-consumer plan
     branches — the cheap sibling of ``materialize`` for plans whose

@@ -88,9 +88,14 @@ _DRIVER_WINDOW = [
     "orders_forecast_seasonal_naive",
     # (2) plans CHANGED in r7 — must re-prove green after the rewrite:
     # bpe merge_rank moved off the foldable-lit(1) window onto
-    # ordered_prefix; preference pairs' self-join right side renamed.
+    # ordered_prefix; preference pairs' self-join right side renamed;
+    # the r6-regression trio moved off persist+1-row-cross-join onto
+    # scalar_bucket windows / a source-side frontier scan.
     "text_bpe_merges",
     "sample_preference_pairs",
+    "agg_heavy_hitters",
+    "stats_qty_price_independence",
+    "events_user_lifecycle_weekly",
     # (3) stale high-risk re-samples (r6 verdict item 1's second half):
     # recursive-CTE twins, the seeded-plane LSH family, the similarity
     # suite, flagship + curation pipelines, and the stalest oracles
@@ -117,11 +122,12 @@ _DRIVER_WINDOW = [
     "window_topn_per_group",  # r2
     "window_lag_lead_running",  # r2
     "window_analytic_battery",  # r2
-    "events_funnel",  # r2
     "agg_rollup",  # r2
     "agg_cube",  # r2
-    "agg_pivot",  # r2
-    "tpch_q3_shipping_priority",  # r2
+    # (events_funnel / agg_pivot / tpch_q3_shipping_priority yielded
+    # their re-sample slots to the plan-changed trio in group 2 —
+    # lowest divergence risk of the stale set: static pivot values, a
+    # plain window chain, a textbook join+agg)
 ]
 
 

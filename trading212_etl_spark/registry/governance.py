@@ -1241,17 +1241,14 @@ def q_agg_heavy_hitters(spark, sf_dir):
     unbounded domains the streaming analog is a Misra-Gries /
     space-saving sketch, which trades the exact gate for O(k)
     state."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..partitioning import freeze_partitions
+    from ..partitioning import scalar_bucket
 
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    # freq is PINNED: it feeds both the output rows and the 1-row
-    # grand-total branch, and without the pin the scalar branch would
-    # re-execute the fact join+aggregate (exchange reuse does not
-    # fire across an extra aggregate level — the LSH-guard lesson)
-    freq = freeze_partitions(
+    freq = (
         li.join(
             F.broadcast(p.select("p_partkey", "p_brand")),
             li.l_partkey == p.p_partkey,
@@ -1259,12 +1256,15 @@ def q_agg_heavy_hitters(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # global total via a 1-row broadcast cross join (the winsorize
-    # cut-point pattern), not an empty-partition window: same value on
-    # this bounded 25-row frame, but no SinglePartition WindowExec and
-    # no "No Partition Defined" warning drowning the bench tail
-    tot = freq.crossJoin(
-        F.broadcast(freq.agg(F.sum("cnt").alias("total")))
+    # global total as a window over the ALREADY-AGGREGATED 25-row
+    # brand frame, partitioned on the non-foldable scalar_bucket key:
+    # one row per brand flows through one small exchange — strictly
+    # cheaper than the r6 persist + 1-row-broadcast-cross-join shape
+    # (which cost a cached branch plus an extra broadcast job and
+    # regressed the bench 1.64x), and no "No Partition Defined"
+    # warning because the key survives constant folding
+    tot = freq.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy(scalar_bucket("p_brand")))
     )
     return tot.where(F.col("cnt") * 100 >= F.col("total")).select(
         "p_brand",

@@ -149,15 +149,17 @@ def q_stats_independence(spark, sf_dir):
         .otherwise("premium")
         .alias("price_band"),
     )
-    from ..partitioning import freeze_partitions
+    from ..partitioning import scalar_bucket
 
-    # pinned: the band-cell frame feeds the output and the 1-row
-    # grand-total branch (unpinned, the fact aggregate runs twice)
-    cells = freeze_partitions(
-        banded.groupBy("qty_band", "price_band").agg(
-            F.count(F.lit(1)).alias("o")
-        )
+    cells = banded.groupBy("qty_band", "price_band").agg(
+        F.count(F.lit(1)).alias("o")
     )
+    # row/column/grand totals are ALL windows over the bounded 9-cell
+    # frame; the grand total rides the non-foldable scalar_bucket key
+    # so the frame is scanned once with no persist, no broadcast job,
+    # and no "No Partition Defined" warning (the r6 persist +
+    # 1-row-cross-join shape regressed the bench 1.59x for exactly
+    # that overhead)
     tot = cells.select(
         "qty_band",
         "price_band",
@@ -170,12 +172,10 @@ def q_stats_independence(spark, sf_dir):
         .over(Window.partitionBy("price_band"))
         .cast("decimal(38,0)")
         .alias("c"),
-    ).crossJoin(
-        # grand total via 1-row broadcast cross join, not an
-        # empty-partition window (bounded band-cell frame)
-        F.broadcast(
-            cells.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
-        )
+        F.sum("o")
+        .over(Window.partitionBy(scalar_bucket("qty_band")))
+        .cast("decimal(38,0)")
+        .alias("n"),
     )
     return tot.select(
         "qty_band",
@@ -241,31 +241,37 @@ def q_events_user_lifecycle(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..partitioning import freeze_partitions
-
     ev = _t(spark, sf_dir, "events")
-    # pinned: feeds the per-user lag/lead frame AND the 1-row
-    # calendar-frontier branch (unpinned, the distinct runs twice)
-    weeks = freeze_partitions(
-        ev.select(
-            "user_id",
-            F.expr(
-                "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-25')"
-                " DIV 7 AS BIGINT)"
-            ).alias("week_seq"),
-        ).distinct()
+    week_expr = (
+        "CAST(datediff(CAST(ts AS DATE), DATE '2023-12-25')"
+        " DIV 7 AS BIGINT)"
     )
+    weeks = ev.select(
+        "user_id", F.expr(week_expr).alias("week_seq")
+    ).distinct()
     by_user = Window.partitionBy("user_id").orderBy("week_seq")
+    # Calendar frontier: max(week_seq) over the DISTINCT frame equals
+    # the week of max(ts) over the RAW events (the week transform is
+    # nondecreasing in ts, and max commutes with any nondecreasing
+    # function), so the 1-row branch aggregates a single pruned
+    # column straight off the source instead of sharing the
+    # data-sized distinct frame. That removes the r6
+    # freeze_partitions persist — caching the whole (user, week)
+    # frame to serve a 1-row scalar is exactly backwards at 100 TB
+    # (and regressed the bench 2.13x); a one-column max scan is
+    # map-side combinable and parquet-footer-pushdown-eligible.
+    frontier = ev.agg(F.max("ts").alias("__max_ts")).select(
+        F.expr(
+            "CAST(datediff(CAST(__max_ts AS DATE), DATE '2023-12-25')"
+            " DIV 7 AS BIGINT)"
+        ).alias("last_week")
+    )
     seq = weeks.select(
         "user_id",
         "week_seq",
         F.lag("week_seq").over(by_user).alias("prev_week"),
         F.lead("week_seq").over(by_user).alias("next_week"),
-    ).crossJoin(
-        # calendar frontier via 1-row broadcast cross join, not an
-        # empty-partition window over the (user, week) frame
-        F.broadcast(weeks.agg(F.max("week_seq").alias("last_week")))
-    )
+    ).crossJoin(F.broadcast(frontier))
     return seq.groupBy("week_seq").agg(
         F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
         .cast("bigint")
