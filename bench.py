@@ -163,6 +163,10 @@ HEADLINE = [
     "events_activation_depth",    # first-session depth vs conversion
     "events_cuped_adjustment",    # float-free CUPED moments
     "events_srm_check",           # hash-split ratio health gate
+    "dedup_substring_spans",      # diagonal-island span dedup (r7)
+    "sample_importance_dsir",     # hashed-ngram DSIR selection (r7)
+    "similarity_hard_negatives",  # cross-label contrastive mining (r7)
+    "similarity_matryoshka_recall",  # truncated-dim recall eval (r7)
 ]
 
 

@@ -151,13 +151,14 @@ NESTED_LOOP_BY_DESIGN = {
     "orders_anomalous_days",
     # 1-row broadcast of the daily-revenue median onto the day frame
     "orders_runs_test_daily",
-    # r6: the five ex-empty-partition-window sites — each a 1-row
-    # broadcast scalar (grand total / frontier / binding constraint)
-    # cross-joined onto a bounded aggregate frame
-    "agg_heavy_hitters",
+    # r6: 1-row broadcast scalar (grand total / frontier / binding
+    # constraint) cross-joined onto a bounded aggregate frame.
+    # (agg_heavy_hitters / stats_qty_price_independence moved to
+    # scalar_bucket windows in r7 and left this list;
+    # events_user_lifecycle_weekly kept its 1-row frontier broadcast,
+    # now sourced from a one-column events scan.)
     "dq_freshness_skew",
     "events_user_lifecycle_weekly",
-    "stats_qty_price_independence",
     "sample_domain_mixture",
     "sample_temperature_mixture",
     # r6: three 1-row audit aggregates cross-joined into one gate row
@@ -173,6 +174,11 @@ NESTED_LOOP_BY_DESIGN = {
     # r6: 8-row per-query LUT broadcast onto the code scan (ADC is a
     # deliberate scan of all codes per query — the codes ARE the index)
     "similarity_topk_pq_adc",
+    # r7: broadcast query-set x corpus scan, the documented brute-force
+    # baseline shape (same class as similarity_topk_bruteforce; the
+    # IVF/LSH bucketed path is the production variant)
+    "similarity_hard_negatives",
+    "similarity_matryoshka_recall",
 }
 
 

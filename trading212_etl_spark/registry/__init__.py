@@ -118,12 +118,17 @@ _DRIVER_WINDOW = [
     "sink_bucketed_colocated_join",  # r2, bucketing machinery
     "join_range_interval",  # r2
     "streaming_foreachbatch_ingest",  # r2
-    "window_keep_first",  # r2
-    "window_topn_per_group",  # r2
     "window_lag_lead_running",  # r2
     "window_analytic_battery",  # r2
-    "agg_rollup",  # r2
-    "agg_cube",  # r2
+    # (4) entries ADDED in r7 — never driver-checked by construction,
+    # each takes a group-(3) slot per the growth rule (displacing
+    # window_keep_first / window_topn_per_group / agg_rollup /
+    # agg_cube, all r2-green plain shapes; the window family stays
+    # covered by the two entries above)
+    "dedup_substring_spans",
+    "sample_importance_dsir",
+    "similarity_hard_negatives",
+    "similarity_matryoshka_recall",
     # (events_funnel / agg_pivot / tpch_q3_shipping_priority yielded
     # their re-sample slots to the plan-changed trio in group 2 —
     # lowest divergence risk of the stale set: static pivot values, a

@@ -2053,3 +2053,346 @@ def q_text_rake_keyphrases(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("doc_id", "phrase", "score_milli", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 additions: span-level dedup, DSIR data selection, hard-negative
+# mining, matryoshka truncation eval — each displaces one r7 driver
+# re-sample slot (registry/__init__ growth rule)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toksrc AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(
+               toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 4], ' ') AS s
+      FROM toksrc, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) + 4 AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b,
+           max(span_tokens) AS max_span_tokens,
+           CAST(sum(CASE WHEN span_tokens >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(span_tokens) >= 10
+    """,
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Span-level dedup (Lee et al. 2022 exact-substring semantics,
+    re-expressed relationally): maximal shared token spans >= 10
+    tokens between document pairs, via positional 5-gram windows ->
+    hash equi-join -> diagonal islands (operators/dedup.py:
+    substring_span_pairs has the full 100 TB plan analysis). Catches
+    boilerplate/quoted spans whole-document Jaccard under-weights.
+    LLM-pipeline extension; no reference analog."""
+    from ..operators.dedup import substring_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_span_pairs(docs, n=5, min_span_tokens=10)
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 512 AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, count(*) AS r_cnt FROM bt GROUP BY b),
+    tgt AS (SELECT b, count(*) AS t_cnt FROM bt
+            WHERE source = 'src0' GROUP BY b),
+    wj AS (
+      SELECT raw.b, r_cnt, coalesce(t_cnt, 0) AS t_cnt
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ),
+    w AS (
+      SELECT b,
+             CAST(round((ln((t_cnt + 1) / (sum(t_cnt) OVER () + 512.0))
+                       - ln((r_cnt + 1) / (sum(r_cnt) OVER () + 512.0)))
+                        * 1000) AS BIGINT) AS lw_milli
+      FROM wj
+    ),
+    dc AS (
+      SELECT doc_id, source, b, count(*) AS cnt
+      FROM bt GROUP BY doc_id, source, b
+    ),
+    score AS (
+      SELECT doc_id, source,
+             CAST(sum(cnt * lw_milli) AS BIGINT) AS weight_milli
+      FROM dc JOIN w USING (b) GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, weight_milli FROM score
+    ORDER BY weight_milli DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_importance_dsir(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its hashed-unigram log-likelihood ratio against a
+    target domain (source 'src0' as the in-domain proxy) and keep the
+    top-100. The hashed feature space (512 md5 buckets — the
+    cross-engine hash, registry/governance.py idiom) bounds state at
+    O(B) regardless of vocabulary: bucket stats are two
+    map-combinable aggregates, the per-bucket log-ratio is quantized
+    to milli-nats ONCE per bucket (512 rounds total — the drift-TV
+    integer idiom, so doc scores are integer-exact sums), bucket
+    totals ride a scalar_bucket window over the bounded 512-row
+    frame, and the 512-row weight table broadcasts into the per-doc
+    rollup. Final selection is TakeOrderedAndProject. At 100 TB: two
+    token-explode aggregates + one broadcast join — no all-pairs, no
+    driver state. LLM-pipeline extension; no reference analog."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.textual import tokens
+    from ..partitioning import scalar_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bt = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("bigint")
+            % 512
+        ).alias("b"),
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        bt.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    wj = raw.join(tgt, "b", "left").select(
+        "b", "r_cnt", F.coalesce("t_cnt", F.lit(0)).alias("t_cnt")
+    )
+    sw = Window.partitionBy(scalar_bucket("b"))
+    wts = wj.select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("t_cnt") + 1)
+                    / (F.sum("t_cnt").over(sw) + F.lit(512.0))
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1)
+                    / (F.sum("r_cnt").over(sw) + F.lit(512.0))
+                )
+            )
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lw_milli"),
+    )
+    dc = bt.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    score = (
+        dc.join(F.broadcast(wts), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("lw_milli")).cast("bigint").alias("weight_milli"))
+    )
+    return (
+        score.orderBy(F.col("weight_milli").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "weight_milli")
+    )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS q_emb,
+                      label AS q_label
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS corpus_id,
+                 CAST(embedding AS DOUBLE[]) AS c_emb,
+                 label AS c_label
+          FROM embeddings),
+    s AS (SELECT query_id, corpus_id,
+                 round(list_cosine_similarity(q_emb, c_emb), 4) AS cos_sim
+          FROM q, c WHERE c_label <> q_label)
+    SELECT query_id, corpus_id, cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, corpus_id) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def q_similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor (query) vector, the top-5 most-similar corpus vectors
+    with a DIFFERENT label — the highest-loss negatives a contrastive
+    batch sampler wants. Same plan class as
+    similarity_topk_bruteforce (broadcast queries x one corpus scan,
+    label predicate fused into the scan, rank-limited per-query
+    top-k); production scale swaps the scan for the IVF/LSH-bucketed
+    candidate path exactly as the topk family documents.
+    LLM-pipeline extension; no reference analog."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine
+    from ..partitioning import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 32),
+    fs AS (SELECT query_id, vec_id AS corpus_id,
+                  round(list_cosine_similarity(q_emb, emb), 4) AS cs
+           FROM q JOIN v ON vec_id <> query_id),
+    fr AS (SELECT query_id, corpus_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, corpus_id) AS rn FROM fs)
+           WHERE rn <= 10),
+    ps AS (SELECT query_id, vec_id AS corpus_id,
+                  round(list_cosine_similarity(q_emb[1:16], emb[1:16]), 4) AS cs
+           FROM q JOIN v ON vec_id <> query_id),
+    pr AS (SELECT query_id, corpus_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cs DESC, corpus_id) AS rn FROM ps)
+           WHERE rn <= 10)
+    SELECT f.query_id,
+           CAST(count(p.corpus_id) AS BIGINT) AS n_overlap,
+           CAST(count(p.corpus_id) * 1000000 // 10 AS BIGINT) AS recall_ppm
+    FROM fr f LEFT JOIN pr p
+      ON f.query_id = p.query_id AND f.corpus_id = p.corpus_id
+    GROUP BY f.query_id
+    """,
+)
+def q_similarity_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, MRL):
+    per query, recall@10 of the 16-dim PREFIX ranking against the
+    full 64-dim ranking — the measurement that decides whether a
+    store can serve truncated embeddings (4x cheaper ANN scans and
+    shuffles) without re-embedding. Both rankings share one broadcast
+    query set and one corpus scan each; overlap is a rank-frame join
+    on (query, corpus), all counts integer. The 4dp score rounding +
+    corpus_id tiebreak makes both engines' rankings bit-identical
+    (the similarity-family convention). LLM-pipeline extension; no
+    reference analog."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine
+    from ..partitioning import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("corpus_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("corpus_id").asc()
+    )
+
+    def topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("query_id", "corpus_id")
+        )
+
+    fr = topk(
+        pairs.select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cs"),
+        )
+    )
+    pr = topk(
+        pairs.select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                cosine(
+                    F.slice(F.col("q_emb"), 1, 16),
+                    F.slice(F.col("c_emb"), 1, 16),
+                ),
+                4,
+            ).alias("cs"),
+        )
+    ).withColumn("__hit", F.lit(1))
+    return (
+        fr.join(pr, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_overlap"),
+            F.expr("CAST(count(__hit) * 1000000 DIV 10 AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
