@@ -167,6 +167,8 @@ HEADLINE = [
     "sample_importance_dsir",     # hashed-ngram DSIR selection (r7)
     "similarity_hard_negatives",  # cross-label contrastive mining (r7)
     "similarity_matryoshka_recall",  # truncated-dim recall eval (r7)
+    "orders_cusum_changepoint",   # robust CUSUM level-shift screen (r7)
+    "source_json_malformed",      # PERMISSIVE JSONL quarantine (r7)
 ]
 
 

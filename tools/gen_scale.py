@@ -72,6 +72,20 @@ def _perturb_text(text: str, copy: int) -> str:
         for i, m in enumerate(toks)
         if zlib.crc32(f"{m.group()}\x00{i}".encode()) % 10 < 3
     }
+
+    def _alpha(n: int) -> str:
+        # replacement tokens must be ALPHA-ONLY: the corpus tokenizer
+        # is '[a-z]+|[0-9]+|[^a-z0-9\s]', so a digit-bearing token
+        # like 'w1q123' splits into FOUR tokens and the scaled corpus
+        # carries ~2x the token volume of the source — which made the
+        # first tertiary bench read rake/bigram/minhash as
+        # superlinear when the real scaling was in the inputs
+        out = []
+        while True:
+            out.append(chr(ord("a") + n % 26))
+            n //= 26
+            if not n:
+                return "".join(out)
     if toks and not hits:
         # a short doc whose tokens all hash outside the replace set
         # would otherwise be byte-identical across copies,
@@ -84,7 +98,9 @@ def _perturb_text(text: str, copy: int) -> str:
     for i, m in enumerate(toks):
         out.append(text[last : m.start()])
         h = zlib.crc32(f"{m.group()}\x00{i}".encode())
-        out.append(f"w{copy}q{h % 9973}" if i in hits else m.group())
+        out.append(
+            f"w{_alpha(copy)}q{_alpha(h % 9973)}" if i in hits else m.group()
+        )
         last = m.end()
     out.append(text[last:])
     return "".join(out)

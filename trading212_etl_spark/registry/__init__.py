@@ -109,9 +109,7 @@ _DRIVER_WINDOW = [
     "embedding_near_dup_lsh",  # r3, seeded-plane
     "similarity_topk_bruteforce",  # r3
     "similarity_topk_ivf",  # r3
-    "dedup_exact",  # r2
     "dedup_jaccard_pairs",  # r2
-    "dedup_containment_pairs",  # r2
     "dedup_decontaminate",  # r2
     "dedup_boilerplate_lines",  # r2
     "agg_salted_skew",  # r2, skew machinery
@@ -129,6 +127,11 @@ _DRIVER_WINDOW = [
     "sample_importance_dsir",
     "similarity_hard_negatives",
     "similarity_matryoshka_recall",
+    # (second r7 batch; displaced dedup_exact — trivial digest shape —
+    # and dedup_containment_pairs, whose _common_shingle_counts
+    # skeleton stays covered by dedup_jaccard_pairs above)
+    "orders_cusum_changepoint",
+    "source_json_malformed",
     # (events_funnel / agg_pivot / tpch_q3_shipping_priority yielded
     # their re-sample slots to the plan-changed trio in group 2 —
     # lowest divergence risk of the stale set: static pivot values, a

@@ -2262,3 +2262,144 @@ def q_orders_gap_burstiness(spark, sf_dir):
             " AS BIGINT)"
         ).alias("burstiness_milli"),
     )
+
+
+@register(
+    "orders_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day_idx,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT day, day_idx, rev_cents,
+             rev_cents
+               - CAST(sum(rev_cents) OVER w AS BIGINT)
+                 // count(*) OVER w AS resid
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx
+                   RANGE BETWEEN 14 PRECEDING AND 14 FOLLOWING)
+    ),
+    lim AS (
+      SELECT CAST(floor(0.7413 * quantile_cont(abs(resid), 0.5))
+                  AS BIGINT) AS k,
+             CAST(floor(5 * 1.4826 * quantile_cont(abs(resid), 0.5))
+                  AS BIGINT) AS h
+      FROM ma
+    ),
+    pre AS (
+      SELECT day, day_idx, rev_cents,
+             sum(resid - (SELECT k FROM lim))
+               OVER (ORDER BY day_idx) AS p_up,
+             sum(resid + (SELECT k FROM lim))
+               OVER (ORDER BY day_idx) AS p_dn
+      FROM ma
+    ),
+    cus AS (
+      SELECT day, rev_cents,
+             p_up - min(p_up) OVER (ORDER BY day_idx) AS cusum_pos,
+             max(p_dn) OVER (ORDER BY day_idx) - p_dn AS cusum_neg
+      FROM pre
+    )
+    SELECT day, rev_cents,
+           CAST(cusum_pos AS BIGINT) AS cusum_pos,
+           CAST(cusum_neg AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN cusum_pos > (SELECT h FROM lim)
+                       OR cusum_neg > (SELECT h FROM lim)
+                     THEN 1 ELSE 0 END AS INT) AS is_shift
+    FROM cus
+    """,
+)
+def q_orders_cusum_changepoint(spark, sf_dir):
+    """Page (1954) CUSUM level-shift detection on daily revenue —
+    the screen that catches sustained shifts the per-day MAD fence
+    (orders_anomalous_days) structurally misses: a +5% step never
+    trips a daily outlier fence but integrates linearly in the CUSUM.
+    Two-sided chart over DETRENDED residuals (±14-day centered
+    floor-division trend, the orders_trend_residual_daily idiom) with
+    MAD-derived allowance k and decision limit h.
+
+    The clamped Page recursion S_t = max(0, S_{t-1} + x_t - k) is a
+    nonlinear scan no window aggregate expresses directly — but it
+    factors as S_t = P_t - min_{j<=t} P_j with P the plain prefix sum
+    of (x - k): a running sum plus a running min, BOTH ordinary
+    ordered windows. Every window runs over the bounded day frame
+    keyed by bounded_bucket(day_idx) (calendar-bounded domain — at
+    100 TB the frame is still ~37k rows), and the arithmetic is
+    integer cents end-to-end (floor-division trend, integer k), so
+    the hash gate sees identical bits on both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..partitioning import bounded_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day_idx"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    wb = Window.partitionBy(bounded_bucket("day_idx"))
+    wma = wb.orderBy("day_idx").rangeBetween(-14, 14)
+    ma = (
+        daily.select(
+            "day",
+            "day_idx",
+            "rev_cents",
+            F.sum("rev_cents").over(wma).cast("bigint").alias("__win"),
+            F.count(F.lit(1)).over(wma).alias("__n"),
+        )
+        .withColumn(
+            "resid", F.col("rev_cents") - F.expr("__win DIV __n")
+        )
+        .drop("__win", "__n")
+    )
+    lim = ma.withColumn(
+        "__mad", F.expr("percentile(abs(resid), 0.5)").over(wb)
+    ).select(
+        "day",
+        "day_idx",
+        "rev_cents",
+        "resid",
+        F.floor(0.7413 * F.col("__mad")).cast("bigint").alias("k"),
+        F.floor(5 * 1.4826 * F.col("__mad")).cast("bigint").alias("h"),
+    )
+    word = wb.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = lim.select(
+        "day",
+        "day_idx",
+        "rev_cents",
+        "h",
+        F.sum(F.col("resid") - F.col("k")).over(word).alias("p_up"),
+        F.sum(F.col("resid") + F.col("k")).over(word).alias("p_dn"),
+    )
+    cus = pre.select(
+        "day",
+        "rev_cents",
+        "h",
+        (F.col("p_up") - F.min("p_up").over(word)).alias("cusum_pos"),
+        (F.max("p_dn").over(word) - F.col("p_dn")).alias("cusum_neg"),
+    )
+    return cus.select(
+        "day",
+        "rev_cents",
+        "cusum_pos",
+        "cusum_neg",
+        F.when(
+            (F.col("cusum_pos") > F.col("h"))
+            | (F.col("cusum_neg") > F.col("h")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_shift"),
+    )

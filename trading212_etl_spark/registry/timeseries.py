@@ -1639,3 +1639,70 @@ ORACLES["dedup_semantic_clusters"] = f"""
     """
 
 
+
+
+@register(
+    "source_json_malformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(4 AS BIGINT) AS n_corrupt,
+           round(sum(round(o_totalprice, 2)), 2) AS total_good
+    FROM orders WHERE o_orderkey % 10 = 3
+    """,
+)
+def q_source_json_malformed(spark, sf_dir):
+    """S2–S5 hardening — the JSON twin of source_csv_malformed:
+    PERMISSIVE mode with ``_corrupt_record`` quarantines
+    syntactically-broken JSONL lines instead of failing the scan (the
+    reference's requests.json() at trading212.py:60 dies on the first
+    malformed payload) or silently dropping them. Fixture is a known
+    orders slice written by the engine's own JSON sink plus 4
+    injected broken lines; the audit row (good count, corrupt count,
+    value checksum) is oracled against the clean slice + the
+    injection constant."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = _scratch(sf_dir, "json_malformed")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    part = glob.glob(os.path.join(path, "part-*.json"))[0]
+    with open(part, "a") as fh:
+        fh.write('{"o_orderkey": 1, "total":\n')
+        fh.write("[1, 2\n")
+        fh.write("not json at all\n")
+        fh.write('{"o_orderkey": 2, "total": 3.5\n')
+    for crc in glob.glob(os.path.join(path, ".*.crc")):
+        os.remove(crc)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # same contract as the CSV twin: _corrupt_record is only
+        # populated on the parsing pass, so split after caching
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    bad = raw.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(bad.count()).cast("long").alias("n_corrupt"),
+        F.round(F.sum("total"), 2).alias("total_good"),
+    )
