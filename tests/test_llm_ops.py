@@ -539,3 +539,128 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_dir):
     # compression is corpus-dependent, so pin a conservative floor
     # far above the random baseline (10/500 = 0.02)
     assert hits / total >= 0.2, f"ADC recall vs exact L2 too low: {hits/total}"
+
+
+def test_substring_spans_ground_truth(spark):
+    """Diagonal-island spans on a constructed corpus with KNOWN
+    answers: a 12-token shared prefix, an exact duplicate (span = doc
+    length), and a 6-token overlap that must stay below the
+    threshold."""
+    from trading212_etl_spark.operators.dedup import substring_span_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu"
+    )  # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one two three"),
+            (2, base + " four five six"),
+            (3, "alpha beta gamma delta epsilon zeta quite other words here"),
+            (4, base + " one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.max_span_tokens, r.n_spans)
+        for r in substring_span_pairs(
+            docs, n=5, min_span_tokens=10
+        ).collect()
+    }
+    assert out[(1, 2)] == (12, 1)
+    assert out[(2, 4)] == (12, 1)
+    assert out[(1, 4)] == (15, 1)  # exact duplicate: whole doc
+    assert not any(3 in pair for pair in out)  # 6-token overlap < 10
+
+
+def test_dsir_weights_favor_target_tokens(spark):
+    """A probe doc written in the target domain's vocabulary must
+    outscore an identical-length probe in off-domain vocabulary, with
+    the signs matching the log-ratio construction."""
+    from trading212_etl_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [(i, "aaa bbb ccc ddd", 1) for i in range(20)]
+    rows += [(i, "xxx yyy zzz www", 0) for i in range(20, 40)]
+    rows += [(100, "aaa bbb ccc ddd", 0), (101, "xxx yyy zzz www", 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    w = {
+        r.doc_id: r.weight_milli
+        for r in dsir_importance_weights(
+            docs, F.col("is_t") == 1
+        ).collect()
+    }
+    assert w[100] > 0 > w[101]
+
+
+def test_hard_negatives_cross_label_and_ranked(spark, sf_dir):
+    """Every mined negative carries a label different from its
+    query's, and ranks are a dense 1..5 prefix per query."""
+    from trading212_etl_spark.registry import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = QUERIES["similarity_hard_negatives"](spark, sf_dir)
+    j = (
+        out.join(
+            emb.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "ql"
+            ),
+            "query_id",
+        ).join(
+            emb.withColumnRenamed("vec_id", "corpus_id").withColumnRenamed(
+                "label", "cl"
+            ),
+            "corpus_id",
+        )
+    )
+    rows = j.collect()
+    assert rows and all(r.ql != r.cl for r in rows)
+    per_q: dict[int, set[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.rank)
+    assert all(v == set(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_matryoshka_recall_matches_bruteforce_overlap(spark, sf_dir):
+    """The registry entry's per-query overlap must equal an
+    independently-computed intersection of two cosine_topk_bruteforce
+    rankings (full vs 16-dim prefix)."""
+    from trading212_etl_spark.registry import QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    full = cosine_topk_bruteforce(emb, q, k=10)
+    emb16 = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias(
+            "embedding"
+        ),
+    )
+    pre = cosine_topk_bruteforce(emb16, emb16.filter(F.col("vec_id") < 32), k=10)
+    fs = {(r.query_id, r.corpus_id) for r in full.collect()}
+    ps = {(r.query_id, r.corpus_id) for r in pre.collect()}
+    expected: dict[int, int] = {}
+    for qid, cid in fs:
+        expected[qid] = expected.get(qid, 0) + int((qid, cid) in ps)
+    got = {
+        r.query_id: r.n_overlap
+        for r in QUERIES["similarity_matryoshka_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_cusum_is_nonnegative_clamped(spark, sf_dir):
+    """The prefix-minus-running-min factorization must reproduce the
+    defining property of Page's clamped recursion: both one-sided
+    statistics are >= 0 on every day, and the frame covers every
+    order day exactly once."""
+    from trading212_etl_spark.registry import QUERIES
+
+    out = QUERIES["orders_cusum_changepoint"](spark, sf_dir).collect()
+    assert out
+    assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0 for r in out)
+    days = [r.day for r in out]
+    assert len(days) == len(set(days))

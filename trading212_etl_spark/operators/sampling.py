@@ -231,3 +231,89 @@ def temperature_mixture_weights(
         )
         .select("domain", "n_docs", "w_micro", "share_bp")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document hashed
+    n-gram log-likelihood ratio between a target domain
+    (``target_pred`` rows) and the raw corpus, in integer milli-nats.
+
+    Hashed unigram features (md5 — the cross-engine hash) bound state
+    at O(n_buckets) regardless of vocabulary. The per-bucket
+    log-ratio (add-one smoothing both sides) is quantized to
+    milli-nats ONCE per bucket, so document scores are integer-exact
+    sums; bucket totals ride a scalar_bucket window over the bounded
+    bucket frame and the weight table broadcasts into the per-doc
+    rollup. Plan: two token-explode aggregates + one broadcast join —
+    no all-pairs work, no driver state.
+
+    Returns (id_col, *keep, weight_milli) for EVERY document with at
+    least one token; selection policy (top-k, threshold, Gumbel
+    resample) composes downstream.
+    """
+    from ..partitioning import scalar_bucket
+
+    bt = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        target_pred.alias("__is_target"),
+        F.explode(tokens(text_col)).alias("__w"),
+    ).select(
+        id_col,
+        *keep,
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5("__w"), 1, 6), 16, 10).cast("bigint")
+            % n_buckets
+        ).alias("__b"),
+    )
+    raw = bt.groupBy("__b").agg(F.count(F.lit(1)).alias("__r_cnt"))
+    tgt = (
+        bt.where(F.col("__is_target"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__t_cnt"))
+    )
+    wj = raw.join(tgt, "__b", "left").select(
+        "__b",
+        "__r_cnt",
+        F.coalesce("__t_cnt", F.lit(0)).alias("__t_cnt"),
+    )
+    sw = Window.partitionBy(scalar_bucket("__b"))
+    wts = wj.select(
+        "__b",
+        F.round(
+            (
+                F.log(
+                    (F.col("__t_cnt") + 1)
+                    / (F.sum("__t_cnt").over(sw) + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("__r_cnt") + 1)
+                    / (F.sum("__r_cnt").over(sw) + F.lit(float(n_buckets)))
+                )
+            )
+            * 1000,
+            0,
+        )
+        .cast("bigint")
+        .alias("__lw_milli"),
+    )
+    dc = bt.groupBy(id_col, *keep, "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        dc.join(F.broadcast(wts), "__b")
+        .groupBy(id_col, *keep)
+        .agg(
+            F.sum(F.col("__cnt") * F.col("__lw_milli"))
+            .cast("bigint")
+            .alias("weight_milli")
+        )
+    )

@@ -2163,59 +2163,13 @@ def q_sample_importance_dsir(spark, sf_dir):
     rollup. Final selection is TakeOrderedAndProject. At 100 TB: two
     token-explode aggregates + one broadcast join — no all-pairs, no
     driver state. LLM-pipeline extension; no reference analog."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..operators.textual import tokens
-    from ..partitioning import scalar_bucket
+    from ..operators.sampling import dsir_importance_weights
 
     docs = _t(spark, sf_dir, "documents")
-    bt = docs.select(
-        "doc_id", "source", F.explode(tokens("text")).alias("w")
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("bigint")
-            % 512
-        ).alias("b"),
-    )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("r_cnt"))
-    tgt = (
-        bt.where(F.col("source") == "src0")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
-    wj = raw.join(tgt, "b", "left").select(
-        "b", "r_cnt", F.coalesce("t_cnt", F.lit(0)).alias("t_cnt")
-    )
-    sw = Window.partitionBy(scalar_bucket("b"))
-    wts = wj.select(
-        "b",
-        F.round(
-            (
-                F.log(
-                    (F.col("t_cnt") + 1)
-                    / (F.sum("t_cnt").over(sw) + F.lit(512.0))
-                )
-                - F.log(
-                    (F.col("r_cnt") + 1)
-                    / (F.sum("r_cnt").over(sw) + F.lit(512.0))
-                )
-            )
-            * 1000,
-            0,
-        )
-        .cast("bigint")
-        .alias("lw_milli"),
-    )
-    dc = bt.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    score = (
-        dc.join(F.broadcast(wts), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("cnt") * F.col("lw_milli")).cast("bigint").alias("weight_milli"))
+    score = dsir_importance_weights(
+        docs, F.col("source") == "src0", n_buckets=512, keep=("source",)
     )
     return (
         score.orderBy(F.col("weight_milli").desc(), "doc_id")
