@@ -169,6 +169,7 @@ HEADLINE = [
     "similarity_matryoshka_recall",  # truncated-dim recall eval (r7)
     "orders_cusum_changepoint",   # robust CUSUM level-shift screen (r7)
     "source_json_malformed",      # PERMISSIVE JSONL quarantine (r7)
+    "multimodal_perceptual_dhash",  # image dHash near-dup classes (r7)
 ]
 
 

@@ -664,3 +664,39 @@ def test_cusum_is_nonnegative_clamped(spark, sf_dir):
     assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0 for r in out)
     days = [r.day for r in out]
     assert len(days) == len(set(days))
+
+
+def test_perceptual_dhash_twin_collision_and_tone_invariance(spark):
+    """dHash ground truth on constructed images: (a) a 2x NN-upscaled
+    twin must collide with its base (the planted-pair mechanism of
+    multimodal_perceptual_dhash) even though the payload bytes and
+    header dims differ; (b) a strictly monotone tone shift (v // 2,
+    built to preserve all sampled gradient orderings) keeps the hash;
+    (c) inverting the image flips gradient bits, changing the hash."""
+    import numpy as np
+
+    from trading212_etl_spark.operators.multimodal import (
+        _bmp_encode,
+        perceptual_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    # spread values so that v // 2 never merges adjacent sampled
+    # pixels (values are multiples of 4 -> ordering survives // 2)
+    gray = (rng.integers(0, 64, size=(24, 32)) * 4).astype(np.uint8)
+    twin = np.repeat(np.repeat(gray, 2, 0), 2, 1)
+    rows = [
+        (0, bytearray(_bmp_encode(gray))),
+        (1, bytearray(_bmp_encode(twin))),
+        (2, bytearray(_bmp_encode((gray // 2).astype(np.uint8)))),
+        (3, bytearray(_bmp_encode((255 - gray).astype(np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: (r.dhash_hi, r.dhash_lo)
+        for r in perceptual_dhash(df).collect()
+    }
+    assert out[0] == out[1]  # NN upscale collides
+    assert out[0] == out[2]  # monotone tone shift collides
+    assert out[0] != out[3]  # inversion must not collide
+    assert 0 <= out[0][0] < 2**32 and 0 <= out[0][1] < 2**32  # sign-safe

@@ -577,3 +577,110 @@ def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return binary_df.mapInPandas(sample, schema)
+
+
+def synth_bmp_twin_corpus(
+    binary_docs: DataFrame, twin_mod: int = 9, twin_offset: int = 5_000_000
+) -> DataFrame:
+    """Synthetic BMP corpus with perceptual-duplicate plants: every
+    base document gets the synth_bmp_payload image; documents with
+    ``doc_id % twin_mod == 0`` additionally emit a TWIN row
+    (``doc_id + twin_offset``) holding the same image nearest-neighbor
+    UPSCALED 2x — byte-different payload, different dims, identical
+    content at any NN downsample whose target divides the scale
+    factor evenly into the index math (floor((floor(x*2s/t))/2) ==
+    floor(x*s/t)), so a perceptual hash groups twin with base while
+    exact byte dedup (dedup_exact's sha256 digest) cannot. This is the
+    image analogue of the near-dup text plants in TESTDATA's
+    documents table. Twin pixels come from the SAME md5 keystream as
+    the base (pixel (y, x) of the twin is base pixel (y//2, x//2)),
+    so the DuckDB oracle regenerates both sides exactly."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    encode, _ = _bmp_codec()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def base_gray(d: int):
+            w, h = 16 + d % 16, 12 + (d * 7) % 12
+            n = w * h
+            raw = b"".join(
+                hashlib.md5(f"{d}:{g}".encode()).digest()
+                for g in range((n + 15) // 16)
+            )[:n]
+            return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gray = base_gray(d)
+                ids.append(d)
+                payloads.append(encode(gray))
+                if d % twin_mod == 0:
+                    ids.append(d + twin_offset)
+                    payloads.append(encode(np.repeat(np.repeat(gray, 2, 0), 2, 1)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (
+        binary_docs.select("doc_id")
+        .repartition(_synth_parts(binary_docs))
+        .mapInPandas(synth, out_schema)
+    )
+
+
+def perceptual_dhash(binary_df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over BMP payloads: decode,
+    NN-resample to 9 wide x 8 tall (same integer index map as
+    resize_images), then bit (r, c) = 1 iff px[r, c+1] > px[r, c] —
+    64 gradient bits packed as two sign-safe 32-bit halves
+    (``dhash_hi`` rows 0-3, ``dhash_lo`` rows 4-7, bit weight
+    2^(r*8+c) within each half). Gradient bits are invariant to
+    monotonic tone shifts and to integer NN re-scaling, which is what
+    makes this the image near-dup primitive: byte-different re-encodes
+    of the same content collide. Arrow-vectorized mapInPandas, one
+    row out per row in; at 100 TB the downstream groupBy shuffles two
+    ints + doc_id per image, never pixels."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+    _, decode = _bmp_codec()
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        xs = np.arange(9)[None, :]
+        ys = np.arange(8)[:, None]
+        w_hi = (1 << (np.arange(32))).astype(np.int64)
+
+        def one(payload: bytes):
+            gray = decode(bytes(payload))
+            sh, sw = gray.shape
+            g = gray[(ys * sh) // 8, (xs * sw) // 9].astype(np.int16)
+            bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8x8
+            hi = int((bits[:4].reshape(-1) * w_hi).sum())
+            lo = int((bits[4:].reshape(-1) * w_hi).sum())
+            return hi, lo
+
+        for pdf in batches:
+            hashes = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dhash_hi": [h[0] for h in hashes],
+                    "dhash_lo": [h[1] for h in hashes],
+                }
+            )
+
+    return binary_df.mapInPandas(hash_batch, out_schema)

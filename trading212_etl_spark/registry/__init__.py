@@ -117,7 +117,6 @@ _DRIVER_WINDOW = [
     "join_range_interval",  # r2
     "streaming_foreachbatch_ingest",  # r2
     "window_lag_lead_running",  # r2
-    "window_analytic_battery",  # r2
     # (4) entries ADDED in r7 — never driver-checked by construction,
     # each takes a group-(3) slot per the growth rule (displacing
     # window_keep_first / window_topn_per_group / agg_rollup /
@@ -132,6 +131,9 @@ _DRIVER_WINDOW = [
     # skeleton stays covered by dedup_jaccard_pairs above)
     "orders_cusum_changepoint",
     "source_json_malformed",
+    # (third r7 batch; displaced window_analytic_battery — its lag/
+    # lead/rank shapes stay covered by window_lag_lead_running above)
+    "multimodal_perceptual_dhash",
     # (events_funnel / agg_pivot / tpch_q3_shipping_priority yielded
     # their re-sample slots to the plan-changed trio in group 2 —
     # lowest divergence risk of the stale set: static pivot values, a

@@ -2350,3 +2350,98 @@ def q_similarity_matryoshka_recall(spark, sf_dir):
             ),
         )
     )
+
+
+_DNIB = "strpos('0123456789abcdef', substr(h, (i % 16) * 2 + {o}, 1)) - 1"
+
+
+@register(
+    "multimodal_perceptual_dhash",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id AS out_id, doc_id AS src, 1 AS sc FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, doc_id, 2 FROM documents WHERE doc_id % 9 = 0
+    ),
+    dims AS (
+      SELECT out_id, src, sc,
+             16 + src % 16 AS sw, 12 + (src * 7) % 12 AS sh
+      FROM corpus
+    ),
+    grid AS (
+      SELECT out_id, src, sw,
+             ty.y AS y, tx.x AS x,
+             (((ty.y * (sc * sh)) // 8) // sc) * sw
+               + (((tx.x * (sc * sw)) // 9) // sc) AS i
+      FROM dims CROSS JOIN range(0, 9) tx(x) CROSS JOIN range(0, 8) ty(y)
+    ),
+    hx AS (
+      SELECT out_id, y, x, i,
+             md5(concat(CAST(src AS VARCHAR), ':',
+                        CAST(i // 16 AS VARCHAR))) AS h
+      FROM grid
+    ),
+    v AS (
+      SELECT out_id, y, x,
+             ({_DNIB.format(o=1)}) * 16 + ({_DNIB.format(o=2)}) AS val
+      FROM hx
+    ),
+    bits AS (
+      SELECT out_id, y, x,
+             CASE WHEN lead(val) OVER (PARTITION BY out_id, y ORDER BY x)
+                       > val THEN 1 ELSE 0 END AS bit
+      FROM v
+    ),
+    hashes AS (
+      SELECT out_id,
+             CAST(sum(CASE WHEN y < 4 AND x < 8 AND bit = 1
+                  THEN CAST(1 AS BIGINT) << (y * 8 + x) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN y >= 4 AND x < 8 AND bit = 1
+                  THEN CAST(1 AS BIGINT) << ((y - 4) * 8 + x) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY out_id
+    )
+    SELECT out_id AS doc_id, dhash_hi, dhash_lo,
+           CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo)
+                AS INTEGER) AS class_size,
+           CAST(min(out_id) OVER (PARTITION BY dhash_hi, dhash_lo)
+                AS BIGINT) AS canonical_id,
+           CAST(CASE WHEN count(*) OVER (PARTITION BY dhash_hi, dhash_lo)
+                > 1 THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM hashes
+    """,
+)
+def q_multimodal_perceptual_dhash(spark, sf_dir):
+    """Perceptual image dedup (r7) — the image analogue of
+    dedup_exact/dedup_minhash_lsh, closing the modality gap in the
+    dedup battery (the reference's A1 distinct, trading212.py:104, is
+    byte-exact only). Corpus = every document's synthetic BMP plus,
+    for doc_id % 9 == 0, a 2x NN-upscaled TWIN (byte-different
+    payload, different header dims — sha256 exact dedup cannot pair
+    it). The dHash gradient bits are computed from the REAL decoded
+    pixels (operators/multimodal.py:perceptual_dhash); NN index
+    composition (floor(floor(y*2h/8)/2) == floor(y*h/8)) makes each
+    twin collide with its base, so class_size == 2 rows are exactly
+    the planted pairs. The oracle regenerates both sides' sampled
+    pixels from the md5 keystream and replays the bit packing, so the
+    decode + resample + hash chain is cross-engine verified bit-for-
+    bit. At 100 TB the groupBy shuffles (doc_id, 2 ints) per image —
+    never pixels; hamming-ball near-collisions would ride the simhash
+    band machinery (operators/dedup.py) unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import perceptual_dhash, synth_bmp_twin_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = perceptual_dhash(synth_bmp_twin_corpus(docs))
+    cls = Window.partitionBy("dhash_hi", "dhash_lo")
+    return hashes.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.count(F.lit(1)).over(cls).cast("int").alias("class_size"),
+        F.min("doc_id").over(cls).alias("canonical_id"),
+        (F.count(F.lit(1)).over(cls) > 1).cast("int").alias("is_dup"),
+    )
