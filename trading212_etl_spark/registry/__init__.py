@@ -96,6 +96,16 @@ _DRIVER_WINDOW = [
     "agg_heavy_hitters",
     "stats_qty_price_independence",
     "events_user_lifecycle_weekly",
+    # (r7 sf0.5-sweep catches: CUPED's var_reduction_ppm refactored
+    # to the divide-first factorization after the joint form burst
+    # Decimal(38,0) at 5x data; benford's 9-row grand total moved
+    # onto a scalar_bucket window to kill the last WindowExec warning.
+    # Each displaced a group-3 slot: similarity_topk_bruteforce — a
+    # plain broadcast+rank baseline whose semantics the PQ/LSH/IVF
+    # entries re-derive — and dedup_boilerplate_lines, whose
+    # broadcast-probe skeleton dedup_decontaminate keeps covered.)
+    "events_cuped_adjustment",
+    "orders_benford_first_digit",
     # (3) stale high-risk re-samples (r6 verdict item 1's second half):
     # recursive-CTE twins, the seeded-plane LSH family, the similarity
     # suite, flagship + curation pipelines, and the stalest oracles
@@ -107,11 +117,9 @@ _DRIVER_WINDOW = [
     "dedup_semantic_clusters",  # r5, recursive-CTE oracle
     "similarity_topk_lsh",  # r3, seeded-plane
     "embedding_near_dup_lsh",  # r3, seeded-plane
-    "similarity_topk_bruteforce",  # r3
     "similarity_topk_ivf",  # r3
     "dedup_jaccard_pairs",  # r2
     "dedup_decontaminate",  # r2
-    "dedup_boilerplate_lines",  # r2
     "agg_salted_skew",  # r2, skew machinery
     "sink_bucketed_colocated_join",  # r2, bucketing machinery
     "join_range_interval",  # r2

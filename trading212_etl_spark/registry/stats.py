@@ -1259,8 +1259,9 @@ def q_events_activation_depth(spark, sf_dir):
     SELECT CAST(n AS BIGINT) AS n_users,
            CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
                 AS BIGINT) AS theta_milli,
-           CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
-                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           CAST((((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+                 * 1000 * (n * sxy - sx * sy))
+                // (n * syy - sy * sy)
                 AS BIGINT) AS var_reduction_ppm
     FROM m
     WHERE n * sxx > sx * sx AND n * syy > sy * sy
@@ -1321,9 +1322,20 @@ def q_events_cuped(spark, sf_dir):
             "CAST((n * sxy - sx * sy) * 1000"
             " DIV (n * sxx - sx * sx) AS BIGINT)"
         ).alias("theta_milli"),
+        # Divide-FIRST corr^2: ppm = (theta_milli * 1000 * C) DIV Vy
+        # rather than (C^2 * 10^6) DIV (Vx * Vy). The joint form
+        # squares the centered cross-moment C, which scales with
+        # (rows x value)^2 and burst Decimal(38,0) at the 5x sweep
+        # corpus (C^2 * 10^6 ~ 3e40 — the r7 full-registry sf0.5
+        # sweep's catch); the factored form caps intermediates at
+        # ~10^6 * Vy (n^2-scaled, good past 10^15 users) and both
+        # engines replay the identical truncation order, so the
+        # oracle stays bit-exact.
         F.expr(
-            "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
-            " DIV ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            "CAST((((n * sxy - sx * sy) * 1000"
+            " DIV (n * sxx - sx * sx))"
+            " * 1000 * (n * sxy - sx * sy))"
+            " DIV (n * syy - sy * sy)"
             " AS BIGINT)"
         ).alias("var_reduction_ppm"),
     )
@@ -1570,13 +1582,23 @@ def q_orders_benford(spark, sf_dir):
             " AS STRING), 1, 1)"
         ).alias("d")
     )
+    from pyspark.sql import Window
+
+    from ..partitioning import scalar_bucket
+
     counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
-    return counts.select(
+    # grand total over the <=9-row digit frame rides the non-foldable
+    # scalar_bucket key — same result as sum(n) OVER (), but the
+    # window keeps a partition spec so the single-partition WindowExec
+    # warning never fires (this was the last entry emitting it — the
+    # r7 full-registry sweep's catch; bench's headline never ran it)
+    total = F.sum("n").over(Window.partitionBy(scalar_bucket("d")))
+    return counts.withColumn("__total", total).select(
         F.col("d").alias("first_digit"),
         "n",
-        F.expr(
-            "CAST(n * 1000000 DIV (sum(n) OVER ()) AS BIGINT)"
-        ).alias("share_ppm"),
+        F.expr("CAST(n * 1000000 DIV __total AS BIGINT)").alias(
+            "share_ppm"
+        ),
     )
 
 
