@@ -220,15 +220,22 @@ def temperature_mixture_weights(
             "alpha_pct=50 (sqrt) is the only cross-engine-exact "
             "temperature; general n^alpha needs libm exp/ln"
         )
+    from pyspark.sql import Window
+
+    from ..partitioning import scalar_bucket
+
     counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     w_micro = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("long")
+    # micro-weight total over the |domains|-row frame rides the
+    # non-foldable scalar_bucket key: same value as sum() OVER (),
+    # without the single-partition WindowExec warning (r7 sweep catch)
+    total = F.sum("w_micro").over(Window.partitionBy(scalar_bucket("domain")))
     return (
         counts.withColumn("w_micro", w_micro)
-        .withColumn(
-            "share_bp", F.expr("w_micro * 10000 DIV sum(w_micro) OVER ()")
-        )
+        .withColumn("__total", total)
+        .withColumn("share_bp", F.expr("w_micro * 10000 DIV __total"))
         .select("domain", "n_docs", "w_micro", "share_bp")
     )
 

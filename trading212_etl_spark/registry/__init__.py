@@ -106,6 +106,15 @@ _DRIVER_WINDOW = [
     # broadcast-probe skeleton dedup_decontaminate keeps covered.)
     "events_cuped_adjustment",
     "orders_benford_first_digit",
+    # (same sweep's warning-hygiene pass: the global-total windows in
+    # the temperature-mixture operator and the seasonal dow index
+    # moved onto scalar_bucket keys — values bit-identical, plans
+    # changed, so both re-prove. Displaced join_range_interval (r2
+    # textbook equi-anchored shape, untouched since) and
+    # agg_salted_skew (salting equivalence is independently fuzzed by
+    # tests/test_properties.py).)
+    "sample_temperature_mixture",
+    "orders_seasonal_dow_index",
     # (3) stale high-risk re-samples (r6 verdict item 1's second half):
     # recursive-CTE twins, the seeded-plane LSH family, the similarity
     # suite, flagship + curation pipelines, and the stalest oracles
@@ -120,9 +129,7 @@ _DRIVER_WINDOW = [
     "similarity_topk_ivf",  # r3
     "dedup_jaccard_pairs",  # r2
     "dedup_decontaminate",  # r2
-    "agg_salted_skew",  # r2, skew machinery
     "sink_bucketed_colocated_join",  # r2, bucketing machinery
-    "join_range_interval",  # r2
     "streaming_foreachbatch_ingest",  # r2
     "window_lag_lead_running",  # r2
     # (4) entries ADDED in r7 — never driver-checked by construction,

@@ -1681,17 +1681,27 @@ def q_orders_seasonal_dow(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents"),
     )
-    return daily.select(
+    # week totals over the 7-row dow frame ride the non-foldable
+    # scalar_bucket key: same values as sum() OVER (), without the
+    # single-partition WindowExec warning (r7 sweep catch)
+    from pyspark.sql import Window
+
+    from ..partitioning import scalar_bucket
+
+    wk = Window.partitionBy(scalar_bucket("dow"))
+    return daily.withColumn(
+        "__rev_total", F.sum("rev_cents").over(wk)
+    ).withColumn("__n_total", F.sum("n").over(wk)).select(
         "dow",
         "n",
         "rev_cents",
         F.expr(
             "CAST((rev_cents * 7 * CAST(1000000 AS DECIMAL(38,0)))"
-            " DIV (sum(rev_cents) OVER ()) AS BIGINT)"
+            " DIV __rev_total AS BIGINT)"
         ).alias("rev_index_ppm"),
         F.expr(
             "CAST((n * 7 * CAST(1000000 AS DECIMAL(38,0)))"
-            " DIV (sum(n) OVER ()) AS BIGINT)"
+            " DIV __n_total AS BIGINT)"
         ).alias("volume_index_ppm"),
     )
 
