@@ -292,6 +292,16 @@ def test_concurrency_sweep_integrity(spark, sf_dir):
     from trading212_etl_spark.registry import QUERIES
     from trading212_etl_spark.sources import load_table
 
+    # The registry build sweeps ALL live pins (release_pins), so it
+    # must run BEFORE this test builds its own ordered_prefix frame:
+    # interleaving it between run's actions unpersists run's freeze
+    # pin, the re-planned branches resample the range exchange
+    # independently, and the day peaks corrupt (the exact hazard
+    # release_pins documents).
+    peaks = {
+        r["day"]: r["peak_concurrency"]
+        for r in QUERIES["events_concurrency_peak"](spark, sf_dir).collect()
+    }
     sess = sessionize(load_table(spark, sf_dir, "events"), 30).select(
         "user_id", "session_seq", "session_start", "session_end"
     )
@@ -317,10 +327,6 @@ def test_concurrency_sweep_integrity(spark, sf_dir):
     ).first()
     assert stats["total"] == 0, "unbalanced sweep"
     assert stats["mn"] >= 0, "concurrency went negative"
-    peaks = {
-        r["day"]: r["peak_concurrency"]
-        for r in QUERIES["events_concurrency_peak"](spark, sf_dir).collect()
-    }
     by_day = {
         r["day"]: r["mx"]
         for r in run.groupBy(F.col("ts").cast("date").alias("day"))

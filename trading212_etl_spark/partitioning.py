@@ -114,13 +114,24 @@ def _track_pin(df: DataFrame) -> DataFrame:
 
 def release_pins(blocking: bool = False) -> int:
     """Unpersist every frame pinned since the last release; returns
-    the count. Call BETWEEN actions (the registry wrapper does this on
-    each query build; bench/tests may call it directly). Releasing a
-    pin whose DataFrame is actioned again later is safe for
-    correctness — the persist node stays in the plan and simply
-    re-materializes, and a recompute of cached partition *i* re-reads
-    the same immutable shuffle rows, so ``spark_partition_id`` cannot
-    drift (see freeze_partitions) — it only forfeits the cache hit."""
+    the count. Call ONLY at points where every pinned frame is DEAD —
+    i.e. no DataFrame built on it will be actioned again (the registry
+    wrapper does this on each query build, because registry consumers
+    run build->action->build->action serially).
+
+    Releasing a LIVE freeze_partitions pin is NOT merely a lost cache
+    hit — it can CORRUPT results. After unpersist there is no
+    InMemoryRelation; a later action replans the lineage, and its
+    broadcast subtree (the ordered_prefix offsets) and main subtree
+    each materialize their OWN instance of the range exchange with
+    independently sampled boundaries, so ``spark_partition_id``
+    diverges between the branches and the offset join mis-assigns
+    (observed 2026-08: tests/test_events.py day-peak corruption when a
+    registry build swept a live test-local pin). While the pin lives,
+    block EVICTION is still safe — a recompute of cached partition *i*
+    re-reads the same immutable shuffle outputs. Library callers
+    composing operators around their own actions must scope with
+    ``pinned_scope()`` instead of calling this."""
     n = 0
     while _LIVE_PINS:
         _LIVE_PINS.pop().unpersist(blocking=blocking)

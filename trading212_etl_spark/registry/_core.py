@@ -50,11 +50,14 @@ def register(name: str, oracle: str | None = None):
             # serially (driver, bench, tests), so pins from the prior
             # query are dead weight by the time the next one is built —
             # without this, a long-lived session accumulates
-            # CacheManager entries forever (VERDICT r5 item 5). Safe
-            # even if a caller re-actions an old DataFrame: the persist
-            # node re-materializes, it doesn't change results (see
-            # release_pins). Library callers composing operators
-            # directly use pinned_scope() instead.
+            # CacheManager entries forever (VERDICT r5 item 5). This
+            # sweep is safe ONLY under that serial discipline: a swept
+            # freeze pin whose frame is actioned again later can
+            # mis-join ordered_prefix offsets (branches resample the
+            # range exchange independently — see release_pins). A
+            # caller that interleaves its own pinned frames with
+            # registry builds must finish its actions first or wrap
+            # them in pinned_scope().
             from ..partitioning import release_pins
 
             release_pins()

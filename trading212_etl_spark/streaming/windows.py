@@ -257,13 +257,37 @@ def stream_stream_attribution_join(
     dropped. Without the time bound the state grows with the stream —
     the stream-stream equivalent of the reference's unbounded
     accumulator table (gf, trading212.py:7).
+
+    The equi-key is (user_id, horizon bucket), NOT user_id alone.
+    Spark partitions symmetric-hash-join state on the equi-key only;
+    the time bounds are eviction hints and post-filters, so a hot user
+    makes every arriving row scan that user's ENTIRE buffered state —
+    O(clicks x purchases) on one task (measured: the 30%-hot-key skew
+    corpus ground a single straggler task for 25+ minutes while the
+    uniform twin finished in seconds). Since a match must satisfy
+    purchase_ts in [click_ts, click_ts + horizon], the purchase's
+    bucket is either the click's bucket or the one after — so each
+    click is buffered under BOTH buckets (a stateless explode) and a
+    purchase probes exactly one (user, bucket) cell. Each real pair
+    matches exactly once (the purchase's own bucket equals exactly one
+    of the click's two copies), state per key cell is bounded by one
+    key's events per horizon, and the hot user's scan cost drops from
+    O(history^2) to O(events-per-2h x arrivals).
     """
+    # horizon length in seconds, TZ-invariant (the two literals parse
+    # in the session zone and the offset cancels in the difference)
+    bucket = F.expr(
+        f"unix_timestamp(ts) div timestampdiff(SECOND,"
+        f" TIMESTAMP'1970-01-01 00:00:00',"
+        f" TIMESTAMP'1970-01-01 00:00:00' + INTERVAL {horizon})"
+    )
     c = (
         clicks.withWatermark("ts", "2 hours")
         .select(
             F.col("user_id"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
+            F.explode(F.array(bucket, bucket + F.lit(1))).alias("hbucket"),
         )
     )
     p = (
@@ -273,32 +297,73 @@ def stream_stream_attribution_join(
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
+            bucket.alias("p_hbucket"),
         )
     )
     return c.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("hbucket") == F.col("p_hbucket"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value")
 
 
-def run_stream_stream_join(spark: SparkSession, events_dir: str) -> DataFrame:
+def run_stream_stream_join(
+    spark: SparkSession, events_dir: str, out_dir: str | None = None
+) -> DataFrame:
     """Drive the attribution join over the corpus events (clicks ⋈
     purchases within 1 hour per user) and return per-user attributed
-    purchase counts. Batch equivalence asserted in tests/test_events.py."""
+    purchase counts. Batch equivalence asserted in tests/test_events.py.
+
+    The raw pair stream is never materialized on the driver: each
+    micro-batch reduces to per-user PARTIAL aggregates (count +
+    unrounded value sum) written as idempotent per-batch-id parquet —
+    the foreachBatch ingest pattern — and the return value merges the
+    partials. The earlier memory-sink-on-pairs drive held the full
+    attribution fan-out in driver memory, which is quadratic in a hot
+    user's hourly rate BY SEMANTICS (every click pairs with every
+    purchase in its following hour): the 30%-hot-key skew corpus blew
+    spark.driver.maxResultSize with >1 GiB of serialized pairs.
+    Append-mode join output emits each match exactly once, so the
+    per-batch partials are disjoint and their merge is exact.
+    """
+    import os
+    import shutil
+
+    if out_dir is None:
+        base = os.path.basename(events_dir.rstrip("/"))
+        out_dir = f"/root/repo/.scratch/stream_stream_pairs_{base}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     ev = _events_stream(spark, events_dir)
     joined = stream_stream_attribution_join(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_part"),
+                F.sum("purchase_value").alias("v_part"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    q = joined.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return (
-        _run_to_memory(spark, joined, "stream_stream_join_out", "append")
+        spark.read.parquet(out_dir)
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_attributed"),
-            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+            F.sum("n_part").cast("bigint").alias("n_attributed"),
+            F.round(F.sum("v_part"), 2).alias("attributed_value"),
         )
     )
 
