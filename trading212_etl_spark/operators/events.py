@@ -117,11 +117,22 @@ def funnel(
 
     Plan shape: ONE shuffle regardless of step count — per user,
     collect the sorted timestamp list of each step type in a single
-    aggregate, then resolve the step ordering in a projection with
-    array higher-order functions (element_at of the filtered list).
-    The alternative self-join-per-step formulation shuffles the full
-    event table k-1 times; the gap constraint is a pure extra lambda
-    conjunct, costing nothing at any scale.
+    aggregate, then resolve the step ordering in array higher-order
+    functions (element_at of the filtered list). The alternative
+    self-join-per-step formulation shuffles the full event table k-1
+    times; the gap constraint is a pure extra lambda conjunct.
+
+    Each step's qualifying time ``__t{i}`` lands in its OWN chained
+    projection instead of one nested expression. Lambda bodies
+    re-evaluate captured subtrees PER ARRAY ELEMENT, so inlining step
+    k-1's filter into step k's lambda is O(list^k) per row — invisible
+    on uniform data, but the 30%-hot-key skew corpus put ~190k
+    timestamps in one user's lists and a single funnel row ground a
+    straggler task for 12+ minutes. With the projection boundaries
+    each __t{i} is computed once per row and the whole resolve is
+    O(total list length). (CollapseProject keeps the boundaries:
+    every __t{i} is referenced more than once downstream — the next
+    step's lambda and the reached sum — and is non-cheap.)
     """
     agged = events.groupBy("user_id").agg(
         *[
@@ -134,23 +145,40 @@ def funnel(
     # try_element_at: ANSI element_at throws on an EMPTY (not null)
     # array, and a user whose step-k events all fail the filter
     # produces exactly that
-    prev = F.try_element_at(F.col("__l0"), F.lit(1))
-    reached = F.when(prev.isNotNull(), 1).otherwise(0)
+    out = agged.withColumn("__t0", F.try_element_at(F.col("__l0"), F.lit(1)))
     for i in range(1, len(steps)):
         # earliest occurrence of step i at/after the prior step's time;
         # a null prev nulls the comparison, so the filter empties and
         # the funnel stays stopped — no special-casing needed
-        prev_cap = prev
+        prev_cap = F.col(f"__t{i - 1}")
         if max_gap_minutes is None:
             cond = lambda t: t >= prev_cap  # noqa: E731
         else:
             gap = F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
             cond = lambda t: (t >= prev_cap) & (t <= prev_cap + gap)  # noqa: E731
-        nxt = F.try_element_at(F.filter(F.col(f"__l{i}"), cond), F.lit(1))
-        reached = reached + F.when(nxt.isNotNull(), 1).otherwise(0)
-        prev = nxt
-    return agged.select("user_id", reached.alias("steps_reached")).filter(
-        F.col("steps_reached") > 0
+        out = out.withColumn(
+            f"__t{i}",
+            F.try_element_at(F.filter(F.col(f"__l{i}"), cond), F.lit(1)),
+        )
+    reached = sum(
+        (
+            F.when(F.col(f"__t{i}").isNotNull(), 1).otherwise(0)
+            for i in range(1, len(steps))
+        ),
+        start=F.when(F.col("__t0").isNotNull(), 1).otherwise(0),
+    )
+    # Funnel steps are sequential, so steps_reached > 0 iff step 0
+    # fired — filter on __t0 IS NOT NULL, NOT on steps_reached.
+    # Predicate pushdown substitutes alias definitions into the
+    # predicate as it crosses the __t{i} projections; a steps_reached
+    # predicate re-nests every step's filter into one expression and
+    # the Filter node re-pays the O(list^k) evaluation the chained
+    # projections exist to avoid (the jstack of the hot-key straggler
+    # showed exactly that: ArrayFilter inside ArrayFilter inside the
+    # pushed predicate). __t0's definition is element_at(__l0, 1) —
+    # O(1) however far down it lands.
+    return out.filter(F.col("__t0").isNotNull()).select(
+        "user_id", reached.alias("steps_reached")
     )
 
 
