@@ -39,14 +39,17 @@ def asof_join(
     Unmatched left rows keep nulls.
 
     Plan shape: tag-union both sides onto one (key, ts) spine, then
-    one conditional-carry window per key — backward carries the last
-    non-null right payload over an unbounded-PRECEDING row frame
-    (``last(ignorenulls)``), forward the first non-null over
-    unbounded-FOLLOWING (``first(ignorenulls)``); the side-tag sorts
-    right rows into (backward) or left rows ahead of (forward) the
-    frame so equal timestamps match inclusively. One exchange on the
-    key; window state is one row; at 100 TB this is shuffle + sort,
-    never a range-join blowup.
+    one conditional-carry window per key; the side-tag sorts right
+    rows into the frame so equal timestamps match inclusively. BOTH
+    directions run ``last(ignorenulls)`` over an unbounded-PRECEDING
+    running frame — forward simply REVERSES every sort key. The naive
+    forward form (``first(ignorenulls)`` over unbounded-FOLLOWING) is
+    semantically identical but Spark's UnboundedFollowing frame
+    re-aggregates the remaining partition per row — O(rows²) on a hot
+    key (the 30%-hot-key skew corpus pinned one straggler task at
+    13+ CPU-minutes), while the running frame updates incrementally,
+    O(rows). One exchange on the key; window state is one row; at
+    100 TB this is shuffle + sort, never a range-join blowup.
 
     ``right_order`` breaks ties among right rows sharing (key, ts) —
     backward keeps the max (sorted last ⇒ picked by ``last``),
@@ -79,15 +82,23 @@ def asof_join(
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = Window.partitionBy("__k").orderBy(
-        F.col("__ts").asc(), F.col("__tag").asc(), *order_tail
-    )
     if backward:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carry = F.last("__rv", ignorenulls=True)
+        w = Window.partitionBy("__k").orderBy(
+            F.col("__ts").asc(), F.col("__tag").asc(), *order_tail
+        )
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carry = F.first("__rv", ignorenulls=True)
+        # forward = backward over the REVERSED order: ts desc puts
+        # future rows in the preceding frame; tag desc puts equal-ts
+        # right rows (tag 1) ahead of left (tag 0), keeping >= ties
+        # inclusive; __rord desc makes last() pick the MIN tiebreak,
+        # matching what first() picked in the ascending form.
+        w = Window.partitionBy("__k").orderBy(
+            F.col("__ts").desc(),
+            F.col("__tag").desc(),
+            *([F.col("__rord").desc()] if right_order else []),
+        )
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carry = F.last("__rv", ignorenulls=True)
     carried = r.unionByName(l).withColumn("__match", carry.over(w))
     return carried.filter(F.col("__tag") == l_tag).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
@@ -152,15 +163,23 @@ def asof_join_nearest(
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward carry as a RUNNING frame over the reversed order (the
+    # asof_join rationale: first()-over-unbounded-FOLLOWING
+    # re-aggregates the tail per row, O(rows²) on a hot key): ts desc
+    # brings future rows into the preceding frame; tag desc keeps
+    # equal-ts right rows (tag 0) OUT of a left row's frame (left
+    # tag 1 sorts first), preserving the strict > the ascending form
+    # had; __rord asc makes last() pick the max tiebreak, matching
+    # first() over __rord desc.
     wf = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__tag").desc(), F.col("__rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         r.unionByName(l)
         .withColumn("__back", F.last("__rv", ignorenulls=True).over(wb))
-        .withColumn("__fwd", F.first("__rv", ignorenulls=True).over(wf))
+        .withColumn("__fwd", F.last("__rv", ignorenulls=True).over(wf))
     )
 
     # Exact integer time axis for the distance compare: µs for
