@@ -1676,12 +1676,19 @@ def q_events_attribution_linear(spark, sf_dir):
     equally across the DISTINCT channels the user touched before it
     (integer ppm, floor division — the sub-ppm remainder is
     documented truncation, not float drift); purchases with no prior
-    touches credit 'direct' in full. ONE keyed window (collect_list
+    touches credit 'direct' in full. ONE keyed window (collect_set
     over the per-user prefix) replaces the self-join a naive
-    formulation needs — shuffle on user_id only, per-user history is
-    the bounded frame — while the oracle uses the equivalent
-    prefix-join formulation. Deterministic under ties via the
-    (ts, event_id) total order."""
+    formulation needs — shuffle on user_id only — while the oracle
+    uses the equivalent prefix-join formulation. Deterministic under
+    ties via the (ts, event_id) total order; set order is free
+    because every consumer (size, explode -> groupBy) is
+    order-insensitive. collect_set, NOT
+    array_distinct(collect_list(...)): the running frame's aggregate
+    buffer is evaluated and COPIED per row, so a collect_list buffer
+    grows with the prefix and the window writes O(rows^2) bytes on a
+    hot key (the 30%-hot-key skew corpus pinned this straggler for
+    10+ minutes, jstack showed GenericArrayData.copy in the window
+    evaluator), while the set is bounded by the channel vocabulary."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1692,11 +1699,9 @@ def q_events_attribution_linear(spark, sf_dir):
     )
     e = _t(spark, sf_dir, "events").withColumn(
         "chs",
-        F.array_distinct(
-            F.collect_list(
-                F.when(F.col("event_type") != "purchase", F.col("event_type"))
-            ).over(w)
-        ),
+        F.collect_set(
+            F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        ).over(w),
     )
     p = e.where(F.col("event_type") == "purchase").select(
         "chs", F.size("chs").alias("k")
