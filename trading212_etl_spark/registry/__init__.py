@@ -125,13 +125,29 @@ _DRIVER_WINDOW = [
     "dedup_connected_components",  # r2, recursive-CTE oracle
     "dedup_semantic_clusters",  # r5, recursive-CTE oracle
     "similarity_topk_lsh",  # r3, seeded-plane
-    "embedding_near_dup_lsh",  # r3, seeded-plane
-    "similarity_topk_ivf",  # r3
     "dedup_jaccard_pairs",  # r2
-    "dedup_decontaminate",  # r2
-    "sink_bucketed_colocated_join",  # r2, bucketing machinery
-    "streaming_foreachbatch_ingest",  # r2
-    "window_lag_lead_running",  # r2
+    # (late-r7 hot-key fixes from the skewed-corpus sweep changed SIX
+    # entries' plans — the stream-stream join's horizon-bucketed
+    # equi-key + foreachBatch-partial drive, the funnel's chained
+    # projections (events_time_to_convert shares the operator and is
+    # ALREADY in the group-1 window above), the reversed-running-frame
+    # forward as-of carries, and attribution's collect_set carry —
+    # each must re-prove green. The five new slots displace the
+    # remaining low-risk group-3 re-samples: similarity_topk_ivf
+    # (seeded-plane family stays covered by similarity_topk_lsh and
+    # embedding_near_dup_lsh above), dedup_decontaminate
+    # (broadcast-probe skeleton covered by dedup_jaccard_pairs),
+    # sink_bucketed_colocated_join (r2 bucketing, untouched),
+    # streaming_foreachbatch_ingest (its foreachBatch machinery is
+    # exactly what the new stream-stream drive exercises), and
+    # window_lag_lead_running (plain r2 battery re-derived across
+    # dozens of green applied entries).
+    "embedding_near_dup_lsh",  # r3, seeded-plane
+    "streaming_stream_stream_join",
+    "events_funnel",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "events_attribution_linear",
     # (4) entries ADDED in r7 — never driver-checked by construction,
     # each takes a group-(3) slot per the growth rule (displacing
     # window_keep_first / window_topn_per_group / agg_rollup /
