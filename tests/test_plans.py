@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from trading212_etl_spark import registry
 
@@ -181,12 +182,47 @@ NESTED_LOOP_BY_DESIGN = {
     "similarity_matryoshka_recall",
 }
 
+# Hot-key window anti-patterns (r7 skew sweep): a frame whose start is
+# bounded but whose end is UNBOUNDED FOLLOWING is re-aggregated from
+# each row to partition end — O(rows^2) per key (join_asof_forward
+# ground 13+ CPU-minutes on a 30%-hot key before the reversed-
+# running-frame rewrite); a collect_list evaluated OVER A WINDOW
+# copies its buffer per output row, so a running prefix list writes
+# O(rows^2) bytes (events_attribution_linear, same sweep — bounded
+# collect_set or a groupBy aggregate are the sanctioned forms). The
+# full (unboundedpreceding, unboundedfollowing) frame is exempt: Spark
+# aggregates it once per partition.
+_UF_FRAME_RE = re.compile(
+    # the lower bound is exactly one token — a lazy .+? would span
+    # across NEIGHBORING frame specs on the plan's single-line
+    # Arguments list and false-positive the full frame
+    r"specifiedwindowframe\((?:Row|Range)Frame, "
+    r"(unboundedpreceding\$\(\)|currentrow\$\(\)|-?\d+), "
+    r"unboundedfollowing\$\(\)\)"
+)
+_WINDOWED_COLLECT_LIST_RE = re.compile(
+    r"collect_list\([^\n]*?windowspecdefinition"
+)
+
+
+def window_frame_flags(p: str) -> list[str]:
+    flags = []
+    if any(
+        lower != "unboundedpreceding$()" for lower in _UF_FRAME_RE.findall(p)
+    ):
+        flags.append("BoundedStartUnboundedFollowingFrame")
+    if _WINDOWED_COLLECT_LIST_RE.search(p):
+        flags.append("WindowedCollectList")
+    return flags
+
 
 def test_no_accidental_nested_loops_or_python(spark):
     """Audit EVERY batch registry entry: no CartesianProduct, no
-    BroadcastNestedLoopJoin outside the allowlist, and no row-at-a-time
+    BroadcastNestedLoopJoin outside the allowlist, no row-at-a-time
     Python (BatchEvalPython) anywhere — Arrow mapInPandas is the only
-    sanctioned Python entry point."""
+    sanctioned Python entry point — and no hot-key window
+    anti-pattern (bounded-start UNBOUNDED FOLLOWING frame, windowed
+    collect_list; see window_frame_flags)."""
     offenders = {}
     for name, fn in sorted(registry.QUERIES.items()):
         if name.startswith("streaming"):  # streaming harnesses execute eagerly
@@ -199,6 +235,7 @@ def test_no_accidental_nested_loops_or_python(spark):
         ]
         if "BroadcastNestedLoopJoin" in p and name not in NESTED_LOOP_BY_DESIGN:
             flags.append("BroadcastNestedLoopJoin")
+        flags += window_frame_flags(p)
         if flags:
             offenders[name] = flags
     assert not offenders, f"inefficient plans: {offenders}"

@@ -5,8 +5,10 @@ runs as a gate, written to PLAN_AUDIT.json so the evidence survives the
 round without executing the test suite: for every batch registry entry,
 whether its physical plan contains CartesianProduct, row-at-a-time
 Python (BatchEvalPython), an out-of-allowlist BroadcastNestedLoopJoin,
-or an unpartitioned data-volume window — plus summary counts of
-broadcast joins and Arrow-vectorized Python operators.
+an unpartitioned data-volume window, or a hot-key window anti-pattern
+(bounded-start UNBOUNDED FOLLOWING frame / windowed collect_list —
+both O(rows^2) per key, the r7 skew-sweep findings) — plus summary
+counts of broadcast joins and Arrow-vectorized Python operators.
 
 Run from the repo root: python tools/plan_audit.py
 """
@@ -29,7 +31,7 @@ def main() -> int:
     from trading212_etl_spark.session import get_session
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_plans import NESTED_LOOP_BY_DESIGN
+    from test_plans import NESTED_LOOP_BY_DESIGN, window_frame_flags
 
     spark = get_session(app_name="plan_audit", shuffle_partitions=8)
     pin_oracle_confs(spark)
@@ -68,6 +70,7 @@ def main() -> int:
                 stats["allowlisted_nested_loops"] += 1
             else:
                 flags.append("BroadcastNestedLoopJoin")
+        flags += window_frame_flags(p)
         if flags:
             offenders[name] = flags
 
