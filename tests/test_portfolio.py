@@ -138,7 +138,12 @@ def test_fifo_fuzz_matches_sequential_simulator(spark):
             assert got[acct] == sim[acct], acct
 
 
-def test_fifo_plan_is_hash_join_not_nested_loop(spark):
+def test_fifo_plan_is_single_window_merge_not_a_join(spark):
+    """The r7 shape: FIFO matching is a sorted merge over ONE keyed
+    window (carry last buy/sell lot + lead), with NO pair join at all —
+    the former account-equi + range-residual hash join probed
+    O(buys x sells) per key and ground a 30%-hot-key straggler for
+    4+ minutes (skew sweep)."""
     rows = [
         (1, 1, 1, "buy", 10, Decimal("5.00")),
         (1, 2, 2, "sell", 5, Decimal("8.00")),
@@ -149,9 +154,9 @@ def test_fifo_plan_is_hash_join_not_nested_loop(spark):
         fifo_realized_pnl(df).explain(mode="formatted")
     p = buf.getvalue()
     assert "NestedLoop" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
-        "BroadcastHashJoin" in p
-    )
+    assert "Join" not in p  # no pair join of the two interval sets
+    assert ") Window" in p  # the single carry/lead window pass
+    assert "Union" in p  # breakpoint spine = buy-starts U sell-starts
 
 
 def _simulate_open(rows):

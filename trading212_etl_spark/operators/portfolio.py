@@ -20,16 +20,24 @@ intersection of their intervals. That turns the sequential queue into:
   1. one keyed window per side (cumulative sums — single shuffle on
      the account key, the same single-exchange shape as the as-of
      join, operators/asof.py:23);
-  2. one equi-join on account with a range residual
-     (b_lo < s_hi AND s_lo < b_hi) — a hash join with a residual
-     filter, NOT a nested loop (the interval-join shape proven in
-     tests/test_plans.py for join_range_interval);
+  2. a sorted MERGE of the two interval sets on the shared unit axis:
+     union the buy-starts and sell-starts, carry the last buy lot and
+     last sell lot forward (two last(ignorenulls) over one running
+     window — the as-of carry), and emit the segment from each
+     breakpoint to the next. Each side's intervals are CONTIGUOUS by
+     construction (cumulative sums), so no breakpoint falls strictly
+     inside any (buy, sell) overlap and positive segments correspond
+     1:1 to FIFO-matched pairs. An earlier formulation joined the two
+     interval sets with an account-equi + range-residual hash join;
+     that probe is O(buys x sells) per key and the 30%-hot-key skew
+     corpus ground it for 4+ minutes on one task — the merge is
+     O(fills log fills) on the same single exchange;
   3. an ordinary aggregate of matched_qty * (sell_px - buy_px).
 
-At 100 TB the join key (account) bounds the pair fan-out to
-per-account fill counts; a hot account is a standard skew problem
-(AQE skew-join / salting, operators/relational.py). Prices ride
-DECIMAL so P&L is an exact decimal sum — order-independent, no float
+At 100 TB the only data-sized structure is the per-account sort; a
+hot account serializes its own ordered scan (the irreducible
+per-key-window cost), never a quadratic probe. Prices ride DECIMAL so
+P&L is an exact decimal sum — order-independent, no float
 accumulation drift across partitions.
 """
 
@@ -75,34 +83,64 @@ def fifo_realized_pnl(
     Output: (account, matched_qty BIGINT, realized_pnl DOUBLE cast
     from an exact decimal sum, n_matches BIGINT).
     """
-    buys = _cumulative_units(
+    b = _cumulative_units(
         fills.where(F.col(side) == "buy"), account, ts, tiebreak, qty
     ).select(
-        F.col(account),
-        F.col("u_lo").alias("b_lo"),
-        F.col("u_hi").alias("b_hi"),
-        F.col(price).alias("b_px"),
+        F.col(account).alias("__acct"),
+        F.col("u_lo").alias("__pos"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col("u_hi").alias("b_hi"), F.col(price).alias("b_px")
+        ).alias("__b"),
     )
-    sells = _cumulative_units(
+    s = _cumulative_units(
         fills.where(F.col(side) == "sell"), account, ts, tiebreak, qty
     ).select(
-        F.col(account).alias("_s_acct"),
-        F.col("u_lo").alias("s_lo"),
-        F.col("u_hi").alias("s_hi"),
-        F.col(price).alias("s_px"),
+        F.col(account).alias("__acct"),
+        F.col("u_lo").alias("__pos"),
+        F.lit(1).alias("__side"),
+        F.struct(
+            F.col("u_hi").alias("s_hi"), F.col(price).alias("s_px")
+        ).alias("__s"),
     )
-    pairs = buys.join(
-        sells,
-        (buys[account] == sells["_s_acct"])
-        & (F.col("b_lo") < F.col("s_hi"))
-        & (F.col("s_lo") < F.col("b_hi")),
+    spine = b.withColumn(
+        "__s", F.lit(None).cast(s.schema["__s"].dataType)
+    ).unionByName(
+        s.withColumn("__b", F.lit(None).cast(b.schema["__b"].dataType)),
+        allowMissingColumns=False,
     )
-    matched = F.least("b_hi", "s_hi") - F.greatest("b_lo", "s_lo")
+    # One ordered pass per account: at unit position p the active buy
+    # lot is the last buy-start <= p (contiguous intervals), same for
+    # sells; the segment from each breakpoint to the next therefore
+    # has constant (buy, sell) and its length is the matched quantity.
+    # The carried u_hi caps segments past either side's total (stale
+    # carries yield non-positive lengths and drop out), so shorts and
+    # unmatched tails need no totals join.
+    w_ord = Window.partitionBy("__acct").orderBy("__pos", "__side")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = (
+        spine.withColumn("__bc", F.last("__b", ignorenulls=True).over(w_run))
+        .withColumn("__sc", F.last("__s", ignorenulls=True).over(w_run))
+        .withColumn("__nxt", F.lead("__pos").over(w_ord))
+    )
+    end = F.least(
+        F.coalesce(F.col("__nxt"), F.col("__bc.b_hi")),
+        F.col("__bc.b_hi"),
+        F.col("__sc.s_hi"),
+    )
+    matched = end - F.col("__pos")
     return (
-        pairs.select(
-            F.col(account),
+        seg.where(
+            F.col("__bc").isNotNull()
+            & F.col("__sc").isNotNull()
+            & (matched > 0)
+        )
+        .select(
+            F.col("__acct").alias(account),
             matched.alias("m_qty"),
-            ((F.col("s_px") - F.col("b_px")) * matched).alias("m_pnl"),
+            ((F.col("__sc.s_px") - F.col("__bc.b_px")) * matched).alias(
+                "m_pnl"
+            ),
         )
         .groupBy(account)
         .agg(
