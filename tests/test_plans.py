@@ -686,14 +686,17 @@ def test_vwap_single_exchange(spark):
 
 
 def test_fifo_pnl_plan_shape(spark):
-    """FIFO P&L: the buy/sell interval join must be a real join (sort
-    -merge or hash), never a broadcast nested loop, and the whole
-    chain stays JVM-side."""
+    """FIFO P&L (r7 shape): a sorted merge over ONE keyed window —
+    carry last buy/sell lot + lead over the breakpoint spine — with NO
+    pair join at all.  The former account-equi + range-residual hash
+    join probed O(buys x sells) per key and ground a 30%-hot-key
+    straggler for 4+ minutes in the skew sweep; any Join node here is
+    a regression.  Whole chain stays JVM-side."""
     p = plan(spark, "portfolio_fifo_pnl")
     assert "NestedLoop" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
-        "BroadcastHashJoin" in p
-    )
+    assert "Join" not in p  # no pair join of the buy/sell interval sets
+    assert ") Window" in p  # the single carry/lead window pass
+    assert "Union" in p  # breakpoint spine = buy-starts U sell-starts
     assert "BatchEvalPython" not in p
 
 

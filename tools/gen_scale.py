@@ -62,10 +62,12 @@ _TOKEN_RE = re.compile(r"\S+")
 
 
 def _perturb_text(text: str, copy: int) -> str:
-    """Replace ~30% of whitespace tokens, keyed on (copy, token text,
-    position) — doc_id-independent so identical texts stay identical
-    within a copy (planted dup structure survives), while cross-copy
-    shingle overlap drops to ~0.54 Jaccard."""
+    """Replace ~30% of whitespace tokens.  Token SELECTION hashes
+    (token text, position) only — doc_id- and copy-independent, so
+    identical texts stay identical within a copy (planted dup
+    structure survives) and the same positions are rewritten in every
+    copy; the REPLACEMENT token embeds `copy`, so cross-copy shingle
+    overlap drops to ~0.54 Jaccard."""
     toks = list(_TOKEN_RE.finditer(text))
     hits = {
         i

@@ -51,124 +51,82 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r07 window (exactly 50): executes the r6 verdict's rotation plan —
-# (1) the 21 entries that have never had a driver CORRECTNESS row
-# (every r6 addition past slot 50), making cumulative driver coverage
-# 254/254; (2) the two entries whose plans changed in r7 (bpe-merge
-# rank rewrite, preference-pair self-join aliasing); (3) 27 stale
-# high-risk re-samples — the recursive-CTE twins, the seeded-plane
-# LSH family, the similarity suite, both pipelines, and the stalest
-# r1/r2-row oracles. Any entry ADDED in r7 must displace a slot from
-# group (3) so never-checked debt stays zero (r6 verdict item 2).
+# r09 window (exactly 50): executes the r8 verdict's task 2 — the r8
+# window was byte-identical to r7's, so this rotation covers the two
+# staleness fronts the verdict names:
+#   (1) the full portfolio family (4): portfolio_fifo_pnl /
+#       _open_lots / _max_drawdown were rewritten in r7 (join-free
+#       single-window FIFO merge; drawdown's stacked-window reuse) but
+#       their only hash-green driver rows predate the rewrite (r5);
+#       portfolio_sharpe_monthly rides along — same r5 vintage, same
+#       fills-derived input family.
+#   (2) ALL 34 entries whose last hash-green row is r2 — the sources/
+#       sinks, joins, aggregate-battery and window-battery blocks the
+#       verdict calls 6 rounds stale — so after r9 no row is older
+#       than r3.
+#   (3) 12 highest-risk r3 re-samples filling the remaining slots:
+#       the decimal flagship twin, merge/SCD2 mutation pair, the
+#       session/retention event suite, correlated subqueries, the
+#       bruteforce+IVF similarity pair, kmeans, sequence packing, and
+#       the most join-heavy TPC-H shape (q21 semi+anti).
+# The 46-entry r3 block cannot fully fit behind these; the remaining
+# 34 r3 rows queue for the r10 rotation (tracked here so the next
+# window is not re-derived from scratch).
 _DRIVER_WINDOW = [
-    # --- r07 window (exactly 50) ---
-    # (1) the 21 entries that have NEVER had a driver CORRECTNESS row
-    # (r6 additions past window slot 50 — r6 verdict item 1); closing
-    # these makes cumulative driver coverage 254/254.
-    "events_bounce_rate_daily",
-    "events_type_lift_matrix",
-    "features_user_behavior_profile",
-    "text_bigram_coherence",
-    "embedding_knn_outlier",
-    "dedup_rate_by_source",
-    "sample_curriculum_order",
-    "text_rake_keyphrases",
-    "pipeline_release_gate",
-    "streaming_error_rate_sli",
-    "events_time_to_convert",
-    "supplier_service_scorecard",
-    "orders_reorder_interval",
-    "events_burn_rate_alert",
-    "parts_abc_classification",
-    "orders_revenue_bridge_monthly",
-    "orders_gap_burstiness",
-    "profile_correlation_matrix",
-    "stats_discount_qty_ols",
-    "orders_seasonal_decomposition",
-    "orders_forecast_seasonal_naive",
-    # (2) plans CHANGED in r7 — must re-prove green after the rewrite:
-    # bpe merge_rank moved off the foldable-lit(1) window onto
-    # ordered_prefix; preference pairs' self-join right side renamed;
-    # the r6-regression trio moved off persist+1-row-cross-join onto
-    # scalar_bucket windows / a source-side frontier scan.
-    "text_bpe_merges",
-    "sample_preference_pairs",
-    "agg_heavy_hitters",
-    "stats_qty_price_independence",
-    "events_user_lifecycle_weekly",
-    # (r7 sf0.5-sweep catches: CUPED's var_reduction_ppm refactored
-    # to the divide-first factorization after the joint form burst
-    # Decimal(38,0) at 5x data; benford's 9-row grand total moved
-    # onto a scalar_bucket window to kill the last WindowExec warning.
-    # Each displaced a group-3 slot: similarity_topk_bruteforce — a
-    # plain broadcast+rank baseline whose semantics the PQ/LSH/IVF
-    # entries re-derive — and dedup_boilerplate_lines, whose
-    # broadcast-probe skeleton dedup_decontaminate keeps covered.)
-    "events_cuped_adjustment",
-    "orders_benford_first_digit",
-    # (same sweep's warning-hygiene pass: the global-total windows in
-    # the temperature-mixture operator and the seasonal dow index
-    # moved onto scalar_bucket keys — values bit-identical, plans
-    # changed, so both re-prove. Displaced join_range_interval (r2
-    # textbook equi-anchored shape, untouched since) and
-    # agg_salted_skew (salting equivalence is independently fuzzed by
-    # tests/test_properties.py).)
-    "sample_temperature_mixture",
-    "orders_seasonal_dow_index",
-    # (3) stale high-risk re-samples (r6 verdict item 1's second half):
-    # recursive-CTE twins, the seeded-plane LSH family, the similarity
-    # suite, flagship + curation pipelines, and the stalest oracles
-    # still holding r1/r2 rows.
-    "text_lang_id",  # stalest in the registry (r1)
-    "flagship_pipeline",  # r3
-    "pipeline_curate_corpus",  # r3, perf-watch
-    "dedup_connected_components",  # r2, recursive-CTE oracle
-    "dedup_semantic_clusters",  # r5, recursive-CTE oracle
-    "similarity_topk_lsh",  # r3, seeded-plane
-    "dedup_jaccard_pairs",  # r2
-    # (late-r7 hot-key fixes from the skewed-corpus sweep changed SIX
-    # entries' plans — the stream-stream join's horizon-bucketed
-    # equi-key + foreachBatch-partial drive, the funnel's chained
-    # projections (events_time_to_convert shares the operator and is
-    # ALREADY in the group-1 window above), the reversed-running-frame
-    # forward as-of carries, and attribution's collect_set carry —
-    # each must re-prove green. The five new slots displace the
-    # remaining low-risk group-3 re-samples: similarity_topk_ivf
-    # (seeded-plane family stays covered by similarity_topk_lsh and
-    # embedding_near_dup_lsh above), dedup_decontaminate
-    # (broadcast-probe skeleton covered by dedup_jaccard_pairs),
-    # sink_bucketed_colocated_join (r2 bucketing, untouched),
-    # streaming_foreachbatch_ingest (its foreachBatch machinery is
-    # exactly what the new stream-stream drive exercises), and
-    # window_lag_lead_running (plain r2 battery re-derived across
-    # dozens of green applied entries).
-    "embedding_near_dup_lsh",  # r3, seeded-plane
-    "streaming_stream_stream_join",
-    "events_funnel",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "events_attribution_linear",
-    # (4) entries ADDED in r7 — never driver-checked by construction,
-    # each takes a group-(3) slot per the growth rule (displacing
-    # window_keep_first / window_topn_per_group / agg_rollup /
-    # agg_cube, all r2-green plain shapes; the window family stays
-    # covered by the two entries above)
-    "dedup_substring_spans",
-    "sample_importance_dsir",
-    "similarity_hard_negatives",
-    "similarity_matryoshka_recall",
-    # (second r7 batch; displaced dedup_exact — trivial digest shape —
-    # and dedup_containment_pairs, whose _common_shingle_counts
-    # skeleton stays covered by dedup_jaccard_pairs above)
-    "orders_cusum_changepoint",
-    "source_json_malformed",
-    # (third r7 batch; displaced window_analytic_battery — its lag/
-    # lead/rank shapes stay covered by window_lag_lead_running above)
-    "multimodal_perceptual_dhash",
-    # (events_funnel / agg_pivot / tpch_q3_shipping_priority yielded
-    # their re-sample slots to the plan-changed trio in group 2 —
-    # lowest divergence risk of the stale set: static pivot values, a
-    # plain window chain, a textbook join+agg)
+    # --- r09 window (exactly 50) ---
+    # (1) portfolio family — plans rewritten r7, driver rows from r5
+    "portfolio_fifo_pnl",
+    "portfolio_open_lots",
+    "portfolio_max_drawdown",
+    "portfolio_sharpe_monthly",
+    # (2) every entry whose last hash-green driver row is r2 (34)
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_having_top_parts",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_salted_skew",
+    "dedup_boilerplate_lines",
+    "dedup_containment_pairs",
+    "dedup_decontaminate",
+    "dedup_exact",
+    "events_json_props",
+    "explode_unnest",
+    "join_broadcast_enrich",
+    "join_multiway_star",
+    "join_outer_coalesce",
+    "join_range_interval",
+    "join_semi_anti",
+    "profile_columns",
+    "profile_histogram",
+    "sink_bucketed_colocated_join",
+    "sink_partitioned_parquet",
+    "source_csv_roundtrip",
+    "source_json_flatten",
+    "source_orc_roundtrip",
+    "streaming_foreachbatch_ingest",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "unpivot_melt",
+    "window_analytic_battery",
+    "window_keep_first",
+    "window_lag_lead_running",
+    "window_topn_per_group",
+    # (3) 12 highest-risk r3 re-samples
+    "flagship_pipeline_decimal",
+    "merge_upsert_orders",
+    "scd2_customer_history",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_sessionize_30m",
+    "subquery_correlated",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "embedding_kmeans_step",
+    "sample_pack_sequences",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

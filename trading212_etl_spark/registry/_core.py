@@ -95,10 +95,16 @@ def _d38(c: str):
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    """Scratch dir for engine-written intermediates, rooted at the
+    repo checkout (derived from __file__, not hardcoded, so relocated
+    checkouts keep working)."""
     import os
 
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     base = os.path.basename(sf_dir.rstrip("/"))
-    return f"/root/repo/.scratch/{name}_{base}"
+    return os.path.join(repo_root, ".scratch", f"{name}_{base}")
 
 
 

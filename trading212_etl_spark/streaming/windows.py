@@ -333,8 +333,9 @@ def run_stream_stream_join(
     import shutil
 
     if out_dir is None:
-        base = os.path.basename(events_dir.rstrip("/"))
-        out_dir = f"/root/repo/.scratch/stream_stream_pairs_{base}"
+        from trading212_etl_spark.registry._core import _scratch
+
+        out_dir = _scratch(events_dir, "stream_stream_pairs")
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = _events_stream(spark, events_dir)
     joined = stream_stream_attribution_join(
