@@ -700,3 +700,90 @@ def test_perceptual_dhash_twin_collision_and_tone_invariance(spark):
     assert out[0] == out[2]  # monotone tone shift collides
     assert out[0] != out[3]  # inversion must not collide
     assert 0 <= out[0][0] < 2**32 and 0 <= out[0][1] < 2**32  # sign-safe
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Degenerate corpus: identical documents share every band's bits,
+    so the unguarded per-band self-join emits the O(n²) clique inside
+    one bucket (the bucket-skew corpus measured the blowup in r9).
+    With max_bucket below the bucket size the op must emit the hub
+    star only — hamming 0 from the hub to every member — and stay
+    exact for sub-cap corpora."""
+    from trading212_etl_spark.operators.dedup import connected_components
+
+    n = 120
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate line repeated verbatim in every document"
+        " of this degenerate corpus slice' AS text",
+    )
+    got = simhash_near_pairs(docs, max_bucket=50).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, i) for i in range(1, n)}
+    assert all(r.hamming == 0 for r in got)
+    comp = connected_components(
+        spark.createDataFrame(
+            [(r.doc_a, r.doc_b) for r in got], "doc_a long, doc_b long"
+        )
+    )
+    assert comp.select("component").distinct().count() == 1
+    # under the cap: exact clique
+    few = docs.limit(6)
+    assert simhash_near_pairs(few, max_bucket=50).count() == 15  # C(6,2)
+
+
+def test_embedding_near_dup_lsh_hot_bucket_guard(spark):
+    """Degenerate corpus: identical embeddings land in one bucket of
+    every hyperplane table; the unguarded gram matmul is O(bucket²)
+    FLOPs in a single applyInPandas task. Over the cap the scorer
+    must emit the hub star (cos 1.0 to every member); under it, the
+    exact clique."""
+    n, dim = 96, 8
+    vec = ", ".join(["0.5"] * dim)
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id", f"array({vec}) AS embedding"
+    )
+    got = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, dim=dim, max_bucket=40
+    ).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == {(0, i) for i in range(1, n)}
+    assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in got)
+    few = emb.limit(5)
+    exact = embedding_near_dup_pairs_lsh(
+        few, threshold=0.9, dim=dim, max_bucket=40
+    )
+    assert exact.count() == 10  # C(5,2)
+
+
+def test_substring_spans_hot_window_guard(spark):
+    """Degenerate corpus: one boilerplate 12-token span shared by all
+    n docs makes every positional 5-gram window's df = n, so the
+    unguarded h-equi-join emits O(n²) matches (12.5× measured on the
+    bucket-skew corpus). Over the cap only hub↔member matches
+    survive: the hub (min doc id) must still pair with every member
+    at the full span length, and member↔member pairs must be absent
+    (their only shared windows are over-cap). Under the cap the
+    exact all-pairs output is unchanged."""
+    from trading212_etl_spark.operators.dedup import substring_span_pairs
+
+    n = 60
+    # alpha-only span tokens: the corpus tokenizer splits digit-bearing
+    # words, which would stretch the expected span length
+    span = " ".join(chr(ord("a") + i) * 3 for i in range(12))
+    # shared run = 'prefix <12 tokens> suffix' = 14 tokens; the doc-id
+    # numbers flanking it differ per doc and cut the run there
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('doc ', CAST(id AS STRING), ' prefix {span} suffix ',"
+        " CAST(id AS STRING)) AS text",
+    )
+    got = substring_span_pairs(
+        docs, min_span_tokens=10, max_window_df=30
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(0, i) for i in range(1, n)}
+    assert all(r.max_span_tokens == 14 for r in got)
+    # under the cap: the full C(4,2) clique at the same span length
+    few = docs.limit(4)
+    exact = substring_span_pairs(few, min_span_tokens=10, max_window_df=30)
+    rows = exact.collect()
+    assert len(rows) == 6
+    assert all(r.max_span_tokens == 14 for r in rows)

@@ -10,9 +10,12 @@ assumption that only holds at the driver SFs.
 
 Usage:
     python tools/sweep_sf.py <sf_dir> <out.jsonl> [start [end]]
+    python tools/sweep_sf.py <sf_dir> <out.jsonl> <name> [name ...]
 
 start/end slice the registry order so the sweep can run in chunks that
-fit under a shell timeout.
+fit under a shell timeout; passing entry NAMES instead probes just
+those entries (the bucket-skew protocol uses this to sweep the banded
+LSH/IVF families against .scale/*_bskew corpora).
 """
 
 from __future__ import annotations
@@ -32,13 +35,18 @@ from trading212_etl_spark.session import get_session  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
-    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    end = int(sys.argv[4]) if len(sys.argv) > 4 else len(QUERIES)
+    if len(sys.argv) > 3 and not sys.argv[3].isdigit():
+        names = sys.argv[3:]
+        unknown = [n for n in names if n not in QUERIES]
+        assert not unknown, f"unknown entries: {unknown}"
+        start = 0
+    else:
+        start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        end = int(sys.argv[4]) if len(sys.argv) > 4 else len(QUERIES)
+        names = list(QUERIES)[start:end]
 
     spark = get_session(app_name="sweep_sf")
     pin_oracle_confs(spark)
-
-    names = list(QUERIES)[start:end]
     failures = 0
     with open(out_path, "a") as out:
         for i, name in enumerate(names):

@@ -698,6 +698,7 @@ def simhash_near_pairs(
     n_bits: int = 48,
     n_bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -706,7 +707,23 @@ def simhash_near_pairs(
     exactly on ≥1 band, so grouping by (band_idx, band_bits) yields a
     complete candidate set with |bands| hash shuffles — no cross join.
     Candidates are then filtered by true bit_count(xor).
+
+    Hot-bucket guard (same contract as :func:`minhash_lsh_pairs`): a
+    boilerplate-identical corpus slice shares every band's bits, so
+    the per-band self-join goes O(bucket²) inside that bucket — the
+    bucket-skew stress corpus (tools/gen_bucket_skew.py) makes one
+    bucket own 25% of the corpus. Bucket size + hub are computed by a
+    window over the banded frame (one exchange serves the guard and
+    both join sides); buckets ≤ ``max_bucket`` take the exact
+    pair-join path, larger buckets emit a STAR to the bucket's min id
+    with true hub↔member hamming — O(bucket) rows, connectivity (what
+    connected-components consumers use) preserved, the clique's full
+    pairwise listing traded for boundedness exactly as documented on
+    the MinHash side. Driver-SF corpora never exceed the cap, so the
+    DuckDB oracle models the exact path only.
     """
+    from pyspark.sql import Window
+
     width = n_bits // n_bands
     mask = (1 << width) - 1
     sk = simhash(docs, n_bits, hash_fn=hash_fn)
@@ -727,7 +744,18 @@ def simhash_near_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
-    a, b = banded.alias("a"), banded.alias("b")
+    wb = Window.partitionBy("band_idx", "band_bits")
+    hits = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .withColumn(
+            "__hub", F.min(F.struct("doc_id", "simhash")).over(wb)
+        )
+        .filter(F.col("__n") > 1)
+    )
+    small = hits.filter(F.col("__n") <= max_bucket).select(
+        "doc_id", "simhash", "band_idx", "band_bits"
+    )
+    a, b = small.alias("a"), small.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_bits"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -737,8 +765,18 @@ def simhash_near_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
+    star = (
+        hits.filter(F.col("__n") > max_bucket)
+        .filter(F.col("doc_id") != F.col("__hub.doc_id"))
+        .select(
+            F.col("__hub.doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("__hub.simhash").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+    )
+    cand = cand.unionByName(star).distinct()
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", dist)
@@ -753,6 +791,7 @@ def substring_span_pairs(
     min_span_tokens: int = 10,
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    max_window_df: int = 4096,
 ) -> DataFrame:
     """Exact shared-substring spans between document pairs — the
     span-level dedup signal of Lee et al. 2022 ("Deduplicating
@@ -803,11 +842,27 @@ def substring_span_pairs(
             )
         ).alias("w"),
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    # hot-window guard (same family contract as minhash_lsh_pairs /
+    # simhash_near_pairs): a boilerplate window shared by a hot
+    # corpus slice makes the h-equi-join emit O(df²) matches for that
+    # hash — the bucket-skew corpus measured 12.5× on this op before
+    # the guard. One window over h computes occurrence count + hub
+    # (min doc id); windows with ≤ ``max_window_df`` occurrences take
+    # the exact all-pairs path, hotter windows contribute STAR
+    # matches only (hub-side occurrences × others — O(df) rows), so
+    # hub↔member spans survive while member↔member pairs keep only
+    # their sub-cap windows. Driver-SF corpora top out at df = 4
+    # (measured), so the oracle models the exact path only.
+    wdf = Window.partitionBy("h")
+    win = (
+        win.withColumn("__n", F.count(F.lit(1)).over(wdf))
+        .withColumn("__hub", F.min("id").over(wdf))
+    )
     # distinct-named projections: no self-join disambiguation
     # heuristics (the preference-pairs lesson)
-    a = win.select(
-        F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h"
-    )
+    a = win.filter(
+        (F.col("__n") <= max_window_df) | (F.col("id") == F.col("__hub"))
+    ).select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = win.select(
         F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h"
     )

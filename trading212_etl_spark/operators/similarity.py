@@ -381,6 +381,7 @@ def embedding_near_dup_pairs_lsh(
     n_tables: int = 8,
     dim: int = 64,
     round_dp: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path for
     :func:`embedding_near_dup_pairs`: candidate pairs must co-bucket
@@ -405,7 +406,14 @@ def embedding_near_dup_pairs_lsh(
     # near-dup operator. cosine_topk_lsh keeps the bare-pair shape —
     # its query-side candidates ARE selective. Scale guard: a bucket
     # must fit one task (tune n_planes so 2^n_planes ≫ corpus/task
-    # budget; AQE skew-split cannot cut a single applyInPandas group).
+    # budget; AQE skew-split cannot cut a single applyInPandas group),
+    # and a bucket over ``max_bucket`` rows falls back to a STAR
+    # against the bucket's min-id vector — O(bucket·dim) FLOPs
+    # instead of the O(bucket²·dim) gram matmul, the same
+    # connectivity-preserving trade as minhash_lsh_pairs /
+    # simhash_near_pairs. Driver-SF corpora never exceed the cap, so
+    # the oracle-facing exact path is untouched; the star path is
+    # exercised by the bucket-skew corpus (tools/gen_bucket_skew.py).
     cutoff = threshold - 0.5 * 10 ** (-round_dp) - 1e-12
 
     def _score_bucket(pdf):
@@ -414,6 +422,15 @@ def embedding_near_dup_pairs_lsh(
         m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
         ids = pdf["vec_id"].to_numpy()
         normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
+        if len(ids) > max_bucket:
+            hub = int(_np.argmin(ids))
+            cos_h = normed @ normed[hub]
+            keep = (cos_h >= cutoff) & (_np.arange(len(ids)) != hub)
+            lo = _np.minimum(ids[keep], ids[hub])
+            hi = _np.maximum(ids[keep], ids[hub])
+            return _pd.DataFrame(
+                {"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]}
+            )
         cos = normed @ normed.T
         ia, ib = _np.triu_indices(len(ids), k=1)
         # orient each pair as (low id, high id); keep raw cos — the
