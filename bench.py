@@ -390,6 +390,17 @@ def main() -> None:
     side = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
     )
+    # merge-preserve: sweep protocols (bucket_skew, zipf, drift notes)
+    # record their results in this artifact between bench runs — a
+    # bench refresh must not silently drop them
+    if os.path.exists(side):
+        try:
+            with open(side) as fh:
+                prior = json.load(fh)
+            for k, v in prior.items():
+                scaling.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(side, "w") as fh:
         json.dump(scaling, fh, indent=1)
 

@@ -787,3 +787,90 @@ def test_substring_spans_hot_window_guard(spark):
     rows = exact.collect()
     assert len(rows) == 6
     assert all(r.max_span_tokens == 14 for r in rows)
+
+
+def test_hll_union_is_grouping_invariant(spark, sf_dir):
+    """Seeded merge-associativity fuzz for the sketch layer under
+    events_hll_rollup (r8 verdict item 9): an HLL union is a
+    register-wise max, so re-aggregating per-shard sketches must give
+    the IDENTICAL estimate no matter how the rows were sharded — the
+    exact property that lets the hourly layer roll up to any coarser
+    grain at 100 TB. Shard the events by a hash of event_id into k
+    shards for several k (and one adversarial shard-by-user split
+    where every duplicate user lands in one shard), sketch each
+    shard, union — the estimate must be bit-equal to the single-shot
+    sketch's."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")
+    ).first()["e"]
+    for shards in (2, 5, 13):
+        merged = (
+            ev.groupBy((F.xxhash64("event_id") % shards).alias("shard"))
+            .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+            .first()["e"]
+        )
+        assert merged == single, (shards, merged, single)
+    # adversarial split: shard BY THE SKETCHED KEY — every duplicate
+    # collapses into one shard, the opposite extreme of random
+    merged = (
+        ev.groupBy((F.col("user_id") % 7).alias("shard"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert merged == single, ("by-key", merged, single)
+
+
+def test_approx_sketches_within_refutable_bounds(spark, sf_dir):
+    """Refute-style error bounds for agg_approx_sketches (r8 verdict
+    item 9): per group, approx_count_distinct(rsd=0.02) must land
+    within 3·rsd of the exact distinct count (99.7% band; a
+    deterministic engine either passes always or never), and each
+    percentile_approx(accuracy=10000) value must be an ACTUAL column
+    value whose rank error is within the documented n/accuracy
+    bound (+1 rank slack)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from trading212_etl_spark.registry import QUERIES
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_n = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact_n)
+    vals = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for flag, row in approx.items():
+        n_exact = exact_n[flag]
+        assert abs(row["n_orders_approx"] - n_exact) <= max(
+            2, 3 * 0.02 * n_exact
+        ), (flag, row["n_orders_approx"], n_exact)
+        xs = sorted(vals[flag])
+        n = len(xs)
+        slack = n / 10000.0 + 1
+        for q, col in ((0.5, "median_approx"), (0.9, "p90_approx")):
+            v = row[col]
+            # the estimate must be a real data value...
+            i = bisect.bisect_left(xs, v)
+            assert i < n and xs[i] == v, (flag, col, v)
+            # ...whose rank is within the documented error of q·n
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v) - 1
+            target = q * (n - 1)
+            assert lo - slack <= target <= hi + slack, (
+                flag, col, v, lo, hi, target, n
+            )
