@@ -78,7 +78,10 @@ def asof_join(
         F.col(left_by).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(l_tag).alias("__tag"),
-        F.lit(0).alias("__rord"),
+        # typed to the right side's order column (may be a struct for
+        # composite tiebreaks); the value is irrelevant — __tag already
+        # separates the sides, so __rord only orders right-row ties
+        F.lit(None).cast(r.schema["__rord"].dataType).alias("__rord"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )

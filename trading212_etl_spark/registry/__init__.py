@@ -114,7 +114,7 @@ _DRIVER_WINDOW = [
     "window_keep_first",
     "window_lag_lead_running",
     "window_topn_per_group",
-    # (3) 12 highest-risk r3 re-samples
+    # (3) 11 highest-risk r3 re-samples
     "flagship_pipeline_decimal",
     "merge_upsert_orders",
     "scd2_customer_history",
@@ -126,7 +126,12 @@ _DRIVER_WINDOW = [
     "similarity_topk_ivf",
     "embedding_kmeans_step",
     "sample_pack_sequences",
-    "tpch_q21_waiting_suppliers",
+    # (4) plan CHANGED in r9 — the Zipf skew sweep's one straggler,
+    # rewritten from equi-hash-join+range-residual to a backward
+    # as-of merge (213 s -> ~5 s at sf2.5_zipf); must re-prove green.
+    # Displaced tpch_q21_waiting_suppliers per the growth rule —
+    # textbook semi+anti shape, lowest divergence risk of group (3).
+    "join_point_in_time",
 ]
 
 
