@@ -874,3 +874,88 @@ def test_approx_sketches_within_refutable_bounds(spark, sf_dir):
             assert lo - slack <= target <= hi + slack, (
                 flag, col, v, lo, hi, target, n
             )
+
+
+def test_guarded_ops_oracle_corpora_under_caps(spark):
+    """Cap-precondition for the three r9 star-guarded operators, same
+    rationale as test_minhash_lsh_oracle_corpus_under_cap (ADVICE r5):
+    each DuckDB oracle models the exact (all-pairs) path only, so
+    parity REQUIRES the driver corpus never to push a bucket over the
+    4096 default cap. Assert the preconditions directly at the
+    driver's sf0.01 so a corpus/testdata change fails HERE with a cap
+    message, not as a value diff in a CORRECTNESS row. (Measured
+    headroom: simhash max band bucket ~tens, max window df 3-4,
+    embedding buckets ~hundreds.)"""
+    import numpy as _np
+
+    from trading212_etl_spark.operators.similarity import (
+        _bands_arrow_udf,
+        _hyperplanes,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    # simhash: per-(band_idx, band_bits) bucket sizes, md5 oracle mode
+    sk = simhash(docs, hash_fn="md5")
+    width, mask = 48 // 4, (1 << 12) - 1
+    banded = sk.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b")
+    )
+    max_bucket = (
+        banded.groupBy("b.band_idx", "b.band_bits")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket <= 4096, (
+        f"simhash band bucket grew to {max_bucket} > 4096: the "
+        f"dedup_simhash oracle's all-pairs expansion no longer matches "
+        f"the engine's star fallback"
+    )
+    # substring spans: per-window-hash occurrence counts (df)
+    from trading212_etl_spark.operators.textual import tokens as _tokens
+
+    win = docs.select(_tokens("text").alias("__toks")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) < 5 THEN array()"
+                " ELSE transform(sequence(1, size(__toks) - 4),"
+                " i -> xxhash64(array_join(slice(__toks, i, 5), ' ')))"
+                " END"
+            )
+        ).alias("h")
+    )
+    max_df = win.groupBy("h").count().agg(F.max("count")).first()[0]
+    assert max_df <= 4096, (
+        f"5-gram window df grew to {max_df} > 4096: the "
+        f"dedup_substring_spans oracle no longer matches the engine's "
+        f"hot-window star"
+    )
+    # embedding near-dup LSH: per-(tbl, bkt) bucket sizes with the
+    # entry's default 8 tables x 4 planes over dim 64
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    tables = [_hyperplanes(64, 4, seed=42 + t) for t in range(8)]
+    b = emb.select(
+        F.posexplode(
+            _bands_arrow_udf(tables)(
+                F.col("embedding").cast("array<double>")
+            )
+        ).alias("tbl", "bkt")
+    )
+    max_eb = b.groupBy("tbl", "bkt").count().agg(F.max("count")).first()[0]
+    assert max_eb <= 4096, (
+        f"embedding LSH bucket grew to {max_eb} > 4096: the "
+        f"embedding_near_dup_lsh oracle no longer matches the engine's "
+        f"star fallback"
+    )
