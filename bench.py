@@ -238,7 +238,16 @@ def main() -> None:
             out[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    timings = timed_pass(sf_dir)
+    # Min-of-2 protocol (VERDICT r9 item 6): the r9 drift attribution
+    # proved single cold runs carry up to 1.68x per-query host noise
+    # (median 1.02) — which made the r6-r8 single-run totals read as
+    # regressions. Two full passes, keep each query's min; the second
+    # pass also measures first-run-after-clear (the caches are cleared
+    # per query), so the min is still the reproducible first-run
+    # convention, minus the worst of the host noise.
+    pass1 = timed_pass(sf_dir)
+    pass2 = timed_pass(sf_dir)
+    timings = {q: min(pass1[q], pass2[q]) for q in pass1}
     total = round(sum(timings.values()), 3)
 
     def parse_sf(d: str) -> float | str:
@@ -292,14 +301,21 @@ def main() -> None:
         # overhead at local SF and O(group-count) bytes at any SF.
         # ACCEPTED: that is the price of the warning-free non-foldable
         # partition key, invisible at cluster scale.
-        "measurement": "first-run-after-cache-clear walls; the premium"
-        " over steady-state is the one-time first-sf-execution"
+        "measurement": "min-of-2 first-run-after-cache-clear walls"
+        " (r10 protocol per VERDICT r9 item 6: single cold runs carry"
+        " up to 1.68x per-query host noise); the premium over"
+        " steady-state is the one-time first-sf-execution"
         " codegen+page-cache cost (~25-35% on pin-heavy queries),"
         " not the cache clear — see bench.py note",
         "primary": {
             "sf": parse_sf(sf_dir),
             "total": total,
             "queries": timings,
+            "protocol": "min-of-2",
+            "pass_totals": [
+                round(sum(pass1.values()), 3),
+                round(sum(pass2.values()), 3),
+            ],
         }
     }
 
@@ -399,8 +415,15 @@ def main() -> None:
                 prior = json.load(fh)
             for k, v in prior.items():
                 scaling.setdefault(k, v)
-        except (json.JSONDecodeError, OSError):
-            pass
+        except (json.JSONDecodeError, OSError) as exc:
+            # surface the loss — silently dropping sweep blocks is
+            # exactly what this merge exists to prevent
+            print(
+                f"WARNING: prior {side} exists but could not be parsed "
+                f"({exc}); its sweep blocks are NOT merged and will be "
+                "overwritten",
+                file=sys.stderr,
+            )
     with open(side, "w") as fh:
         json.dump(scaling, fh, indent=1)
 

@@ -23,6 +23,20 @@ def plan(spark, name: str) -> str:
     return buf.getvalue()
 
 
+# Physical join-node names, not a bare "Join" substring: an expression
+# like array_join/concat_ws in a plan would trip the substring test
+# spuriously, and the substring also matches non-operator plan text.
+_JOIN_NODE = re.compile(
+    r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+    r"|BroadcastNestedLoopJoin|CartesianProduct)\b"
+)
+
+
+def assert_no_join_node(p: str) -> None:
+    m = _JOIN_NODE.search(p)
+    assert m is None, f"plan contains a physical join node: {m.group(0)}"
+
+
 def test_filter_pushdown_reaches_scan(spark):
     p = plan(spark, "filter_isin")
     assert "PushedFilters" in p
@@ -467,7 +481,7 @@ def test_merge_upsert_single_shuffle_on_key(spark):
     pre-filters to rank 1 on the map side before the shuffle."""
     p = plan(spark, "merge_upsert_orders")
     assert "Window" in p
-    assert "Join" not in p
+    assert_no_join_node(p)
     assert "WindowGroupLimit" in p
     assert len([l for l in p.splitlines() if ") Exchange" in l]) == 1
 
@@ -523,7 +537,7 @@ def test_repetition_is_pure_projection(spark):
     p = plan(spark, "text_repetition")
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
-    assert "Join" not in p
+    assert_no_join_node(p)
 
 
 def test_boilerplate_dictionary_joins_broadcast(spark):
@@ -543,7 +557,7 @@ def test_kmeans_step_single_keyed_shuffle(spark):
     k·d-key groupBy, map-side combined."""
     p = plan(spark, "embedding_kmeans_step")
     assert p.count("hashpartitioning(") == 1, p
-    assert "Join" not in p
+    assert_no_join_node(p)
 
 
 def test_hash_split_is_pure_projection(spark):
@@ -551,7 +565,7 @@ def test_hash_split_is_pure_projection(spark):
     scan + project so it costs nothing at 100 TB."""
     p = plan(spark, "sample_hash_split")
     assert "Exchange" not in p
-    assert "Join" not in p
+    assert_no_join_node(p)
 
 
 def test_chunk_windows_is_pure_projection(spark):
@@ -639,7 +653,7 @@ def test_model_quality_filter_zero_shuffle_no_python(spark):
     # is the documented test-scale parallelism lever, not a data shuffle
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
-    assert "Join" not in p
+    assert_no_join_node(p)
 
 
 def test_asof_tolerance_single_exchange_on_key(spark):
@@ -659,7 +673,7 @@ def test_point_in_time_join_is_asof_merge_not_a_join(spark):
     it at 213 s vs ~3 s for this form. Any Join node here is a
     regression."""
     p = plan(spark, "join_point_in_time")
-    assert "Join" not in p
+    assert_no_join_node(p)
     assert ") Window" in p  # the carry window (plus SCD2's builds)
     assert "Union" in p  # events ∪ dim rows on the (key, ts) spine
     assert "BatchEvalPython" not in p
@@ -699,7 +713,7 @@ def test_fifo_pnl_plan_shape(spark):
     a regression.  Whole chain stays JVM-side."""
     p = plan(spark, "portfolio_fifo_pnl")
     assert "NestedLoop" not in p
-    assert "Join" not in p  # no pair join of the buy/sell interval sets
+    assert_no_join_node(p)  # no pair join of the buy/sell interval sets
     assert ") Window" in p  # the single carry/lead window pass
     assert "Union" in p  # breakpoint spine = buy-starts U sell-starts
     assert "BatchEvalPython" not in p

@@ -240,11 +240,14 @@ def minhash_lsh_pairs(
          ``max_bucket`` take the exact all-pairs path with a buffer
          bounded by construction, larger buckets emit a STAR to the
          bucket's min id — O(bucket) rows, no id list ever collected.
-         The star preserves what downstream consumers actually use
-         (connected-components clusters stay fully connected); only
-         direct hub↔member pairs are verified, so within an over-cap
-         bucket the pairwise listing is the star closure, not the
-         quadratic clique — the documented trade for boundedness;
+         Above the cap recall is HUB-REACHABLE connectivity: only
+         direct hub↔member pairs are verified, so a member whose
+         Jaccard against the hub falls below threshold loses its
+         in-bucket pairs even when within threshold of other members
+         (another band's under-cap bucket may still surface them).
+         The pairwise listing within an over-cap bucket is the star
+         closure, not the quadratic clique — the documented trade
+         for boundedness;
       4. verify candidates with exact Jaccard computed per candidate
          pair (array_intersect on the two shingle sets) — the candidate
          subtree is referenced exactly once, so Spark computes
@@ -716,10 +719,14 @@ def simhash_near_pairs(
     window over the banded frame (one exchange serves the guard and
     both join sides); buckets ≤ ``max_bucket`` take the exact
     pair-join path, larger buckets emit a STAR to the bucket's min id
-    with true hub↔member hamming — O(bucket) rows, connectivity (what
-    connected-components consumers use) preserved, the clique's full
-    pairwise listing traded for boundedness exactly as documented on
-    the MinHash side. Driver-SF corpora never exceed the cap, so the
+    with true hub↔member hamming — O(bucket) rows. Recall above the
+    cap is HUB-REACHABLE connectivity only: a member whose distance
+    to the hub exceeds ``max_hamming`` loses ALL its pairs within
+    that bucket, even member↔member pairs that are within
+    ``max_hamming`` of each other (they may still surface via another
+    band whose bucket stays under cap). The clique's full pairwise
+    listing is traded for boundedness exactly as documented on the
+    MinHash side. Driver-SF corpora never exceed the cap, so the
     DuckDB oracle models the exact path only.
     """
     from pyspark.sql import Window
@@ -853,6 +860,12 @@ def substring_span_pairs(
     # hub↔member spans survive while member↔member pairs keep only
     # their sub-cap windows. Driver-SF corpora top out at df = 4
     # (measured), so the oracle models the exact path only.
+    # Span accounting above the cap is a LOWER BOUND for member↔member
+    # pairs: a single over-cap window in the middle of a longer shared
+    # span removes that window's member-side matches, splitting the
+    # diagonal run — max_span_tokens is underestimated and n_spans may
+    # double-count the two halves for pairs whose span crosses a hot
+    # window. Hub↔member spans stay exact (the hub keeps all windows).
     wdf = Window.partitionBy("h")
     win = (
         win.withColumn("__n", F.count(F.lit(1)).over(wdf))

@@ -51,87 +51,87 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r09 window (exactly 50): executes the r8 verdict's task 2 — the r8
-# window was byte-identical to r7's, so this rotation covers the two
-# staleness fronts the verdict names:
-#   (1) the full portfolio family (4): portfolio_fifo_pnl /
-#       _open_lots / _max_drawdown were rewritten in r7 (join-free
-#       single-window FIFO merge; drawdown's stacked-window reuse) but
-#       their only hash-green driver rows predate the rewrite (r5);
-#       portfolio_sharpe_monthly rides along — same r5 vintage, same
-#       fills-derived input family.
-#   (2) ALL 34 entries whose last hash-green row is r2 — the sources/
-#       sinks, joins, aggregate-battery and window-battery blocks the
-#       verdict calls 6 rounds stale — so after r9 no row is older
-#       than r3.
-#   (3) 12 highest-risk r3 re-samples filling the remaining slots:
-#       the decimal flagship twin, merge/SCD2 mutation pair, the
-#       session/retention event suite, correlated subqueries, the
-#       bruteforce+IVF similarity pair, kmeans, sequence packing, and
-#       the most join-heavy TPC-H shape (q21 semi+anti).
-# The 46-entry r3 block cannot fully fit behind these; the remaining
-# 34 r3 rows queue for the r10 rotation (tracked here so the next
-# window is not re-derived from scratch).
+# r10 window (exactly 50): executes the r9 verdict's task 1 — retire
+# the driver-proof staleness front. After r9, 80 entries' last
+# hash-green driver row was r3 (35) or r4 (45); this window takes
+# every r3 row, the entries whose PLANS change in r10, and the
+# highest-risk r4 rows, in three groups:
+#   (1) ALL 35 entries whose last hash-green row is r3 — the scalar
+#       string/timestamp batteries, the tumbling/sliding/OHLC event
+#       suite, the tpch q2/q4-q13/q15-q22 family, the sampling
+#       splits, and window_range_frame — so after r10 no surviving
+#       row is older than r4.
+#   (2) 4 entries whose plan changes in r10 (the growth rule: a
+#       changed plan must re-prove on the driver regardless of age):
+#       sink_ivf_partitioned_ann (hot-cell salted writer, verdict
+#       item 2), embedding_near_dup_lsh (chunk-distributed under-cap
+#       gram, verdict item 3), dedup_jaccard_pairs and
+#       dedup_containment_pairs (env-gated stop-shingle cap, verdict
+#       item 5 — default-off, so the driver plan is unchanged, but
+#       the entries' code paths moved).
+#   (3) 11 highest-risk r4 re-samples filling the remaining slots:
+#       the five stateful streaming batch-twins (cdc_apply,
+#       presence_bitmap, session_window, sliding, vwap), the three
+#       trickiest join shapes (asof_tolerance, dpp_partitioned,
+#       salted_skew), schema evolution, snapshot diff, and the
+#       first-seen running-distinct window.
+# The remaining 34 r4 rows queue for the r11 rotation (tracked here
+# so the next window is not re-derived from scratch).
 _DRIVER_WINDOW = [
-    # --- r09 window (exactly 50) ---
-    # (1) portfolio family — plans rewritten r7, driver rows from r5
-    "portfolio_fifo_pnl",
-    "portfolio_open_lots",
-    "portfolio_max_drawdown",
-    "portfolio_sharpe_monthly",
-    # (2) every entry whose last hash-green driver row is r2 (34)
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_having_top_parts",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_salted_skew",
-    "dedup_boilerplate_lines",
+    # --- r10 window (exactly 50) ---
+    # (1) every entry whose last hash-green driver row is r3 (35)
+    "embedding_near_dup",
+    "events_gapfill_hourly",
+    "events_ohlc_daily",
+    "events_sliding_2h_1h",
+    "events_tumbling_1h",
+    "join_asof_backward",
+    "sample_domain_mixture",
+    "sample_hash_split",
+    "sample_stratified",
+    "string_funcs",
+    "string_funcs_extended",
+    "text_quality_score",
+    "text_redact",
+    "text_tfidf_topk",
+    "text_token_stats",
+    "timestamp_funcs",
+    "tpch_q2_best_supplier_per_part",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_by_year",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotable_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    "window_range_frame",
+    # (2) plan changed in r10 — must re-prove green
+    "sink_ivf_partitioned_ann",
+    "embedding_near_dup_lsh",
+    "dedup_jaccard_pairs",
     "dedup_containment_pairs",
-    "dedup_decontaminate",
-    "dedup_exact",
-    "events_json_props",
-    "explode_unnest",
-    "join_broadcast_enrich",
-    "join_multiway_star",
-    "join_outer_coalesce",
-    "join_range_interval",
-    "join_semi_anti",
-    "profile_columns",
-    "profile_histogram",
-    "sink_bucketed_colocated_join",
-    "sink_partitioned_parquet",
-    "source_csv_roundtrip",
-    "source_json_flatten",
-    "source_orc_roundtrip",
-    "streaming_foreachbatch_ingest",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q3_shipping_priority",
-    "unpivot_melt",
-    "window_analytic_battery",
-    "window_keep_first",
-    "window_lag_lead_running",
-    "window_topn_per_group",
-    # (3) 11 highest-risk r3 re-samples
-    "flagship_pipeline_decimal",
-    "merge_upsert_orders",
-    "scd2_customer_history",
-    "events_retention_cohorts",
-    "events_session_window",
-    "events_sessionize_30m",
-    "subquery_correlated",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "embedding_kmeans_step",
-    "sample_pack_sequences",
-    # (4) plan CHANGED in r9 — the Zipf skew sweep's one straggler,
-    # rewritten from equi-hash-join+range-residual to a backward
-    # as-of merge (213 s -> ~5 s at sf2.5_zipf); must re-prove green.
-    # Displaced tpch_q21_waiting_suppliers per the growth rule —
-    # textbook semi+anti shape, lowest divergence risk of group (3).
-    "join_point_in_time",
+    # (3) 11 highest-risk r4 re-samples
+    "streaming_cdc_apply",
+    "streaming_presence_bitmap",
+    "streaming_session_window",
+    "streaming_sliding_2h_1h",
+    "streaming_vwap_hourly",
+    "join_asof_tolerance",
+    "join_dpp_partitioned",
+    "join_salted_skew",
+    "source_schema_evolution",
+    "snapshot_diff_orders",
+    "window_running_distinct",
 ]
 
 
