@@ -959,3 +959,38 @@ def test_guarded_ops_oracle_corpora_under_caps(spark):
         f"embedding_near_dup_lsh oracle no longer matches the engine's "
         f"star fallback"
     )
+
+
+def test_write_ivf_cells_salts_hot_cell(spark, tmp_path):
+    """The IVF cell sink must not write a hot cell from ONE task
+    (VERDICT r9 item 2: a 25%-hot cell measured 2.37x — at 100 TB one
+    task writes 25 TB). With rows_per_task=256, a 900-row cell salts
+    into ceil(900/256)=4 writer sub-groups -> multiple part files,
+    while the 50-row cell stays single-salt. Layout-only: the
+    read-back row set and schema are identical and the salt column
+    never reaches the files."""
+    import glob
+    import os
+
+    from trading212_etl_spark.operators.similarity import write_ivf_cells
+
+    assigned = spark.range(950).selectExpr(
+        "id AS vec_id",
+        "array(cast(id AS double)) AS c_emb",
+        "CASE WHEN id < 900 THEN 1 ELSE 2 END AS cell",
+    )
+    path = str(tmp_path / "cells")
+    write_ivf_cells(assigned, path, rows_per_task=256)
+    hot_files = glob.glob(os.path.join(path, "cell=1", "*.parquet"))
+    assert len(hot_files) >= 2, (
+        f"hot cell written as {len(hot_files)} file(s) — the salted "
+        "repartition did not spread the write across tasks"
+    )
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == ["c_emb", "cell", "vec_id"]
+    assert back.count() == 950
+    assert back.filter("cell = 1").count() == 900
+    # identical row set, not just counts
+    assert back.select("vec_id").exceptAll(
+        assigned.select("vec_id")
+    ).count() == 0

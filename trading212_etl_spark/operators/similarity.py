@@ -45,6 +45,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def write_ivf_cells(
+    assigned: DataFrame, path: str, rows_per_task: int = 512
+) -> None:
+    """Write a cell-assigned corpus ``partitionBy("cell")`` with the
+    hot cells SALTED across writer tasks (VERDICT r9 item 2): without
+    the salt, one task owns each post-repartition cell and a
+    natural-skew cell holding 25% of the corpus is one straggler
+    writer — at 100 TB, one task writing 25 TB. Every cell's rows are
+    split into ``ceil(cell_rows / rows_per_task)`` sub-groups (cell
+    counts from a tiny broadcast aggregate; salt =
+    pmod(xxhash64(vec_id))), and ``repartition(cell, salt)`` fans the
+    hot cell's write across that many tasks. The salt column is
+    dropped before the write, so the directory layout — and therefore
+    probe-side ``cell=`` partition pruning — is unchanged; the hot
+    cell simply lands as several files, which also splits the
+    probe-side scan. Layout-only: the row set written is identical.
+    """
+    cell_counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # explicit partition count: a bare repartition(cols) is an AQE
+    # coalescing target, and at sub-advisory-size corpora AQE merges
+    # the salted groups back into one writer task — exactly the
+    # straggler the salt exists to break. defaultParallelism == the
+    # cluster's write-slot count, which is the parallelism cap we
+    # want; empty partitions are free.
+    num_parts = assigned.sparkSession.sparkContext.defaultParallelism
+    salted = (
+        assigned.join(F.broadcast(cell_counts), "cell")
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("__cnt") / F.lit(rows_per_task)).cast("long"),
+                ),
+            ),
+        )
+        .repartition(num_parts, F.col("cell"), F.col("__salt"))
+        .drop("__cnt", "__salt")
+    )
+    salted.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, k: int, round_dp: int = 4
 ) -> DataFrame:

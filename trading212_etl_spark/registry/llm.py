@@ -1451,7 +1451,20 @@ def q_sink_ivf_partitioned_ann(spark, sf_dir):
     centroids, probes, and scoring as similarity_topk_ivf, hence the
     same oracle verbatim — what this entry adds is the layout: at
     100 TB the ANN index IS the directory structure, rebuilt by one
-    partitioned write per centroid refresh."""
+    partitioned write per centroid refresh.
+
+    Hot-cell salted writer (r10, VERDICT r9 item 2): a natural-skew
+    cell owning 25% of the corpus was previously written by ONE task
+    (measured 2.37x under bucket skew — at 100 TB that task writes
+    25 TB). Each cell's rows are salted into
+    ``ceil(cell_rows / 512)`` sub-groups (per-cell counts from a tiny
+    broadcast aggregate, salt = pmod(xxhash64(vec_id))), then
+    ``repartition(cell, salt)`` spreads the hot cell's write across
+    that many tasks. The salt never reaches the files or the
+    directory layout — probes still prune on the ``cell=`` prefix
+    alone, and the hot cell's multiple files also split the probe-side
+    scan across tasks. Result set is byte-identical (layout-only
+    change), so the oracle is untouched."""
     import os
 
     from pyspark.sql import Window
@@ -1478,7 +1491,9 @@ def q_sink_ivf_partitioned_ann(spark, sf_dir):
             )
             .drop("__dots")
         )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        from ..operators.similarity import write_ivf_cells
+
+        write_ivf_cells(assigned, path, rows_per_task=512)
     corpus = spark.read.parquet(path)
     q = (
         emb.filter(F.col("vec_id") < 8)
