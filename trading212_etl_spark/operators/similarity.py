@@ -427,6 +427,7 @@ def embedding_near_dup_pairs_lsh(
     dim: int = 64,
     round_dp: int = 4,
     max_bucket: int = 4096,
+    gram_cap: int = 512,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path for
     :func:`embedding_near_dup_pairs`: candidate pairs must co-bucket
@@ -440,52 +441,84 @@ def embedding_near_dup_pairs_lsh(
     tables = [_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
     # Within-bucket verification: the banded rows KEEP their embedding
     # through the (tbl, bkt) shuffle — n_tables copies of the corpus —
-    # and each bucket is scored by one numpy gram matmul; only
-    # survivors (pairs at/above threshold) leave Python. The
-    # alternative shape (candidates as bare id pairs, embeddings
-    # re-joined for scoring) moves |candidates| × 2 embeddings instead,
-    # which wins only when the sketch is selective; at a low cosine
-    # threshold LSH candidates grow ~quadratic (measured: 814 k
-    # candidate pairs from a 2 k corpus = 400× the banded-with-vector
-    # bytes), so bucket-local scoring is the cheaper contract for the
-    # near-dup operator. cosine_topk_lsh keeps the bare-pair shape —
-    # its query-side candidates ARE selective. Scale guard: a bucket
-    # must fit one task (tune n_planes so 2^n_planes ≫ corpus/task
-    # budget; AQE skew-split cannot cut a single applyInPandas group),
-    # and a bucket over ``max_bucket`` rows falls back to a STAR
-    # against the bucket's min-id vector — O(bucket·dim) FLOPs
-    # instead of the O(bucket²·dim) gram matmul, the same
-    # connectivity-preserving trade as minhash_lsh_pairs /
-    # simhash_near_pairs. Driver-SF corpora never exceed the cap, so
-    # the oracle-facing exact path is untouched; the star path is
-    # exercised by the bucket-skew corpus (tools/gen_bucket_skew.py).
+    # and each bucket is scored by numpy gram matmuls; only survivors
+    # (pairs at/above threshold) leave Python. The alternative shape
+    # (candidates as bare id pairs, embeddings re-joined for scoring)
+    # moves |candidates| × 2 embeddings instead, which wins only when
+    # the sketch is selective; at a low cosine threshold LSH
+    # candidates grow ~quadratic (measured: 814 k candidate pairs from
+    # a 2 k corpus = 400× the banded-with-vector bytes), so
+    # bucket-local scoring is the cheaper contract for the near-dup
+    # operator. cosine_topk_lsh keeps the bare-pair shape — its
+    # query-side candidates ARE selective.
+    #
+    # Two-level scale guard:
+    # - a bucket over ``max_bucket`` rows falls back to a STAR against
+    #   the bucket's min-id vector — O(bucket·dim) FLOPs instead of
+    #   the O(bucket²·dim) gram. Recall above the cap is HUB-REACHABLE
+    #   only: a member below ``threshold`` against the hub loses its
+    #   in-bucket pairs even when above threshold against other
+    #   members (another table's under-cap bucket may still surface
+    #   them) — the documented boundedness trade shared with
+    #   minhash_lsh_pairs / simhash_near_pairs.
+    # - a bucket under the cap but over ``gram_cap`` rows previously
+    #   ran its exact gram — all O(bucket²) pair construction — in ONE
+    #   task (r9 bucket-skew sweep: 4.49× at a 2 470-vector bucket).
+    #   Such buckets are now CHUNKED: rows round-robin into
+    #   ``ceil(bucket / gram_cap)`` chunks by their in-bucket rank,
+    #   and every chunk-pair tile (ci ≤ cj) is scored by its own task
+    #   — the same EXACT pair set (each pair lands in exactly one
+    #   tile), distributed across O((bucket/gram_cap)²) bounded tasks
+    #   of ≤ gram_cap² pairs each. Driver-SF corpora never exceed
+    #   gram_cap, so the oracle-facing single-tile path is unchanged;
+    #   both guards are exercised by the bucket-skew corpus
+    #   (tools/gen_bucket_skew.py).
     cutoff = threshold - 0.5 * 10 ** (-round_dp) - 1e-12
 
-    def _score_bucket(pdf):
+    def _score_star(pdf):
         import pandas as _pd
 
         m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
         ids = pdf["vec_id"].to_numpy()
         normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
-        if len(ids) > max_bucket:
-            hub = int(_np.argmin(ids))
-            cos_h = normed @ normed[hub]
-            keep = (cos_h >= cutoff) & (_np.arange(len(ids)) != hub)
-            lo = _np.minimum(ids[keep], ids[hub])
-            hi = _np.maximum(ids[keep], ids[hub])
+        hub = int(_np.argmin(ids))
+        cos_h = normed @ normed[hub]
+        keep = (cos_h >= cutoff) & (_np.arange(len(ids)) != hub)
+        lo = _np.minimum(ids[keep], ids[hub])
+        hi = _np.maximum(ids[keep], ids[hub])
+        return _pd.DataFrame({"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]})
+
+    def _score_tile(pdf):
+        import pandas as _pd
+
+        ci, cj = int(pdf["__ci"].iloc[0]), int(pdf["__cj"].iloc[0])
+        m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
+        if ci == cj:
+            # diagonal tile: triangular gram over the chunk
+            cos = normed @ normed.T
+            ia, ib = _np.triu_indices(len(ids), k=1)
+            keep = cos[ia, ib] >= cutoff
+            # orient each pair as (low id, high id); keep raw cos —
+            # the oracle-parity round + threshold stay SQL-side
+            lo = _np.minimum(ids[ia[keep]], ids[ib[keep]])
+            hi = _np.maximum(ids[ia[keep]], ids[ib[keep]])
             return _pd.DataFrame(
-                {"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]}
+                {"vec_a": lo, "vec_b": hi, "raw_cos": cos[ia, ib][keep]}
             )
-        cos = normed @ normed.T
-        ia, ib = _np.triu_indices(len(ids), k=1)
-        # orient each pair as (low id, high id); keep raw cos — the
-        # oracle-parity round + threshold stay SQL-side
-        keep = cos[ia, ib] >= cutoff
-        lo = _np.minimum(ids[ia[keep]], ids[ib[keep]])
-        hi = _np.maximum(ids[ia[keep]], ids[ib[keep]])
+        # cross tile: chunk ci rows × chunk cj rows, full rectangle
+        ca = pdf["__c"].to_numpy() == ci
+        cos = normed[ca] @ normed[~ca].T
+        ia, ib = _np.nonzero(cos >= cutoff)
+        ids_a, ids_b = ids[ca][ia], ids[~ca][ib]
+        lo = _np.minimum(ids_a, ids_b)
+        hi = _np.maximum(ids_a, ids_b)
         return _pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "raw_cos": cos[ia, ib][keep]}
+            {"vec_a": lo, "vec_b": hi, "raw_cos": cos[ia, ib]}
         )
+
+    from pyspark.sql import Window
 
     v = fan_out(corpus).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
@@ -493,9 +526,38 @@ def embedding_near_dup_pairs_lsh(
     banded = v.select(
         "vec_id", "emb", F.posexplode(_bands_arrow_udf(tables)("emb")).alias("tbl", "bkt")
     )
-    scored = banded.groupBy("tbl", "bkt").applyInPandas(
-        _score_bucket, "vec_a long, vec_b long, raw_cos double"
+    # bucket size + in-bucket rank via ONE window over the banded
+    # frame (the minhash lesson: a separate count aggregate joined
+    # back re-executes the banding subtree); the window's exchange on
+    # (tbl, bkt) feeds both downstream groupings.
+    wb = Window.partitionBy("tbl", "bkt")
+    sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+        "__rn", F.row_number().over(wb.orderBy("vec_id"))
     )
+    star_scored = (
+        sized.filter(F.col("__n") > max_bucket)
+        .groupBy("tbl", "bkt")
+        .applyInPandas(_score_star, "vec_a long, vec_b long, raw_cos double")
+    )
+    # chunked exact tiles: nc = 1 for ordinary buckets (sequence(0,0)
+    # explodes to the single (0,0) tile == the old one-task gram)
+    tiled = (
+        sized.filter(F.col("__n") <= max_bucket)
+        .withColumn("__nc", F.ceil(F.col("__n") / F.lit(gram_cap)).cast("int"))
+        .withColumn("__c", (F.col("__rn") - 1) % F.col("__nc"))
+        .withColumn(
+            "__j", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+        )
+        # a chunk-c row emits tile (c, j) once per j, so tile (ci, cj)
+        # holds each ci row once (j = cj) and each cj row once
+        # (j = ci) — every pair scored in exactly one tile
+        .withColumn("__ci", F.least("__c", "__j"))
+        .withColumn("__cj", F.greatest("__c", "__j"))
+    )
+    tile_scored = tiled.groupBy("tbl", "bkt", "__ci", "__cj").applyInPandas(
+        _score_tile, "vec_a long, vec_b long, raw_cos double"
+    )
+    scored = tile_scored.unionByName(star_scored)
     # a pair co-bucketing in k tables is scored k times with identical
     # float64 arithmetic; min() collapses the copies deterministically
     return (
