@@ -1025,3 +1025,43 @@ def test_write_ivf_cells_salts_hot_cell(spark, tmp_path):
     assert back.select("vec_id").exceptAll(
         assigned.select("vec_id")
     ).count() == 0
+
+
+def test_jaccard_pairs_stop_shingle_cap_drops_boilerplate_only(spark):
+    """The ``max_df`` stop-shingle lever (VERDICT r9 item 5): shingles
+    shared by more than max_df documents are dropped BEFORE the
+    self-join (a df-k shingle contributes k² join rows — the hot-key
+    blowup), making J a LOWER BOUND: pairs whose evidence is only
+    boilerplate vanish, pairs with rare-shingle evidence survive with
+    understated J. Default None keeps exact oracle semantics."""
+    from trading212_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    twin = "alpha beta gamma delta epsilon zeta common tail one two"
+    rows = [(0, twin), (1, twin)] + [
+        (
+            i,
+            f"q{chr(97 + i)}a r{chr(97 + i)}b s{chr(97 + i)}c "
+            f"t{chr(97 + i)}d u{chr(97 + i)}e v{chr(97 + i)}f "
+            "common tail one two",
+        )
+        for i in range(2, 12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = jaccard_pairs(docs, threshold=0.1).collect()
+    # every doc shares the boilerplate tail -> all C(12,2) pairs meet
+    assert len(exact) == 66
+    exact_j = {(r.doc_a, r.doc_b): r.jaccard for r in exact}
+    capped = jaccard_pairs(docs, threshold=0.1, max_df=2).collect()
+    # boilerplate shingles (df=12) dropped: only the true twin pair
+    # keeps rare-shingle evidence; its J is a lower bound of the truth
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(0, 1)}
+    assert capped[0].jaccard <= exact_j[(0, 1)] == 1.0
+    # twin docs: 8 shingles, 2 boilerplate-only -> capped J = 6/10
+    assert abs(capped[0].jaccard - 0.6) < 1e-9
+    # containment shares the lever through the same skeleton
+    c_capped = containment_pairs(docs, threshold=0.5, max_df=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in c_capped} == {(0, 1)}
+    assert c_capped[0].max_containment <= 1.0

@@ -76,10 +76,26 @@ def q_dedup_jaccard(spark, sf_dir):
     collision (~2^-64 per pair) would inflate n_common relative to this
     string-joining oracle. Acceptable for the ground-truth role at any
     realistic corpus size; use the raw-string join if cryptographic
-    exactness is ever required."""
+    exactness is ever required.
+
+    Stop-shingle lever (r10, VERDICT r9 item 5): set
+    ``SPARK_GRAFT_PAIRS_MAX_DF=<k>`` to drop shingles appearing in
+    more than k documents before the self-join — the standard cure
+    for the O(df²) hot-shingle blowup that makes this exact verifier
+    expensive on boilerplate-heavy corpora (J becomes a lower bound
+    for pairs sharing dropped shingles). UNSET by default, so the
+    driver/oracle runs stay exact."""
+    import os
+
     from ..operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    max_df = os.environ.get("SPARK_GRAFT_PAIRS_MAX_DF")
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=3,
+        max_df=int(max_df) if max_df else None,
+    )
 
 
 @register(
@@ -109,10 +125,21 @@ def q_dedup_containment(spark, sf_dir):
     """Near-containment pairs (max direction ≥ 0.6): the asymmetric
     |A∩B|/|A| ratio that catches doc-inside-doc duplication Jaccard
     misses (operators/dedup.py:containment_pairs — same shingle-join
-    skeleton and skew levers as jaccard_pairs)."""
+    skeleton and skew levers as jaccard_pairs, including the
+    ``SPARK_GRAFT_PAIRS_MAX_DF`` stop-shingle lever — unset by
+    default so driver/oracle runs stay exact; containment is a lower
+    bound for pairs sharing dropped shingles when set)."""
+    import os
+
     from ..operators.dedup import containment_pairs
 
-    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.6, n=3)
+    max_df = os.environ.get("SPARK_GRAFT_PAIRS_MAX_DF")
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.6,
+        n=3,
+        max_df=int(max_df) if max_df else None,
+    )
 
 
 @register(
