@@ -335,3 +335,156 @@ def test_concurrency_sweep_integrity(spark, sf_dir):
     }
     assert peaks == by_day
     assert stats["mx"] == max(peaks.values())
+
+
+def test_streaming_dedup_horizon_semantics(spark, tmp_path):
+    """Hostile probe of the exactly-once dedup's THREE regimes
+    (VERDICT r9 item 7): (1) a duplicate within the watermark horizon
+    is dropped via state; (2) a late duplicate carrying its original
+    (now sub-watermark) timestamp is dropped by the late-record filter
+    even though its state was already evicted; (3) a re-send with a
+    FRESH timestamp after state eviction IS emitted again — the dedup
+    guarantee is horizon-bounded, which is exactly what lets state
+    stay O(horizon) instead of O(stream)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from trading212_etl_spark.streaming.windows import streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 6, 1, 10, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: e1@10:00, e2@19:00, advancer@20:00 -> watermark 18:00
+    wb(
+        [
+            (1, base, "a"),
+            (2, base.replace(hour=19), "b"),
+            (99, base.replace(hour=20), "adv"),
+        ]
+    )
+    dedup = streaming_dedup(
+        spark.readStream.schema(schema).format("parquet").load(src)
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_horizon")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: dup of e1 at its ORIGINAL ts (now < watermark:
+        # state evicted AND late-filtered), dup of e2 within horizon
+        # (state drops it), advancer -> watermark 21:30 > e2 expiry
+        wb(
+            [
+                (1, base, "a"),
+                (2, base.replace(hour=19), "b"),
+                (98, base.replace(hour=23, minute=30), "adv"),
+            ]
+        )
+        q.processAllAvailable()
+        # batch 3: e2 re-sent with a FRESH ts after its state expired
+        # (expiry = 19:00 + 2h horizon = 21:00 < watermark 21:30)
+        wb([(2, base.replace(hour=21, minute=45), "b-resend")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = [
+        (r.event_id, r.event_type)
+        for r in spark.table("dedup_horizon").collect()
+    ]
+    # regimes 1+2: e1 and the in-horizon e2 dup emitted exactly once
+    assert out.count((1, "a")) == 1
+    assert out.count((2, "b")) == 1
+    # regime 3: the fresh-ts resend escapes the horizon -> emitted too
+    assert out.count((2, "b-resend")) == 1, out
+
+
+def test_streaming_user_stats_ttl_expires_and_restarts(spark, tmp_path):
+    """Hostile probe of the stateful user-stats TTL (VERDICT r9
+    item 7): once the watermark passes a user's last event + TTL, the
+    timeout callback must emit that user's FINAL row and REMOVE the
+    state — and a later event for the same user must start a FRESH
+    count (1, not cumulative), the observable proof the state store
+    is bounded by the TTL rather than holding every user forever."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from trading212_etl_spark.streaming.windows import streaming_user_stats_ttl
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 6, 1, 10, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: user 7 twice (last 10:30, TTL 1h -> expires at 11:30),
+    # user 8 advances event time
+    wb(
+        [
+            (7, base, 1.0),
+            (7, base.replace(minute=30), 3.0),
+            (8, base.replace(hour=12), 1.0),
+        ]
+    )
+    stats = streaming_user_stats_ttl(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "2 hours"),
+        ttl_minutes=60,
+    )
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark -> 12:00 >= 11:30: user 7 times out on this batch
+        wb([(8, base.replace(hour=14), 1.0)])
+        q.processAllAvailable()
+        wb([(8, base.replace(hour=16), 1.0)])  # safety advance
+        q.processAllAvailable()
+        # user 7 re-appears (ts above watermark): FRESH state
+        wb([(7, base.replace(hour=15), 9.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    u7 = sorted(
+        (r.n_events, r.max_value, r.final)
+        for r in spark.table("user_stats_ttl")
+        .filter("user_id = 7")
+        .collect()
+    )
+    # running row, then the timeout's FINAL row, then the restart at 1
+    assert (2, 3.0, False) in u7, u7
+    assert (2, 3.0, True) in u7, u7
+    assert (1, 9.0, False) in u7, u7

@@ -101,21 +101,33 @@ def _run_to_memory(
     return spark.table(name)
 
 
-def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming exactly-once ingest: watermark-bounded dedup on the
-    event id — the principled replacement for the reference's
-    poll-loop ingestion + full-table drop_duplicates (T2,
-    trading212.py:100-111, 121).
+def streaming_dedup(stream: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Watermark-bounded exactly-once dedup on the event id — the
+    principled replacement for the reference's poll-loop ingestion +
+    full-table drop_duplicates (T2, trading212.py:100-111, 121).
 
     ``dropDuplicatesWithinWatermark`` keys state by event_id and
-    evicts ids older than the watermark, so state is bounded by the
-    dedup horizon instead of growing with the stream. Returns per-type
-    counts of the deduplicated stream (equals batch distinct counts —
-    asserted in tests/test_events.py).
-    """
-    dedup = _events_stream(spark, events_dir).withWatermark(
-        "ts", "2 hours"
-    ).dropDuplicatesWithinWatermark(["event_id"])
+    evicts an id once the watermark passes (its event time +
+    ``horizon``), so state is bounded by the dedup horizon instead of
+    growing with the stream. The guarantee is therefore HORIZON-
+    BOUNDED, in three regimes (pinned by the hostile test in
+    tests/test_events.py::test_streaming_dedup_horizon_semantics):
+    duplicates within the horizon are dropped via state; a late
+    duplicate carrying its ORIGINAL (now sub-watermark) timestamp is
+    dropped by the late-record filter even after state eviction; but a
+    re-send with a FRESH timestamp after eviction is emitted again —
+    at-least-once beyond the horizon, the price of bounded state (size
+    the horizon to the upstream's max redelivery delay)."""
+    return stream.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drive :func:`streaming_dedup` over the corpus events and return
+    per-type counts of the deduplicated stream (equals batch distinct
+    counts — asserted in tests/test_events.py)."""
+    dedup = streaming_dedup(_events_stream(spark, events_dir))
     return (
         _run_to_memory(spark, dedup, "stream_dedup_out", "append")
         .groupBy("event_type")
@@ -182,6 +194,88 @@ def run_streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
         t.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def streaming_user_stats_ttl(
+    stream: DataFrame, ttl_minutes: int = 60
+) -> DataFrame:
+    """TTL variant of the stateful user-stats operator: per-user
+    running (count, max) under ``EventTimeTimeout`` — the
+    bounded-state production form of :func:`run_streaming_user_stats`.
+    When the watermark passes a user's last event time +
+    ``ttl_minutes``, the timeout callback emits the user's FINAL row
+    (``final = true``) and REMOVES the state, so idle keys cost
+    nothing: state is O(active users within the TTL), not O(all users
+    ever seen). A user re-appearing after expiry starts a FRESH
+    count — the restart is the observable proof the state was dropped
+    (pinned by tests/test_events.py::
+    test_streaming_user_stats_ttl_expires_and_restarts). ``stream``
+    must carry an event-time watermark for the timeout clock.
+
+    The update function is closure-local so it pickles by value
+    (workers cannot import this package); state carries the last
+    event-time millis so each update re-arms the timeout at
+    (last seen + TTL).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("final", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+            T.StructField("last_ms", T.LongType()),
+        ]
+    )
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, mx, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "final": [True],
+                }
+            )
+            return
+        n, mx, last = state.get if state.exists else (0, None, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+                last = max(last, int(pdf["ts"].max().timestamp() * 1000))
+        state.update((n, mx, last))
+        state.setTimeoutTimestamp(last + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "final": [False],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
