@@ -58,7 +58,20 @@ KEYED = {
     "embeddings": {"vec_id": "vec"},
 }
 STATIC = ["region", "nation"]
+# name columns that EMBED their row's key as a digit run
+# ('Customer#000000042'): the digits must be rewritten to the shifted
+# key, or every copy carries the same name and any name-derived
+# attribute (ER blocking keys, name joins) sees k-times duplication —
+# a distribution shift this tool's contract forbids. Found the hard
+# way: at k=125 the un-rewritten c_name turned each customer's ER
+# block into a 375-node clique (~1B true edges) and OOM'd the
+# connected-components probe.
+NAME_KEYED = {
+    "customer": ("c_name", "c_custkey"),
+    "supplier": ("s_name", "s_suppkey"),
+}
 _TOKEN_RE = re.compile(r"\S+")
+_DIGIT_RUN_RE = re.compile(r"\d+$")
 
 
 def _perturb_text(text: str, copy: int) -> str:
@@ -124,6 +137,19 @@ def scale_table(src: str, out: str, table: str, k: int) -> int:
             idx = tc.schema.get_field_index(col)
             shifted = pa.compute.add(tc[col], c * offsets[col])
             tc = tc.set_column(idx, tc.schema.field(idx), shifted.cast(t.schema.field(idx).type))
+        if table in NAME_KEYED and c > 0:
+            name_col, key_col = NAME_KEYED[table]
+            keys = tc[key_col].to_pylist()
+            names = [
+                _DIGIT_RUN_RE.sub(
+                    lambda m, k=k: str(k).zfill(len(m.group())), nm
+                )
+                for nm, k in zip(tc[name_col].to_pylist(), keys)
+            ]
+            ni = tc.schema.get_field_index(name_col)
+            tc = tc.set_column(
+                ni, tc.schema.field(ni), pa.array(names, pa.string())
+            )
         if table == "documents" and c > 0:
             texts = [_perturb_text(x, c) for x in tc["text"].to_pylist()]
             ti = tc.schema.get_field_index("text")

@@ -190,6 +190,7 @@ def entity_pairs_blocked(
     name_col: str,
     block_cols: list[str],
     max_edit: int = 2,
+    max_block: int = 4096,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: blocked self-join +
     edit-distance filter.
@@ -198,26 +199,67 @@ def entity_pairs_blocked(
     blocking turns it into an equi-self-join on cheap deterministic
     keys (here: caller-chosen ``block_cols``), so the pair fan-out is
     bounded by the largest block, not n². Levenshtein runs as the
-    join's post-filter — JVM-side, codegen'd, only within blocks. A
-    hot block is the standard skew problem (salt the block key or let
-    AQE split it). Output: (doc_a, doc_b) with doc_a < doc_b, ready
-    for :func:`~..dedup.connected_components` clustering.
+    join's post-filter — JVM-side, codegen'd, only within blocks.
+
+    Hot-block guard (r10, same family contract as minhash_lsh_pairs /
+    simhash_near_pairs): AQE skew-split can cut a hot block's join
+    WALL, but not its OUTPUT — a block of b near-identical records
+    emits C(b,2) edges, and the downstream connected-components
+    materialization of a clique that size OOM'd at the 125× probe
+    (a 125-copy name block → ~70k edges per original entity →
+    1B-edge graph). Block size + hub (min id) come from ONE window
+    over the keyed frame, whose (block) exchange the self-join
+    reuses; blocks ≤ ``max_block`` take the exact all-pairs path,
+    larger blocks emit a STAR to the block's min-id record with true
+    hub↔member levenshtein — O(block) edges. Above the cap recall is
+    HUB-REACHABLE only (a member within ``max_edit`` of another
+    member but not of the hub loses its in-block pairs); for
+    dedup-style clusters whose variants derive from one canonical
+    record — the ER workload — the star IS the cluster. Rows with a
+    null block key never pair (the equality join semantics), so the
+    star path filters them too. Output: (doc_a, doc_b) with
+    doc_a < doc_b, ready for
+    :func:`~..dedup.connected_components` clustering.
     """
-    a = entities.select(
-        F.col(id_col).alias("doc_a"),
-        F.col(name_col).alias("__na"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+    from pyspark.sql import Window
+
+    bcols = [f"__b_{c}" for c in block_cols]
+    keyed = entities.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__n"),
+        *[F.col(c).alias(bc) for c, bc in zip(block_cols, bcols)],
     )
-    b = entities.select(
-        F.col(id_col).alias("doc_b"),
-        F.col(name_col).alias("__nb"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+    wb = Window.partitionBy(*bcols)
+    sized = keyed.withColumn("__cnt", F.count(F.lit(1)).over(wb)).withColumn(
+        "__hub", F.min(F.struct(F.col("__id"), F.col("__n"))).over(wb)
+    )
+    small = sized.filter(F.col("__cnt") <= max_block)
+    a = small.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__n").alias("__na"),
+        *[F.col(bc).alias(f"__a{bc}") for bc in bcols],
+    )
+    b = small.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__n").alias("__nb"),
+        *[F.col(bc).alias(f"__b{bc}") for bc in bcols],
     )
     cond = F.col("doc_a") < F.col("doc_b")
-    for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
-    return (
+    for bc in bcols:
+        cond = cond & (F.col(f"__a{bc}") == F.col(f"__b{bc}"))
+    exact = (
         a.join(b, cond)
         .where(F.levenshtein("__na", "__nb") <= max_edit)
         .select("doc_a", "doc_b")
     )
+    star_base = sized.filter(F.col("__cnt") > max_block).filter(
+        F.col("__id") != F.col("__hub.__id")
+    )
+    for bc in bcols:
+        star_base = star_base.filter(F.col(bc).isNotNull())
+    star = star_base.where(
+        F.levenshtein(F.col("__n"), F.col("__hub.__n")) <= max_edit
+    ).select(
+        F.col("__hub.__id").alias("doc_a"), F.col("__id").alias("doc_b")
+    )
+    return exact.unionByName(star)

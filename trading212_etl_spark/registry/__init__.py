@@ -61,21 +61,27 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 #       suite, the tpch q2/q4-q13/q15-q22 family, the sampling
 #       splits, and window_range_frame — so after r10 no surviving
 #       row is older than r4.
-#   (2) 4 entries whose plan changes in r10 (the growth rule: a
+#   (2) 5 entries whose plan/drive changes in r10 (the growth rule: a
 #       changed plan must re-prove on the driver regardless of age):
 #       sink_ivf_partitioned_ann (hot-cell salted writer, verdict
 #       item 2), embedding_near_dup_lsh (chunk-distributed under-cap
 #       gram, verdict item 3), dedup_jaccard_pairs and
 #       dedup_containment_pairs (env-gated stop-shingle cap, verdict
 #       item 5 — default-off, so the driver plan is unchanged, but
-#       the entries' code paths moved).
-#   (3) 11 highest-risk r4 re-samples filling the remaining slots:
+#       the entries' code paths moved), and
+#       streaming_dedup_exactly_once (drive moved from the
+#       driver-resident append memory sink to the foreachBatch
+#       parquet sink after the 125× probe burst maxResultSize —
+#       displacing window_running_distinct, the lowest-risk group-(3)
+#       pick, which queues for r11; streaming_session_window got the
+#       same sink change and was already in group (3)).
+#   (3) 10 highest-risk r4 re-samples filling the remaining slots:
 #       the five stateful streaming batch-twins (cdc_apply,
 #       presence_bitmap, session_window, sliding, vwap), the three
 #       trickiest join shapes (asof_tolerance, dpp_partitioned,
-#       salted_skew), schema evolution, snapshot diff, and the
-#       first-seen running-distinct window.
-# The remaining 34 r4 rows queue for the r11 rotation (tracked here
+#       salted_skew), schema evolution, and snapshot diff.
+# The remaining 35 r4 rows (incl. the displaced
+# window_running_distinct) queue for the r11 rotation (tracked here
 # so the next window is not re-derived from scratch).
 _DRIVER_WINDOW = [
     # --- r10 window (exactly 50) ---
@@ -115,12 +121,13 @@ _DRIVER_WINDOW = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
     "window_range_frame",
-    # (2) plan changed in r10 — must re-prove green
+    # (2) plan/drive changed in r10 — must re-prove green
     "sink_ivf_partitioned_ann",
     "embedding_near_dup_lsh",
     "dedup_jaccard_pairs",
     "dedup_containment_pairs",
-    # (3) 11 highest-risk r4 re-samples
+    "streaming_dedup_exactly_once",
+    # (3) 10 highest-risk r4 re-samples
     "streaming_cdc_apply",
     "streaming_presence_bitmap",
     "streaming_session_window",
@@ -131,7 +138,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "source_schema_evolution",
     "snapshot_diff_orders",
-    "window_running_distinct",
 ]
 
 

@@ -87,7 +87,14 @@ def _run_to_memory(
     and return the materialized table — the shared local-smoke drive
     protocol (a production job swaps in a durable sink and keeps the
     transformation graph). One definition so a protocol change
-    (trigger choice, stop/error handling) lands everywhere at once."""
+    (trigger choice, stop/error handling) lands everywhere at once.
+
+    ONLY for results bounded by key/window cardinality (per-type
+    counts, per-window aggregates, per-user bitmaps): a memory sink is
+    DRIVER-resident, so a result that grows with the stream bursts
+    spark.driver.maxResultSize — the 125× probe measured exactly that
+    on the per-session and per-event outputs, which therefore drive
+    through :func:`_run_to_parquet` instead."""
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")
@@ -99,6 +106,36 @@ def _run_to_memory(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _run_to_parquet(
+    spark: SparkSession, df: DataFrame, out_dir: str, mode: str
+) -> DataFrame:
+    """Scale-safe twin of :func:`_run_to_memory`: drive the stream via
+    ``foreachBatch`` into parquet under ``out_dir`` and return the
+    re-read — rows never accumulate on the driver, so stream-sized
+    results (every deduped event, every session) survive any SF.
+    complete mode overwrites one table per batch (last batch = the
+    converged result); append mode lands disjoint per-batch-id
+    directories (the exactly-once ingest layout)."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    table_dir = f"{out_dir}/table" if mode == "complete" else out_dir
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = (
+            table_dir if mode == "complete" else f"{out_dir}/batch_id={batch_id}"
+        )
+        batch_df.write.mode("overwrite").parquet(target)
+
+    q = df.writeStream.foreachBatch(write_batch).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(table_dir)
+    return out.drop("batch_id") if mode == "append" else out
 
 
 def streaming_dedup(stream: DataFrame, horizon: str = "2 hours") -> DataFrame:
@@ -126,13 +163,17 @@ def streaming_dedup(stream: DataFrame, horizon: str = "2 hours") -> DataFrame:
 def run_streaming_dedup(spark: SparkSession, events_dir: str) -> DataFrame:
     """Drive :func:`streaming_dedup` over the corpus events and return
     per-type counts of the deduplicated stream (equals batch distinct
-    counts — asserted in tests/test_events.py)."""
+    counts — asserted in tests/test_events.py). The deduped stream is
+    EVERY surviving event, so it drives through the parquet sink —
+    the append-mode memory sink held the full stream on the driver
+    and burst maxResultSize at the 125× probe."""
+    from trading212_etl_spark.registry._core import _scratch
+
     dedup = streaming_dedup(_events_stream(spark, events_dir))
-    return (
-        _run_to_memory(spark, dedup, "stream_dedup_out", "append")
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_parquet(
+        spark, dedup, _scratch(events_dir, "stream_dedup"), "append"
     )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
 def run_streaming_user_stats(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -515,7 +556,14 @@ def run_streaming_session_window(
     production choice (emit each session once, when the watermark
     passes its gap) but holds back the final sessions of a finite
     local run — the wrong smoke-harness semantics.
+
+    The result is one row per SESSION — it grows with the stream, so
+    it drives through the parquet sink (the complete-mode memory sink
+    held every session on the driver and burst maxResultSize at the
+    125× probe).
     """
+    from trading212_etl_spark.registry._core import _scratch
+
     stream = _events_stream(spark, events_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -532,7 +580,9 @@ def run_streaming_session_window(
             "session_value",
         )
     )
-    return _run_to_memory(spark, agg, "stream_session_out", "complete")
+    return _run_to_parquet(
+        spark, agg, _scratch(events_dir, "stream_session"), "complete"
+    )
 
 
 def run_streaming_cdc_apply(
