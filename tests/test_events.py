@@ -488,3 +488,81 @@ def test_streaming_user_stats_ttl_expires_and_restarts(spark, tmp_path):
     assert (2, 3.0, False) in u7, u7
     assert (2, 3.0, True) in u7, u7
     assert (1, 9.0, False) in u7, u7
+
+
+def test_streaming_user_stats_ttl_non_utc_session_tz(spark, tmp_path):
+    """ADVICE r10 (medium): under a non-UTC session time zone, Spark
+    hands the Pandas state function tz-NAIVE timestamps rendered in
+    the session zone; ``Timestamp.timestamp()`` treats naive values
+    as UTC, so computing the timeout clock from it offsets expiry by
+    the tz delta (under America/New_York the armed timeout lands
+    hours BEFORE the watermark and the query throws). The fix reads
+    JVM-computed ``unix_millis(ts)`` instead — this probe re-runs the
+    expiry scenario under America/New_York and must see the same
+    expire-then-restart behavior as the UTC test."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from trading212_etl_spark.streaming.windows import streaming_user_stats_ttl
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 6, 1, 10, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        wb(
+            [
+                (7, base, 1.0),
+                (7, base.replace(minute=30), 3.0),
+                (8, base.replace(hour=12), 1.0),
+            ]
+        )
+        stats = streaming_user_stats_ttl(
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "2 hours"),
+            ttl_minutes=60,
+        )
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("user_stats_ttl_nyc")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            wb([(8, base.replace(hour=14), 1.0)])
+            q.processAllAvailable()
+            wb([(8, base.replace(hour=16), 1.0)])
+            q.processAllAvailable()
+            wb([(7, base.replace(hour=15), 9.0)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        u7 = sorted(
+            (r.n_events, r.max_value, r.final)
+            for r in spark.table("user_stats_ttl_nyc")
+            .filter("user_id = 7")
+            .collect()
+        )
+        assert (2, 3.0, False) in u7, u7
+        assert (2, 3.0, True) in u7, u7
+        assert (1, 9.0, False) in u7, u7
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

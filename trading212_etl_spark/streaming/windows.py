@@ -257,7 +257,14 @@ def streaming_user_stats_ttl(
     The update function is closure-local so it pickles by value
     (workers cannot import this package); state carries the last
     event-time millis so each update re-arms the timeout at
-    (last seen + TTL).
+    (last seen + TTL). The millis are computed JVM-side
+    (``unix_millis(ts)``) BEFORE the state function: Spark hands the
+    Pandas worker tz-naive timestamps rendered in the SESSION time
+    zone, and ``Timestamp.timestamp()`` treats naive values as UTC —
+    under a non-UTC session tz that offsets the timeout clock by the
+    tz delta (hours-early expiry, or 'timeout before watermark'
+    errors). Pinned by tests/test_events.py::
+    test_streaming_user_stats_ttl_non_utc_session_tz.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -299,7 +306,7 @@ def streaming_user_stats_ttl(
                 n += len(pdf)
                 batch_max = float(pdf["value"].max())
                 mx = batch_max if mx is None else max(mx, batch_max)
-                last = max(last, int(pdf["ts"].max().timestamp() * 1000))
+                last = max(last, int(pdf["__ts_ms"].max()))
         state.update((n, mx, last))
         state.setTimeoutTimestamp(last + ttl_ms)
         yield pd.DataFrame(
@@ -311,12 +318,16 @@ def streaming_user_stats_ttl(
             }
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        out_schema,
-        state_schema,
-        "update",
-        GroupStateTimeout.EventTimeTimeout,
+    return (
+        stream.withColumn("__ts_ms", F.unix_millis("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
