@@ -1027,6 +1027,29 @@ def test_write_ivf_cells_salts_hot_cell(spark, tmp_path):
     ).count() == 0
 
 
+def test_write_ivf_cells_keeps_null_cell_rows(spark, tmp_path):
+    """ADVICE r10: rows with a NULL cell never equi-match the
+    cell-counts side, so the old inner join silently DROPPED them —
+    contradicting the operator's 'row set written is identical'
+    contract. They must survive the salted write (landing under the
+    default Hive partition, reading back with cell IS NULL)."""
+    from trading212_etl_spark.operators.similarity import write_ivf_cells
+
+    assigned = spark.range(100).selectExpr(
+        "id AS vec_id",
+        "array(cast(id AS double)) AS c_emb",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 3 END AS cell",
+    )
+    path = str(tmp_path / "cells_null")
+    write_ivf_cells(assigned, path, rows_per_task=16)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.filter("cell IS NULL").count() == 10
+    assert back.select("vec_id").exceptAll(
+        assigned.select("vec_id")
+    ).count() == 0
+
+
 def test_jaccard_pairs_stop_shingle_cap_drops_boilerplate_only(spark):
     """The ``max_df`` stop-shingle lever (VERDICT r9 item 5): shingles
     shared by more than max_df documents are dropped BEFORE the

@@ -343,3 +343,40 @@ def test_entity_pairs_blocked_hot_block_guard(spark):
         few, "id", "name", ["country"], max_edit=2, max_block=40
     )
     assert exact.count() == 10  # C(5,2)
+
+
+def test_entity_pairs_blocked_null_name_hub(spark):
+    """ADVICE r10: if the over-cap block's min-id record has a NULL
+    name, levenshtein(NULL, x) is NULL and the star filter drops
+    EVERY row — the whole block silently emits zero edges. The hub
+    must be the min-id row among NON-null-name rows, so the block
+    still yields its star; a block whose names are all null emits
+    nothing (matching exact-path semantics, where null names never
+    satisfy the edit filter)."""
+    from trading212_etl_spark.operators.quality import entity_pairs_blocked
+
+    n = 50
+    ents = spark.range(n).selectExpr(
+        "id",
+        # id 0 (the min id) has a NULL name; the rest are near-identical
+        "CASE WHEN id = 0 THEN NULL ELSE concat('Acme#00', CAST(id % 2 AS STRING)) END AS name",
+        "CAST(1 AS INT) AS country",
+    )
+    got = entity_pairs_blocked(
+        ents, "id", "name", ["country"], max_edit=2, max_block=40
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # hub must skip the null-name id 0 and be id 1; the null-name row
+    # itself never pairs (levenshtein NULL), everything else stars to 1
+    assert pairs == {(1, i) for i in range(2, n)}, sorted(pairs)[:5]
+
+    # all-null-name over-cap block: zero edges, not an error
+    all_null = spark.range(n).selectExpr(
+        "id", "CAST(NULL AS STRING) AS name", "CAST(1 AS INT) AS country"
+    )
+    assert (
+        entity_pairs_blocked(
+            all_null, "id", "name", ["country"], max_edit=2, max_block=40
+        ).count()
+        == 0
+    )

@@ -230,8 +230,22 @@ def entity_pairs_blocked(
         *[F.col(c).alias(bc) for c, bc in zip(block_cols, bcols)],
     )
     wb = Window.partitionBy(*bcols)
+    # Hub = min-id row among NON-NULL-name rows (null-name flag sorts
+    # first in the struct ordering): a null-name hub would make every
+    # star levenshtein NULL and silently void the whole over-cap
+    # block (ADVICE r10). Non-null-name members always have id >
+    # hub id, so the doc_a < doc_b edge contract is preserved; a
+    # block whose names are ALL null emits no edges, matching the
+    # exact path (null names never satisfy the edit filter).
     sized = keyed.withColumn("__cnt", F.count(F.lit(1)).over(wb)).withColumn(
-        "__hub", F.min(F.struct(F.col("__id"), F.col("__n"))).over(wb)
+        "__hub",
+        F.min(
+            F.struct(
+                F.col("__n").isNull().cast("int").alias("__null_name"),
+                F.col("__id"),
+                F.col("__n"),
+            )
+        ).over(wb),
     )
     small = sized.filter(F.col("__cnt") <= max_block)
     a = small.select(

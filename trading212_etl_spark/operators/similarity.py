@@ -62,25 +62,55 @@ def write_ivf_cells(
     cell simply lands as several files, which also splits the
     probe-side scan. Layout-only: the row set written is identical.
     """
-    cell_counts = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("__cnt")
+    cell_counts = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
     )
     # explicit partition count: a bare repartition(cols) is an AQE
     # coalescing target, and at sub-advisory-size corpora AQE merges
     # the salted groups back into one writer task — exactly the
-    # straggler the salt exists to break. defaultParallelism == the
-    # cluster's write-slot count, which is the parallelism cap we
-    # want; empty partitions are free.
-    num_parts = assigned.sparkSession.sparkContext.defaultParallelism
+    # straggler the salt exists to break. The count must ALSO be at
+    # least the total number of salted sub-groups (ADVICE r10): with
+    # fewer hash-partition slots than groups, a hot cell's salt groups
+    # collide into one partition and the write is a straggler again
+    # (deterministically so on low-parallelism hosts). cell_counts is
+    # one row per IVF cell — bounded by the quantizer, so the scalar
+    # .first() is ML-init-sized, not data-plane.
+    n_groups = int(
+        cell_counts.agg(
+            F.coalesce(
+                F.sum(
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.ceil(
+                            F.col("__cnt") / F.lit(rows_per_task)
+                        ).cast("long"),
+                    )
+                ),
+                F.lit(1).cast("long"),
+            ).alias("g")
+        ).first()["g"]
+    )
+    num_parts = max(
+        assigned.sparkSession.sparkContext.defaultParallelism, n_groups
+    )
+    # left join + coalesce(__cnt, 1): rows with a NULL cell never
+    # equi-match the counts side — an inner join would silently DROP
+    # them (ADVICE r10), breaking the 'row set written is identical'
+    # contract (they belong under the null-partition directory).
     salted = (
-        assigned.join(F.broadcast(cell_counts), "cell")
+        assigned.join(F.broadcast(cell_counts), on="cell", how="left")
         .withColumn(
             "__salt",
             F.pmod(
                 F.xxhash64("vec_id"),
                 F.greatest(
                     F.lit(1).cast("long"),
-                    F.ceil(F.col("__cnt") / F.lit(rows_per_task)).cast("long"),
+                    F.ceil(
+                        F.coalesce(F.col("__cnt"), F.lit(1))
+                        / F.lit(rows_per_task)
+                    ).cast("long"),
                 ),
             ),
         )
@@ -88,6 +118,7 @@ def write_ivf_cells(
         .drop("__cnt", "__salt")
     )
     salted.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cell_counts.unpersist()
 
 
 def cosine_topk_bruteforce(
