@@ -754,6 +754,126 @@ def test_embedding_near_dup_lsh_hot_bucket_guard(spark):
     assert exact.count() == 10  # C(5,2)
 
 
+def test_simhash_star_keeps_member_pairs_reachable_above_cap(spark):
+    """VERDICT r10 item 2 (the star-guard recall hole): members of an
+    over-cap bucket whose hamming to the HUB exceeds ``max_hamming``
+    used to lose ALL their pairs — including member↔member clone
+    pairs at hamming 0. Star edges must now leave UNFILTERED (true
+    hamming, above-threshold included) so downstream clustering still
+    connects those members through the hub; strict consumers filter
+    ``hamming <= max_hamming`` themselves.
+
+    Construction: n_bands = n_bits gives single-bit bands, and 16
+    LOW-id far-sketch docs guarantee (w.h.p. under the fixed hash;
+    asserted, not assumed) that EVERY bucket holding the 60
+    identical high-id clones also holds a far doc with a smaller id
+    — so every clone bucket is over-cap with a FAR hub. On the old
+    code the entire output is empty: every star edge fails the
+    hamming filter and the clones' hamming-0 pairs have no under-cap
+    bucket to surface through."""
+    from trading212_etl_spark.operators.dedup import (
+        connected_components,
+        simhash_near_pairs,
+    )
+
+    # 16 frozen random-word texts, searched offline so that under the
+    # fixed xxhash64 sketch (a) every one of the 48 single-bit clone
+    # buckets contains >= 1 far doc, (b) min hamming(far, clone) = 19
+    # and min hamming(far, far) = 16 — all safely above max_hamming
+    far_texts = [
+        "ynbiqpmz plsgqej ydtzir jdxcvk rdlnktug oqibzrac wzvuatpk xkwcgs hzezro",
+        "szycid yopumzgd amntyyaw ixzhsdka auram nxaqhy prhlhvhy janrudfu dxkxwqn",
+        "cclfx itgtbsv numzxq roqibal kmnqfrfh afkfeq qvrfozn zsllofy wxouqhpi",
+        "sreltp tapir gwprrp uehueqmx vycfy jyaip wznmxzso ldbepg vnyujnq",
+        "jdxmpe camrj hqrli digauz zigfjju ctkvmqh hpicrj jswjy nntjno",
+        "xlzwxuq oyhub dlphmr shaxg ifymfyzc ttoeea gygff kgrvugf mjalnf",
+        "pyiba vspyxl yaipzgx rrvdgsrw vztvcnk lznzi wdygwuzj bsgul gqsuwzqa",
+        "emubcrd sbqgbcn chcrnbsd uusbss bhbrejne sjrvf ssugl rwcsb pvrnyk",
+        "lmegwb ehzqg uaopomps mcphya qnpmxdv dcmtmdv khwcp szetcr pwges",
+        "tliefvak tckrtwbx fwoxnffh deqsc zxdjgvhx cyigmikz gwanb peahnxdt dysgg",
+        "npsag piuzfbqp chxlbne mnjviof vleoyho bsahegjr yhkvron cuskqfhn bbpjtv",
+        "ryooqsgf utzfdoje rzwub ouxtufta bbght yokos qhujpa ouinr wikyh",
+        "ivqvlema piuzowt ravteo fkgbsgc vmzcabv cnodvn rktrfw rfqcm vtpptmra",
+        "jvvzfuh huxfec xjanev ieczz oxnezil pyrsnv nukudlt wortxeo rfjgfqli",
+        "twyuq ixijxc jovmmydi klzilz frvvif ucdtk cigmm tduvdssu fdxpqvg",
+        "aqxbfh bzvew hdkowli ilhglzkh xqnhson coszlosk myzcpage tzwxaj eddmbcox",
+    ]
+    far = list(enumerate(far_texts))
+    clones = [
+        (100 + j, "identical boilerplate clone text shared verbatim "
+                  "by every member document in the hot bucket")
+        for j in range(60)
+    ]
+    docs = spark.createDataFrame(far + clones, "doc_id long, text string")
+    got = simhash_near_pairs(
+        docs, max_hamming=3, n_bits=48, n_bands=48, max_bucket=50
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got}
+    member_edges = {
+        p: h for p, h in pairs.items() if p[0] >= 100 or p[1] >= 100
+    }
+    # every clone-touching edge is a far-hub star (hub id < 100) with
+    # TRUE hamming above the threshold — the construction's premise
+    assert member_edges, "no star edges emitted — the recall hole is back"
+    assert all(p[0] < 100 for p in member_edges), sorted(member_edges)[:5]
+    assert all(h > 3 for h in member_edges.values()), sorted(
+        set(member_edges.values())
+    )
+    # the recall payoff: the hamming-0 clone pairs stay hub-reachable
+    # — all 60 clones land in ONE component instead of vanishing
+    comp = connected_components(
+        spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long")
+    ).collect()
+    clone_comps = {r.component for r in comp if r.doc_id >= 100}
+    clone_docs = {r.doc_id for r in comp if r.doc_id >= 100}
+    assert clone_docs == {100 + j for j in range(60)}, len(clone_docs)
+    assert len(clone_comps) == 1, clone_comps
+
+
+def test_embedding_star_keeps_member_pairs_reachable_above_cap(spark):
+    """Embedding twin of the simhash star-recall probe (VERDICT r10
+    item 2): an over-cap bucket whose hub is nearly ORTHOGONAL to the
+    clone members used to emit zero edges (every hub↔member cosine
+    fails the threshold), silently dropping the clones' cos-1.0
+    pairs. Star edges must now carry their true below-threshold
+    cosine so the members stay hub-reachable. One table × one plane
+    makes co-bucketing deterministic: the hub is built with a tiny
+    positive component along the plane normal, so it lands in the
+    clones' sign bucket while cos(hub, clone) ≈ 0."""
+    import numpy as np
+
+    from trading212_etl_spark.operators.dedup import connected_components
+    from trading212_etl_spark.operators.similarity import _hyperplanes
+
+    dim, n = 8, 60
+    h = np.asarray(_hyperplanes(dim, 1, seed=42)[0])
+    clone = h / np.linalg.norm(h)  # dot(clone, h) > 0
+    # hub: orthogonal direction + 1% along h -> same sign bucket,
+    # cos(hub, clone) ~ 0.01
+    u = np.zeros(dim)
+    u[0] = 1.0
+    u = u - (u @ clone) * clone
+    u /= np.linalg.norm(u)
+    hub = u + 0.01 * clone
+    rows = [(0, [float(x) for x in hub])] + [
+        (i, [float(x) for x in clone]) for i in range(1, n + 1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, n_planes=1, n_tables=1, dim=dim, max_bucket=40
+    ).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim for r in got}
+    assert set(pairs) == {(0, i) for i in range(1, n + 1)}, sorted(pairs)[:5]
+    # true cosines are FAR below threshold — and still emitted
+    assert all(c < 0.9 for c in pairs.values()), sorted(set(pairs.values()))
+    comp = connected_components(
+        spark.createDataFrame(
+            sorted(pairs), "doc_a long, doc_b long"
+        )
+    )
+    assert comp.select("component").distinct().count() == 1
+
+
 def test_embedding_near_dup_lsh_under_cap_chunked_gram_is_exact(spark):
     """The r10 under-cap guard (VERDICT r9 item 3): a bucket below
     ``max_bucket`` but above ``gram_cap`` is scored as chunk-pair

@@ -729,15 +729,18 @@ def simhash_near_pairs(
     window over the banded frame (one exchange serves the guard and
     both join sides); buckets ≤ ``max_bucket`` take the exact
     pair-join path, larger buckets emit a STAR to the bucket's min id
-    with true hub↔member hamming — O(bucket) rows. Recall above the
-    cap is HUB-REACHABLE connectivity only: a member whose distance
-    to the hub exceeds ``max_hamming`` loses ALL its pairs within
-    that bucket, even member↔member pairs that are within
-    ``max_hamming`` of each other (they may still surface via another
-    band whose bucket stays under cap). The clique's full pairwise
-    listing is traded for boundedness exactly as documented on the
-    MinHash side. Driver-SF corpora never exceed the cap, so the
-    DuckDB oracle models the exact path only.
+    with true hub↔member hamming — O(bucket) rows. Star edges are
+    emitted UNFILTERED (VERDICT r10 item 2): an over-cap bucket's
+    hub↔member rows carry their true ``hamming`` even when it exceeds
+    ``max_hamming``, so a member pair within threshold of EACH OTHER
+    but not of the hub stays hub-reachable for downstream clustering
+    instead of silently vanishing. Consumers needing strictly
+    verified pairs apply ``hamming <= max_hamming`` themselves — any
+    row failing it is by construction an over-cap star edge. The
+    clique's full pairwise listing is still traded for boundedness
+    exactly as documented on the MinHash side. Driver-SF corpora
+    never exceed the cap, so the DuckDB oracle models the exact path
+    only.
     """
     from pyspark.sql import Window
 
@@ -793,12 +796,25 @@ def simhash_near_pairs(
             F.col("simhash").alias("sh_b"),
         )
     )
-    cand = cand.unionByName(star).distinct()
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    # exact-path pairs are verified here; star edges pass through
+    # UNFILTERED (their true hamming may exceed max_hamming — the
+    # consumer applies the test). Deduping AFTER the filter also
+    # shuffles fewer rows than the old pre-verify distinct: the same
+    # pair surfacing from k bands has identical sketches, so
+    # min(hamming) == its hamming.
+    exact = (
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+    star_out = star.withColumn("hamming", dist).select(
+        "doc_a", "doc_b", "hamming"
+    )
+    return (
+        exact.unionByName(star_out)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 

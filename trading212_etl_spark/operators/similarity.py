@@ -486,12 +486,16 @@ def embedding_near_dup_pairs_lsh(
     # Two-level scale guard:
     # - a bucket over ``max_bucket`` rows falls back to a STAR against
     #   the bucket's min-id vector — O(bucket·dim) FLOPs instead of
-    #   the O(bucket²·dim) gram. Recall above the cap is HUB-REACHABLE
-    #   only: a member below ``threshold`` against the hub loses its
-    #   in-bucket pairs even when above threshold against other
-    #   members (another table's under-cap bucket may still surface
-    #   them) — the documented boundedness trade shared with
-    #   minhash_lsh_pairs / simhash_near_pairs.
+    #   the O(bucket²·dim) gram. Star edges are emitted UNFILTERED
+    #   (VERDICT r10 item 2): every hub↔member row carries its true
+    #   cosine even below ``threshold``, so member pairs within
+    #   threshold of EACH OTHER but not of the hub stay hub-reachable
+    #   for downstream clustering instead of silently vanishing.
+    #   Consumers needing strictly verified pairs filter
+    #   ``cos_sim >= threshold`` themselves — any row failing it is
+    #   by construction an over-cap star edge. The full pairwise
+    #   clique is still traded for boundedness, as on the MinHash
+    #   side.
     # - a bucket under the cap but over ``gram_cap`` rows previously
     #   ran its exact gram — all O(bucket²) pair construction — in ONE
     #   task (r9 bucket-skew sweep: 4.49× at a 2 470-vector bucket).
@@ -514,7 +518,10 @@ def embedding_near_dup_pairs_lsh(
         normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
         hub = int(_np.argmin(ids))
         cos_h = normed @ normed[hub]
-        keep = (cos_h >= cutoff) & (_np.arange(len(ids)) != hub)
+        # NO cutoff here: star edges leave unfiltered (true cosine,
+        # below-threshold included) so over-cap members keep their
+        # hub-reachable connectivity — the consumer applies the test
+        keep = _np.arange(len(ids)) != hub
         lo = _np.minimum(ids[keep], ids[hub])
         hi = _np.maximum(ids[keep], ids[hub])
         return _pd.DataFrame({"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]})
@@ -588,14 +595,17 @@ def embedding_near_dup_pairs_lsh(
     tile_scored = tiled.groupBy("tbl", "bkt", "__ci", "__cj").applyInPandas(
         _score_tile, "vec_a long, vec_b long, raw_cos double"
     )
-    scored = tile_scored.unionByName(star_scored)
+    # exact-path (tile) pairs verify against the threshold here; star
+    # edges pass through UNFILTERED — the same pair seen on both paths
+    # has an identical float64 cosine, so min() still collapses cleanly
+    verified = tile_scored.filter(F.col("raw_cos") >= cutoff)
+    scored = verified.unionByName(star_scored)
     # a pair co-bucketing in k tables is scored k times with identical
     # float64 arithmetic; min() collapses the copies deterministically
     return (
         scored.select(
             "vec_a", "vec_b", F.round(F.col("raw_cos"), round_dp).alias("cos_sim")
         )
-        .filter(F.col("cos_sim") >= threshold)
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )
