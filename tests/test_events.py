@@ -566,3 +566,27 @@ def test_streaming_user_stats_ttl_non_utc_session_tz(spark, tmp_path):
         assert (1, 9.0, False) in u7, u7
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_run_to_memory_guard_trips_on_stream_sized_result(spark, tmp_path):
+    """VERDICT r10 item 7: the memory-sink drive is documented as
+    bounded-cardinality-only (a stream-sized result is DRIVER-resident
+    and bursts maxResultSize at scale — the 125x probe measured it).
+    The row-count tripwire must raise loudly, pointing at the
+    foreachBatch parquet drive, instead of letting a corpus change
+    silently re-introduce a driver-resident stream."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from trading212_etl_spark.streaming.windows import _run_to_memory
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id AS v").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    with pytest.raises(RuntimeError, match="_run_to_parquet"):
+        _run_to_memory(spark, stream, "guard_trip", "append", max_rows=5)
+    # under the cap: same drive succeeds
+    out = _run_to_memory(spark, stream, "guard_ok", "append", max_rows=1000)
+    assert out.count() == 100

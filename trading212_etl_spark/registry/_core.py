@@ -30,12 +30,76 @@ def pin_oracle_confs(spark: SparkSession) -> None:
     timestamps are UTC-naive; a non-UTC Spark session shifts
     date_format/to_date output by the zone offset)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Right-size shuffles for the local correctness harness: a vanilla
-    # session's 200 shuffle partitions are pure scheduling overhead at
-    # sf0.01 — AQE coalesces them for batch plans, but streaming
-    # queries run with AQE off and pay all 200 tasks per stage. A
-    # runtime conf, value-neutral for every query.
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Shuffle floor for a vanilla session (200 partitions are pure
+    # scheduling overhead at harness SFs); the registry wrapper then
+    # overrides per-query with the bytes-scaled advisory below.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(_SHUFFLE_FLOOR, spark.sparkContext.defaultParallelism)),
+    )
+
+
+# bytes → shuffle-partition advisory (VERDICT r10 item 3: the
+# partitions-scale-with-bytes deployment rule as CODE, not prose).
+# 8 MiB of COMPRESSED parquet input per shuffle partition: zstd
+# decode plus the token/shingle explosions the heavy entries run put
+# the in-flight bytes at roughly 10x the on-disk bytes, i.e. ~100 MB
+# per task — the classic healthy-shuffle size. Calibration: the 125x
+# corpus (1.99 GB) maps to ~240 partitions, matching the measured
+# bm25 optimum (83.5 s at 32 partitions vs 51.3 s at 256; AQE can
+# coalesce small partitions but cannot SPLIT non-skewed oversize
+# ones), while sf0.1 (17.5 MB) stays at the 32-partition floor so the
+# bench protocol is untouched.
+_SHUFFLE_TARGET_BYTES = 8 << 20
+_SHUFFLE_FLOOR = 32
+_SHUFFLE_CAP = 4096
+_CORPUS_BYTES: dict[str, int] = {}
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    """Total on-disk parquet bytes under ``sf_dir`` (cached — the
+    corpora are immutable for a session's lifetime). Non-local or
+    unreadable paths fall back to 0, i.e. the partition floor."""
+    if sf_dir not in _CORPUS_BYTES:
+        import os
+
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+        except OSError:
+            total = 0
+        _CORPUS_BYTES[sf_dir] = total
+    return _CORPUS_BYTES[sf_dir]
+
+
+def scaled_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Shuffle-partition count scaled to the corpus' input bytes:
+    ``max(floor, cores, ceil(bytes / 8 MiB))`` capped at 4096. The
+    floor keeps the sf0.01 driver harness and sf0.1 bench at 32
+    (a vanilla session's 200 partitions are pure scheduling overhead
+    there — AQE coalesces them for batch plans, but streaming queries
+    run with AQE off and pay every task per stage); the bytes term
+    grows partitions once a corpus outruns what ``floor`` partitions
+    can hold in executor memory. ``SPARK_GRAFT_SHUFFLE_TARGET_BYTES``
+    overrides the per-partition target (0 disables scaling)."""
+    import os
+
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_TARGET_BYTES", str(_SHUFFLE_TARGET_BYTES)
+        )
+    )
+    floor = max(_SHUFFLE_FLOOR, spark.sparkContext.defaultParallelism)
+    if target <= 0:
+        return floor
+    scaled = -(-_corpus_bytes(sf_dir) // target)
+    return max(floor, min(_SHUFFLE_CAP, scaled))
 
 
 def register(name: str, oracle: str | None = None):
@@ -62,6 +126,10 @@ def register(name: str, oracle: str | None = None):
 
             release_pins()
             pin_oracle_confs(spark)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(scaled_shuffle_partitions(spark, sf_dir)),
+            )
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

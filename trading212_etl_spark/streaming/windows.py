@@ -80,8 +80,12 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     return stream
 
 
+_MEMORY_SINK_MAX_ROWS = 2_000_000
+
+
 def _run_to_memory(
-    spark: SparkSession, df: DataFrame, name: str, mode: str
+    spark: SparkSession, df: DataFrame, name: str, mode: str,
+    max_rows: int = _MEMORY_SINK_MAX_ROWS,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink
     and return the materialized table — the shared local-smoke drive
@@ -94,7 +98,11 @@ def _run_to_memory(
     DRIVER-resident, so a result that grows with the stream bursts
     spark.driver.maxResultSize — the 125× probe measured exactly that
     on the per-session and per-event outputs, which therefore drive
-    through :func:`_run_to_parquet` instead."""
+    through :func:`_run_to_parquet` instead. ``max_rows`` is the
+    tripwire (VERDICT r10 item 7): a corpus change that turns a
+    bounded-cardinality result into a stream-sized one fails LOUDLY
+    at the first over-cap scale probe instead of silently creeping
+    toward the driver's memory ceiling."""
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")
@@ -105,7 +113,16 @@ def _run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    out = spark.table(name)
+    n = out.count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"memory sink '{name}' materialized {n} rows "
+            f"(> {max_rows}): this result is stream-sized, not "
+            "key/window-bounded — drive it through _run_to_parquet "
+            "(foreachBatch parquet sink) instead"
+        )
+    return out
 
 
 def _run_to_parquet(
