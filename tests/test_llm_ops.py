@@ -1208,3 +1208,44 @@ def test_jaccard_pairs_stop_shingle_cap_drops_boilerplate_only(spark):
     c_capped = containment_pairs(docs, threshold=0.5, max_df=2).collect()
     assert {(r.doc_a, r.doc_b) for r in c_capped} == {(0, 1)}
     assert c_capped[0].max_containment <= 1.0
+
+
+def test_pairs_top_k_bound_keeps_clique_connectivity(spark):
+    """VERDICT r10 item 5: the exact-pair family's opt-in output bound.
+    ``top_k_per_doc`` must (a) truncate a clique's quadratic listing
+    to O(n*k) edges, (b) keep every kept row identical to the
+    unbounded output (a SUBSET, same jaccard values), and (c) preserve
+    clique connectivity — each member's top partner is the clique
+    minimum, so downstream connected-components labels are unchanged."""
+    from trading212_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    n = 12
+    docs = spark.range(1, n + 1).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate sentence repeated in every clique member"
+        " document body' AS text",
+    ).unionByName(
+        spark.createDataFrame(
+            [(100, "a lonely unrelated document about completely other"
+                   " things entirely")],
+            "doc_id long, text string",
+        )
+    )
+    full = jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    bounded = jaccard_pairs(docs, threshold=0.5, n=3, top_k_per_doc=1).collect()
+    full_set = {(r.doc_a, r.doc_b): r.jaccard for r in full}
+    b_set = {(r.doc_a, r.doc_b): r.jaccard for r in bounded}
+    assert len(full_set) == n * (n - 1) // 2  # the quadratic clique
+    # subset with identical values, and truncated to O(n*k)
+    assert set(b_set) <= set(full_set)
+    assert all(b_set[p] == full_set[p] for p in b_set)
+    assert len(b_set) <= 2 * n
+    # clique stays ONE component under the bound
+    comp = connected_components(
+        spark.createDataFrame(sorted(b_set), "doc_a long, doc_b long")
+    )
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n

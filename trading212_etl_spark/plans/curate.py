@@ -34,12 +34,23 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     use_lsh: bool = False,
+    pairs_top_k: int | None = None,
 ) -> DataFrame:
     """Return the curated corpus: docs scoring ≥ ``min_quality_bp``,
     predicted in ``langs``, exact-deduped (min doc_id per content
     digest wins), with near-duplicates (Jaccard ≥ threshold) removed
     keeping each connected component's minimum doc id (exact closure
-    via connected_components — see operators/dedup.remove_near_dups)."""
+    via connected_components — see operators/dedup.remove_near_dups).
+
+    ``pairs_top_k`` (opt-in) bounds the exact pair stage to each
+    document's k strongest partners (operators/dedup._top_k_per_doc):
+    a replicated corpus' true pair listing is quadratic in the copy
+    count, so the unbounded exact path DNFs by construction at the
+    125× probe. Equal-J clique connectivity survives the bound, so
+    the removal's keep-minimum decision per clique is unchanged;
+    components joined only through truncated weak edges may split —
+    the documented trade. LSH mode ignores it (banding already bounds
+    candidate mass)."""
     toks = F.col("__toks")
     scored = fan_out(docs).select(
         "doc_id", "text", "lang", tokens("text").alias("__toks")
@@ -89,7 +100,11 @@ def curate_corpus(
         )
     else:
         pairs = jaccard_pairs(
-            canonical, jaccard_threshold, shingle_n, tokens_col="__toks"
+            canonical,
+            jaccard_threshold,
+            shingle_n,
+            tokens_col="__toks",
+            top_k_per_doc=pairs_top_k,
         )
     return remove_near_dups(canonical, pairs).select(
         "doc_id", "lang", "lang_pred", "quality_bp", "n_tokens"

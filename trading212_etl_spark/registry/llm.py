@@ -84,17 +84,28 @@ def q_dedup_jaccard(spark, sf_dir):
     for the O(df²) hot-shingle blowup that makes this exact verifier
     expensive on boilerplate-heavy corpora (J becomes a lower bound
     for pairs sharing dropped shingles). UNSET by default, so the
-    driver/oracle runs stay exact."""
+    driver/oracle runs stay exact.
+
+    Output-bound lever (r11, VERDICT r10 item 5): set
+    ``SPARK_GRAFT_PAIRS_TOP_K=<k>`` to truncate the result to each
+    document's k strongest partners (the kNN subgraph — deterministic
+    rank by jaccard DESC, partner id ASC; clique connectivity
+    preserved). A replicated corpus' TRUE pair listing is quadratic
+    in the copy count, so the unbounded form DNFs by construction at
+    the 125× probe; the bound makes completion O(n·k). UNSET by
+    default — driver/oracle runs emit the complete pair set."""
     import os
 
     from ..operators.dedup import jaccard_pairs
 
     max_df = os.environ.get("SPARK_GRAFT_PAIRS_MAX_DF")
+    top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
     return jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.5,
         n=3,
         max_df=int(max_df) if max_df else None,
+        top_k_per_doc=int(top_k) if top_k else None,
     )
 
 
@@ -126,19 +137,23 @@ def q_dedup_containment(spark, sf_dir):
     |A∩B|/|A| ratio that catches doc-inside-doc duplication Jaccard
     misses (operators/dedup.py:containment_pairs — same shingle-join
     skeleton and skew levers as jaccard_pairs, including the
-    ``SPARK_GRAFT_PAIRS_MAX_DF`` stop-shingle lever — unset by
-    default so driver/oracle runs stay exact; containment is a lower
-    bound for pairs sharing dropped shingles when set)."""
+    ``SPARK_GRAFT_PAIRS_MAX_DF`` stop-shingle lever and the
+    ``SPARK_GRAFT_PAIRS_TOP_K`` kNN-subgraph output bound — both
+    unset by default so driver/oracle runs stay exact; containment is
+    a lower bound for pairs sharing dropped shingles when max_df is
+    set, and the top-k truncation ranks by max_containment)."""
     import os
 
     from ..operators.dedup import containment_pairs
 
     max_df = os.environ.get("SPARK_GRAFT_PAIRS_MAX_DF")
+    top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
     return containment_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=0.6,
         n=3,
         max_df=int(max_df) if max_df else None,
+        top_k_per_doc=int(top_k) if top_k else None,
     )
 
 
@@ -266,10 +281,25 @@ def q_dedup_connected_components(spark, sf_dir):
     Spark side is iterative min-label propagation (Pregel CC as
     DataFrame joins, lineage-checkpointed per round); the oracle is a
     recursive-CTE transitive closure — O(V·E), test-scale only, which
-    is exactly why the iterative form exists."""
+    is exactly why the iterative form exists.
+
+    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11, unset by default) bounds the
+    edge list to the kNN subgraph before clustering — equal-J clique
+    connectivity is preserved (each member's top partner is the
+    clique minimum), so the component labels of replicated-corpus
+    cliques are unchanged while the edge mass drops from quadratic to
+    O(n·k)."""
+    import os
+
     from ..operators.dedup import connected_components, jaccard_pairs
 
-    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        n=3,
+        top_k_per_doc=int(top_k) if top_k else None,
+    )
     return connected_components(pairs)
 
 
@@ -1149,10 +1179,22 @@ def q_pipeline_curate(spark, sf_dir):
     """North-star composition — the full training-data curation chain
     (quality filter → language filter → exact dedup → near-dup
     removal) as ONE oracle-checked plan: the documents-table analog of
-    the reference's flagship transactions pipeline (SURVEY §3 EP3)."""
+    the reference's flagship transactions pipeline (SURVEY §3 EP3).
+
+    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11, unset by default) bounds the
+    exact pair stage to the kNN subgraph so the pipeline completes on
+    corpora whose true pair mass is quadratic (see
+    plans/curate.py:curate_corpus); the LSH twin remains the
+    production form."""
+    import os
+
     from ..plans.curate import curate_corpus
 
-    return curate_corpus(_t(spark, sf_dir, "documents"))
+    top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        pairs_top_k=int(top_k) if top_k else None,
+    )
 
 
 

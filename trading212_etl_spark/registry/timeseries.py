@@ -1332,13 +1332,22 @@ def q_sample_leakage_safe_split(spark, sf_dir):
     corpus); the labels join back onto the corpus broadcast (near-dup
     clusters are a small fraction of any curated corpus), and the
     split itself stays a pure projection."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ..operators.dedup import connected_components, jaccard_pairs
     from ..operators.sampling import hash_split
 
     docs = _t(spark, sf_dir, "documents")
-    comp = connected_components(jaccard_pairs(docs, 0.5))
+    # SPARK_GRAFT_PAIRS_TOP_K (r11, unset by default): kNN-subgraph
+    # edge bound — split labels are CC-derived, and equal-J clique
+    # connectivity survives the truncation, so replicated-corpus
+    # clusters keep landing on one side of the fence
+    top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
+    comp = connected_components(
+        jaccard_pairs(docs, 0.5, top_k_per_doc=int(top_k) if top_k else None)
+    )
     grouped = (
         docs.select("doc_id")
         .join(F.broadcast(comp), "doc_id", "left")
