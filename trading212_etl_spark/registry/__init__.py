@@ -51,93 +51,83 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r10 window (exactly 50): executes the r9 verdict's task 1 — retire
-# the driver-proof staleness front. After r9, 80 entries' last
-# hash-green driver row was r3 (35) or r4 (45); this window takes
-# every r3 row, the entries whose PLANS change in r10, and the
-# highest-risk r4 rows, in three groups:
-#   (1) ALL 35 entries whose last hash-green row is r3 — the scalar
-#       string/timestamp batteries, the tumbling/sliding/OHLC event
-#       suite, the tpch q2/q4-q13/q15-q22 family, the sampling
-#       splits, and window_range_frame — so after r10 no surviving
-#       row is older than r4.
-#   (2) 5 entries whose plan/drive changes in r10 (the growth rule: a
-#       changed plan must re-prove on the driver regardless of age):
-#       sink_ivf_partitioned_ann (hot-cell salted writer, verdict
-#       item 2), embedding_near_dup_lsh (chunk-distributed under-cap
-#       gram, verdict item 3), dedup_jaccard_pairs and
-#       dedup_containment_pairs (env-gated stop-shingle cap, verdict
-#       item 5 — default-off, so the driver plan is unchanged, but
-#       the entries' code paths moved), and
-#       streaming_dedup_exactly_once (drive moved from the
-#       driver-resident append memory sink to the foreachBatch
-#       parquet sink after the 125× probe burst maxResultSize —
-#       displacing window_running_distinct, the lowest-risk group-(3)
-#       pick, which queues for r11; streaming_session_window got the
-#       same sink change and was already in group (3)).
-#   (3) 10 highest-risk r4 re-samples filling the remaining slots:
-#       the five stateful streaming batch-twins (cdc_apply,
-#       presence_bitmap, session_window, sliding, vwap), the three
-#       trickiest join shapes (asof_tolerance, dpp_partitioned,
-#       salted_skew), schema evolution, and snapshot diff.
-# The remaining 35 r4 rows (incl. the displaced
-# window_running_distinct) queue for the r11 rotation (tracked here
-# so the next window is not re-derived from scratch).
+# r11 window (exactly 50): executes the r10 verdict's task 1 — FINISH
+# the freshness rotation. After r10 the last-green histogram was
+# {r4: 35, r5: 40, r6: 36, r8: 48, r9: 49, r10: 50}; this window takes
+# every remaining r4 row (group 1), the entries whose plans change in
+# r11 (group 2, the growth rule), and the stalest r5 rows (group 3).
+# After r11 the oldest surviving proof anywhere is r5 and steady-state
+# rotation holds: subsequent windows sample the stalest band plus
+# changed plans.
 _DRIVER_WINDOW = [
-    # --- r10 window (exactly 50) ---
-    # (1) every entry whose last hash-green driver row is r3 (35)
-    "embedding_near_dup",
-    "events_gapfill_hourly",
-    "events_ohlc_daily",
-    "events_sliding_2h_1h",
-    "events_tumbling_1h",
-    "join_asof_backward",
-    "sample_domain_mixture",
-    "sample_hash_split",
-    "sample_stratified",
-    "string_funcs",
-    "string_funcs_extended",
-    "text_quality_score",
-    "text_redact",
-    "text_tfidf_topk",
-    "text_token_stats",
-    "timestamp_funcs",
-    "tpch_q2_best_supplier_per_part",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_by_year",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotable_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "window_range_frame",
-    # (2) plan/drive changed in r10 — must re-prove green
-    "sink_ivf_partitioned_ann",
+    # --- r11 window (exactly 50) ---
+    # (1) ALL 35 entries whose last hash-green driver row is r4 —
+    #     finishing the freshness rotation (VERDICT r10 task 1):
+    #     after r11 no surviving row is older than r5.
+    "agg_argmax_battery",
+    "array_funcs",
+    "delete_propagation",
+    "embedding_norms",
+    "embedding_pca_power_iter",
+    "events_rollup_hierarchy",
+    "filter_isin",
+    "grouping_sets_sql",
+    "intersect_except",
+    "literal_and_derived_columns",
+    "map_funcs",
+    "math_funcs",
+    "null_conditional_funcs",
+    "predicate_equality",
+    "profile_key_skew",
+    "profile_quantiles",
+    "projection_reorder",
+    "sink_compaction",
+    "sink_zorder_layout",
+    "sort_limit_topk",
+    "source_binary_files",
+    "source_csv_gzip_roundtrip",
+    "source_csv_malformed",
+    "stat_aggs",
+    "string_agg_first8",
+    "text_chunk_windows",
+    "text_code_detection",
+    "text_fingerprint",
+    "text_model_quality_filter",
+    "text_repetition",
+    "text_top_ngrams",
+    "text_unigram_lm_score",
+    "union_dedup_chunks",
+    "union_missing_columns",
+    "window_running_distinct",
+    # (2) plan/code changed in r11 — the growth rule: a changed plan
+    #     must re-prove on the driver regardless of age. The star
+    #     paths now emit unfiltered over-cap edges (dedup_simhash,
+    #     embedding_near_dup_lsh, dedup_semantic_clusters), the IVF
+    #     cell writer gained the left-join/null-cell + group-count
+    #     fan-out (sink_ivf_partitioned_ann), entity hubs skip
+    #     null names (entity_resolution_customers), and the
+    #     exact-pair family gained the default-off top-k output
+    #     bound (dedup_jaccard/containment_pairs,
+    #     dedup_connected_components, sample_leakage_safe_split,
+    #     pipeline_curate_corpus).
+    "dedup_simhash",
     "embedding_near_dup_lsh",
+    "dedup_semantic_clusters",
+    "sink_ivf_partitioned_ann",
+    "entity_resolution_customers",
     "dedup_jaccard_pairs",
     "dedup_containment_pairs",
-    "streaming_dedup_exactly_once",
-    # (3) 10 highest-risk r4 re-samples
-    "streaming_cdc_apply",
-    "streaming_presence_bitmap",
-    "streaming_session_window",
-    "streaming_sliding_2h_1h",
-    "streaming_vwap_hourly",
-    "join_asof_tolerance",
-    "join_dpp_partitioned",
-    "join_salted_skew",
-    "source_schema_evolution",
-    "snapshot_diff_orders",
+    "dedup_connected_components",
+    "sample_leakage_safe_split",
+    "pipeline_curate_corpus",
+    # (3) stalest r5 re-samples filling the remaining slots: the
+    #     iterative graph pair, the merge-state aggregate, and two
+    #     heavy multi-stage analytics shapes.
+    "graph_pagerank",
+    "graph_triangle_count",
+    "incremental_agg_merge",
+    "events_markov_transitions",
+    "orders_cohort_ltv",
 ]
 
 
