@@ -1249,3 +1249,95 @@ def test_pairs_top_k_bound_keeps_clique_connectivity(spark):
     )
     assert comp.select("component").distinct().count() == 1
     assert comp.count() == n
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """bloom_build/bloom_maybe_contains contract: every inserted key
+    passes (false negatives impossible — the exactness the
+    decontaminate_bloom oracle relies on), and the false-positive rate
+    on disjoint probes stays near the analytic (1-e^(-kn/m))^k."""
+    from trading212_etl_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.range(0, 1000).select(
+        F.xxhash64(F.col("id"), F.lit("member")).alias("key")
+    )
+    bloom = bloom_build(members, "key", bits_log2=18, k=3)
+    assert bloom_maybe_contains(members, bloom, "key", 18, 3).count() == 1000
+    outsiders = spark.range(0, 20000).select(
+        F.xxhash64(F.col("id"), F.lit("outsider")).alias("key")
+    )
+    fp = bloom_maybe_contains(outsiders, bloom, "key", 18, 3).count()
+    # analytic FP at m=2^18, n=1000, k=3 is ~2e-6; 1% is a loose roof
+    assert fp <= 200, f"false-positive rate {fp/20000} way above bound"
+
+
+def test_decontaminate_bloom_matches_exact_and_prunes(spark, sf_dir):
+    """The Bloom pre-filter is a plan-level accelerator: output must be
+    BIT-IDENTICAL to the plain exact pass, and the pre-filter must
+    actually discard most of the corpus-side probe rows."""
+    from trading212_etl_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    exact = {tuple(r) for r in decontaminate(corpus, bench).collect()}
+    audit: dict = {}
+    got = {
+        tuple(r)
+        for r in decontaminate_bloom(corpus, bench, audit=audit).collect()
+    }
+    assert got == exact
+    assert exact, "split should plant some contamination"
+    # the probe side is the whole corpus's shingle instances; the
+    # maybe-set should be a small fraction (true hits + ~0 Bloom FPs)
+    assert audit["maybe_rows"] < 0.2 * audit["probe_rows"], audit
+
+
+def test_incremental_minhash_sink_estimator(spark, sf_dir, tmp_path):
+    """Incremental-vs-snapshot dedup (xxhash64 production mode): the
+    persisted-signature estimator must (a) find every strong bipartite
+    near-dup (exact J >= 0.8 — banding and the estimator are both
+    near-certain there), (b) stay calibrated against exact Jaccard on
+    the pairs it emits, and (c) emit only (new x snapshot) pairs."""
+    from trading212_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        jaccard_pairs,
+        write_signature_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "sink")
+    write_signature_sink(snapshot, path)
+    inc = incremental_minhash_pairs(new, path, threshold=0.5).collect()
+    assert inc, "corpus plants cross-split near-dups"
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    old_ids = {r.doc_id for r in snapshot.select("doc_id").collect()}
+    assert all(r.doc_new in new_ids and r.doc_old in old_ids for r in inc)
+    # exact bipartite ground truth from the shingle sets
+    exact = {
+        frozenset((r.doc_a, r.doc_b)): r.jaccard
+        for r in jaccard_pairs(docs, 0.0).collect()
+        if (r.doc_a in new_ids) != (r.doc_b in new_ids)
+    }
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    found = {frozenset((r.doc_new, r.doc_old)) for r in inc}
+    assert strong, "corpus should plant strong cross-split dups"
+    missed = strong - found
+    assert not missed, f"missed strong near-dups: {missed}"
+    # estimator calibration on emitted pairs: n_match/K is an unbiased
+    # J estimator with sd <= sqrt(.25/32) ~= 0.088; 5 sd roof per pair
+    errs = [
+        abs(r.est_jaccard - exact[frozenset((r.doc_new, r.doc_old))])
+        for r in inc
+        if frozenset((r.doc_new, r.doc_old)) in exact
+    ]
+    assert errs and max(errs) <= 0.45, (max(errs), len(errs))
+    assert sum(errs) / len(errs) <= 0.15, sum(errs) / len(errs)

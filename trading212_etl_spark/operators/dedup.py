@@ -263,6 +263,69 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def _signature_frame(sh: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
+    """(id, h0..h{K-1}) MinHash signature frame over a materialized
+    (id, shingles) frame — the shared construction behind
+    :func:`minhash_lsh_pairs` and the incremental signature sink.
+
+    Signature via explode + K min-aggregates instead of K interpreted
+    array passes: min(hash(shingle, k)) over the exploded shingle rows
+    is whole-stage-codegen'd aggregation (K buffers), where the
+    transform/array_min form re-walks each array K times in the
+    interpreted higher-order evaluator. Same mins, same signature.
+    The expressions are built as SQL strings: the Py4J round-trips of
+    a K-deep Column-builder loop cost ~2 s of driver time per query.
+    In md5 mode one digest carries FOUR independent 32-bit hashes
+    (8-hex-char slices), so K hashes cost K/4 digest evaluations per
+    shingle row; the digests are materialized in a projection BEFORE
+    the aggregate because CSE across sibling aggregate expressions is
+    not guaranteed."""
+    ex = sh.select("id", F.explode("shingles").alias("s"))
+    if hash_fn == "md5":
+        n_digests = (num_hashes + 3) // 4
+        ex = ex.select(
+            "id",
+            *[
+                F.expr(f"md5(concat('{j}:', s))").alias(f"d{j}")
+                for j in range(n_digests)
+            ],
+        )
+        hash_exprs = [
+            f"min(substring(d{k // 4}, {8 * (k % 4) + 1}, 8))"
+            for k in range(num_hashes)
+        ]
+    else:
+        hash_exprs = [f"min(xxhash64(s, {k}))" for k in range(num_hashes)]
+    return ex.groupBy("id").agg(
+        *[F.expr(e).alias(f"h{k}") for k, e in enumerate(hash_exprs)]
+    )
+
+
+def _band_frame(sig: DataFrame, num_hashes: int, bands: int, hash_fn: str) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band table over a signature frame.
+
+    Band hash = one multi-arg xxhash64 over the band's r signature
+    longs: an 8-byte group key straight from long inputs, vs the
+    md5-of-concat_ws form which stringifies r longs and allocates a
+    32-char hash per band per doc. In md5 mode the band key is the
+    plain concat of the r hex mins — it must stay oracle-computable,
+    and a second hash would add nothing the groupBy needs."""
+    rows = num_hashes // bands
+    band_key = (
+        "concat({cols})" if hash_fn == "md5" else "xxhash64({cols})"
+    )
+    band_structs = ", ".join(
+        ("struct({i} as band_idx, " + band_key + " as band_hash)").format(
+            i=i,
+            cols=", ".join(f"h{i * rows + r}" for r in range(rows)),
+        )
+        for i in range(bands)
+    )
+    return sig.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -328,7 +391,6 @@ def minhash_lsh_pairs(
         parity gates, not the 100 TB run.
     """
     assert hash_fn in ("xxhash64", "md5"), hash_fn
-    rows = num_hashes // bands
     # the shingle sets feed THREE consumers with different downstream
     # shuffle keys (the exploded signature scan + both verify-join
     # sides), so exchange reuse can't kick in — materialize once
@@ -337,59 +399,8 @@ def minhash_lsh_pairs(
     sh = freeze_partitions(
         _shingle_sets(docs, shingle_n, id_col, tokens_col)
     )
-    # signature via explode + K min-aggregates instead of K interpreted
-    # array passes: min(xxhash64(shingle, k)) over the exploded shingle
-    # rows is whole-stage-codegen'd aggregation (K buffers), where the
-    # transform/array_min form re-walks each array K times in the
-    # interpreted higher-order evaluator. Same mins, same signature.
-    # The expressions are built as SQL strings: the Py4J round-trips of
-    # a K-deep Column-builder loop cost ~2 s of driver time per query.
-    ex = sh.select("id", F.explode("shingles").alias("s"))
-    if hash_fn == "md5":
-        # seeded string hashes shared verbatim with the DuckDB oracle;
-        # lexicographic min over fixed-width lowercase hex == numeric
-        # min, identically in both engines. One md5 digest carries FOUR
-        # independent 32-bit hashes (8-hex-char slices), so K hashes
-        # cost K/4 digest evaluations per shingle row, not K — the
-        # digests are materialized in a projection BEFORE the
-        # aggregate, because CSE across sibling aggregate expressions
-        # is not guaranteed.
-        n_digests = (num_hashes + 3) // 4
-        ex = ex.select(
-            "id",
-            *[
-                F.expr(f"md5(concat('{j}:', s))").alias(f"d{j}")
-                for j in range(n_digests)
-            ],
-        )
-        hash_exprs = [
-            f"min(substring(d{k // 4}, {8 * (k % 4) + 1}, 8))"
-            for k in range(num_hashes)
-        ]
-    else:
-        hash_exprs = [f"min(xxhash64(s, {k}))" for k in range(num_hashes)]
-    sig = ex.groupBy("id").agg(
-        *[F.expr(e).alias(f"h{k}") for k, e in enumerate(hash_exprs)]
-    )
-    # band hash = one multi-arg xxhash64 over the band's r signature
-    # longs: an 8-byte group key straight from long inputs, vs the
-    # md5-of-concat_ws form which stringifies r longs and allocates a
-    # 32-char hash per band per doc. In md5 mode the band key is the
-    # plain concat of the r hex mins — it must stay oracle-computable,
-    # and a second hash would add nothing the groupBy needs.
-    band_key = (
-        "concat({cols})" if hash_fn == "md5" else "xxhash64({cols})"
-    )
-    band_structs = ", ".join(
-        ("struct({i} as band_idx, " + band_key + " as band_hash)").format(
-            i=i,
-            cols=", ".join(f"h{i * rows + r}" for r in range(rows)),
-        )
-        for i in range(bands)
-    )
-    banded = sig.select(
-        "id", F.expr(f"explode(array({band_structs}))").alias("band")
-    ).select("id", "band.band_idx", "band.band_hash")
+    sig = _signature_frame(sh, num_hashes, hash_fn)
+    banded = _band_frame(sig, num_hashes, bands, hash_fn)
     # bucket size + hub via a window over the banded frame itself:
     # ONE exchange on (band_idx, band_hash) feeds the per-bucket
     # count/min AND the downstream grouping (WindowExec preserves its
@@ -610,6 +621,258 @@ def decontaminate(
                 "contam_bp"
             ),
         )
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, bits_log2: int = 18, k: int = 3
+) -> DataFrame:
+    """Distributed Bloom-filter build: hash every key to ``k`` bit
+    positions in an ``m = 2**bits_log2``-bit array and OR them into
+    64-bit words → a (bucket, bits) frame of at most ``m/64`` rows.
+
+    Entirely DataFrame-native (no driver-side ``stat.bloomFilter``
+    collect): position ``j`` of a key is ``pmod(xxhash64(key, j), m)``,
+    the word is ``pos >> 6``, and the build is one hash-aggregate with
+    ``bit_or`` — map-side combinable, so at 100 TB the shuffle carries
+    at most ``m/64`` rows per map task regardless of key count. The
+    result frame is ``m/8`` BYTES total (e.g. 32 KiB at m=2^18), so it
+    broadcasts even when the key set it summarizes would never fit an
+    executor — that is the point: a billion-key reference set probes as
+    a kilobyte-scale broadcast with a bounded false-positive rate
+    ``(1 - e^(-k*n/m))^k`` and ZERO false negatives (every inserted
+    key's k bits are set by construction)."""
+    m = 1 << bits_log2
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"pmod(xxhash64({key_col}, {j}), {m}L)")
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("bucket"),
+            F.expr("shiftleft(1L, cast(pos & 63 as int))").alias("__m"),
+        )
+        .groupBy("bucket")
+        .agg(F.expr("bit_or(__m)").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    bits_log2: int = 18,
+    k: int = 3,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``key_col`` MAYBE appears in the
+    key set summarized by ``bloom`` (built by :func:`bloom_build` with
+    the same ``bits_log2``/``k``).
+
+    Shuffle-free: ``k`` broadcast hash joins on the word index, one per
+    hash function — every probe row tests its k bits against the
+    broadcast (bucket, bits) frame in the same stage as the scan. Rows
+    whose bucket is absent from the frame have no bits set (left join,
+    null ⇒ miss). Guaranteed superset of the true members; callers
+    exact-confirm the survivors."""
+    m = 1 << bits_log2
+    out = probe
+    keep = F.lit(True)
+    for j in range(k):
+        bl = bloom.select(
+            F.col("bucket").alias(f"__bk{j}"), F.col("bits").alias(f"__bits{j}")
+        )
+        out = out.withColumn(
+            f"__pos{j}", F.expr(f"pmod(xxhash64({key_col}, {j}), {m}L)")
+        ).join(
+            F.broadcast(bl),
+            F.shiftright(F.col(f"__pos{j}"), 6) == F.col(f"__bk{j}"),
+            "left",
+        )
+        keep = keep & F.expr(
+            f"coalesce(__bits{j} & shiftleft(1L, cast(__pos{j} & 63 as int)), 0L)"
+            " <> 0L"
+        )
+    drop = [c for j in range(k) for c in (f"__pos{j}", f"__bk{j}", f"__bits{j}")]
+    return out.filter(keep).drop(*drop)
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    bits_log2: int = 18,
+    k: int = 3,
+    audit: dict | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom pre-filter in front of the
+    exact membership join — the form that survives a reference set too
+    large to broadcast.
+
+    :func:`decontaminate` broadcasts the benchmark's distinct shingle
+    hashes, which is right for fixed-size eval suites; when the
+    "benchmark" is yesterday's 100 TB corpus snapshot (cross-snapshot
+    contamination / incremental hygiene), the distinct-shingle set is
+    billions of 8-byte keys and cannot broadcast. This variant
+    broadcasts a ``m/8``-byte Bloom summary instead (``bloom_build``),
+    discards the overwhelming majority of corpus shingles scan-side
+    with zero shuffle (``bloom_maybe_contains``), and exact-confirms
+    only the survivors with the true membership join — so the big join
+    touches the (tiny) maybe-set, not the corpus. Bloom false
+    positives are removed by the confirm join and false negatives are
+    impossible, so the OUTPUT IS BIT-IDENTICAL to ``decontaminate`` —
+    the filter is a plan-level accelerator, which is exactly what makes
+    the entry oracle-checkable with the plain exact SQL.
+
+    ``audit`` (optional, test/measurement hook) receives
+    ``probe_rows`` / ``maybe_rows`` counts proving the pre-filter
+    actually prunes (not run by default — keeps the op action-free)."""
+    corpus = (
+        _shingle_sets(docs, n, id_col)
+        .withColumn("set_size", F.size("shingles"))
+        .select("id", "set_size", F.explode("shingles").alias("__s"))
+        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
+    )
+    bench = (
+        _shingle_sets(benchmark, n, id_col)
+        .select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    bench = freeze_partitions(bench)
+    bloom = bloom_build(bench, "shingle", bits_log2, k)
+    maybe = bloom_maybe_contains(corpus, bloom, "shingle", bits_log2, k)
+    if audit is not None:
+        audit["probe_rows"] = corpus.count()
+        audit["maybe_rows"] = maybe.count()
+    return (
+        maybe.join(bench, "shingle", "left_semi")
+        .groupBy("id", "set_size")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("id").alias(id_col),
+            "set_size",
+            "n_hits",
+            F.floor(F.col("n_hits") * F.lit(10_000) / F.col("set_size")).alias(
+                "contam_bp"
+            ),
+        )
+    )
+
+
+def write_signature_sink(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist a corpus snapshot's MinHash state as the two tables the
+    incremental path needs: ``<path>/signatures`` (id, h0..h{K-1}) and
+    ``<path>/bands`` (id, band_idx, band_hash) partitioned by
+    ``band_idx``.
+
+    This is the 100 TB incremental-dedup pattern: signatures are
+    computed ONCE per snapshot (a linear scan of the corpus) and every
+    subsequent ingest batch joins its own (tiny) band table against
+    this sink — the snapshot text is never re-read, never re-hashed.
+    Partitioning the band table by band_idx makes the incremental join
+    prune to the probe's bands and keeps each partition's band_hash
+    distribution uniform (band hashes are hashes), so the join side
+    scales by adding band files, not by widening tasks."""
+    assert hash_fn in ("xxhash64", "md5"), hash_fn
+    sh = freeze_partitions(_shingle_sets(docs, shingle_n, id_col))
+    sig = _signature_frame(sh, num_hashes, hash_fn)
+    # no materialize here: the parquet write IS the materialization,
+    # and the band table is derived from the written files (one
+    # signature computation total, snapshot-sized state never pinned
+    # in executor memory)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    spark = docs.sparkSession
+    sig_back = spark.read.parquet(f"{path}/signatures")
+    _band_frame(sig_back, num_hashes, bands, hash_fn).write.mode(
+        "overwrite"
+    ).partitionBy("band_idx").parquet(f"{path}/bands")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    sink_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs between an ingest batch and a persisted snapshot
+    signature sink (:func:`write_signature_sink`), WITHOUT touching the
+    snapshot's text: ``(doc_new, doc_old, n_match, est_jaccard)``.
+
+    The daily-increment form of :func:`minhash_lsh_pairs`: at 100 TB
+    you do not re-LSH the whole corpus per ingest batch — the batch
+    (≪ corpus) computes its own signatures, joins its band table
+    against the snapshot's persisted bands for candidates, then scores
+    each candidate by the MinHash estimator ``n_match / K`` (the
+    fraction of agreeing signature components — the unbiased Jaccard
+    estimator), read from the persisted signature table. No shingle
+    sets of old documents are ever materialized; both joins carry
+    fixed-width rows. ``n_match / K`` is a dyadic rational for the
+    K=32 default, so the estimate is exact in binary on every engine —
+    no rounding anywhere (cross-engine-exactness policy).
+
+    Candidates are exactly the band-collision pairs, so recall
+    inherits the banding S-curve of the batch-mode operator; the
+    estimator replaces the exact-Jaccard verify because the sink holds
+    signatures, not shingles — Var(est) = J(1-J)/K, tight enough at
+    K=32 to rank (consumers needing exact J re-read only the matched
+    old docs, a candidate-sized seek, not a corpus scan)."""
+    assert hash_fn in ("xxhash64", "md5"), hash_fn
+    spark = new_docs.sparkSession
+    sh = freeze_partitions(_shingle_sets(new_docs, shingle_n, id_col))
+    nsig = materialize(_signature_frame(sh, num_hashes, hash_fn))
+    nband = _band_frame(nsig, num_hashes, bands, hash_fn)
+    oband = spark.read.parquet(f"{sink_path}/bands")
+    cand = (
+        nband.alias("n")
+        .join(oband.alias("o"), ["band_idx", "band_hash"])
+        .select(
+            F.col("n.id").alias("doc_new"), F.col("o.id").alias("doc_old")
+        )
+        .distinct()
+    )
+    osig = spark.read.parquet(f"{sink_path}/signatures")
+    old_cols = [F.col("id").alias("doc_old")] + [
+        F.col(f"h{k}").alias(f"o{k}") for k in range(num_hashes)
+    ]
+    new_cols = [F.col("id").alias("doc_new")] + [
+        F.col(f"h{k}").alias(f"n{k}") for k in range(num_hashes)
+    ]
+    scored = (
+        cand.join(osig.select(*old_cols), "doc_old")
+        .join(nsig.select(*new_cols), "doc_new")
+        .withColumn(
+            "n_match",
+            sum(
+                (F.col(f"n{k}") == F.col(f"o{k}")).cast("long")
+                for k in range(num_hashes)
+            ),
+        )
+    )
+    min_match = int(threshold * num_hashes + 0.5)
+    return scored.filter(F.col("n_match") >= min_match).select(
+        "doc_new",
+        "doc_old",
+        "n_match",
+        (F.col("n_match") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 

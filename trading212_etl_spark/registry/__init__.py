@@ -120,14 +120,16 @@ _DRIVER_WINDOW = [
     "dedup_connected_components",
     "sample_leakage_safe_split",
     "pipeline_curate_corpus",
-    # (3) stalest r5 re-samples filling the remaining slots: the
-    #     iterative graph pair, the merge-state aggregate, and two
-    #     heavy multi-stage analytics shapes.
+    # (3) stalest r5 re-samples filling three slots (iterative graph
+    #     pair + the merge-state aggregate), plus the two entries BORN
+    #     in r11 — a never-driver-checked entry outranks an r5
+    #     re-sample (the displaced events_markov_transitions /
+    #     orders_cohort_ltv stay r5-green, within the freshness bar).
     "graph_pagerank",
     "graph_triangle_count",
     "incremental_agg_merge",
-    "events_markov_transitions",
-    "orders_cohort_ltv",
+    "dedup_decontaminate_bloom",
+    "dedup_incremental_snapshot",
 ]
 
 

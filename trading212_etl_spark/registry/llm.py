@@ -2529,3 +2529,160 @@ def q_multimodal_perceptual_dhash(spark, sf_dir):
         F.min("doc_id").over(cls).alias("canonical_id"),
         (F.count(F.lit(1)).over(cls) > 1).cast("int").alias("is_dup"),
     )
+
+
+@register(
+    "dedup_decontaminate_bloom",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM t WHERE id % 101 = 0),
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+          FROM t WHERE id % 101 <> 0),
+    hits AS (
+      SELECT id AS doc_id, any_value(set_size) AS set_size,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM e JOIN bench USING (shingle)
+      GROUP BY id
+    )
+    SELECT doc_id, set_size, n_hits,
+           CAST(floor(n_hits * 10000.0 / set_size) AS BIGINT) AS contam_bp
+    FROM hits
+    """,
+)
+def q_dedup_decontaminate_bloom(spark, sf_dir):
+    """Cross-snapshot decontamination with a Bloom pre-filter
+    (operators/dedup.py:decontaminate_bloom): the exact membership
+    probe of dedup_decontaminate, but the reference shingle set is
+    summarized into a 32 KiB broadcast Bloom filter (m=2^18 bits, k=3
+    seeded xxhash64 positions, built with one bit_or hash-aggregate)
+    and the corpus is pruned scan-side with three broadcast word-index
+    joins BEFORE the true membership join — the design that survives a
+    reference set (yesterday's 100 TB snapshot) too large to
+    broadcast. Bloom false positives die in the exact-confirm join and
+    false negatives are impossible, so the result is bit-identical to
+    the plain exact pass — which is why the oracle is the plain exact
+    SQL. The pre-filter's actual pruning is asserted by
+    tests/test_llm_ops.py (maybe-rows << probe-rows on a disjoint
+    split). Deterministic stand-in reference: docs with
+    doc_id % 101 == 0."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    return decontaminate_bloom(corpus, bench, n=3).withColumn(
+        "set_size", F.col("set_size").cast("long")
+    )
+
+
+def _incremental_md5_oracle(
+    num_hashes: int = 32, bands: int = 16, min_match: int = 16
+) -> str:
+    """Bipartite (new-batch x snapshot) MinHash LSH in DuckDB SQL,
+    hash-exact against the engine's ``hash_fn="md5"`` mode — the same
+    seeded-md5 signature construction as ``_minhash_md5_oracle``, but
+    the band join crosses the snapshot/new split and the score is the
+    signature-match ESTIMATOR (n_match / K, a dyadic rational at
+    K=32 — exact in binary on both engines, no rounding), because the
+    incremental path never materializes old shingle sets."""
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(substring(md5('{k // 4}:' || s), {8 * (k % 4) + 1}, 8)) AS h{k}"
+        for k in range(num_hashes)
+    )
+
+    def banded(src: str) -> str:
+        return "\n    UNION ALL ".join(
+            "SELECT id, {i} AS band_idx, {key} AS band_hash FROM {src}".format(
+                i=i,
+                key=" || ".join(f"h{i * rows + r}" for r in range(rows)),
+                src=src,
+            )
+            for i in range(bands)
+        )
+
+    matches = "\n           + ".join(
+        f"CAST(a.h{k} = b.h{k} AS INTEGER)" for k in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    e AS (SELECT id, unnest(shingles) AS s FROM t),
+    sig AS (
+      SELECT id, {mins}
+      FROM e GROUP BY id
+    ),
+    osig AS (SELECT * FROM sig WHERE id % 10 <> 0),
+    nsig AS (SELECT * FROM sig WHERE id % 10 = 0),
+    ob AS (
+    {banded('osig')}
+    ),
+    nb AS (
+    {banded('nsig')}
+    ),
+    cand AS (
+      SELECT DISTINCT n.id AS doc_new, o.id AS doc_old
+      FROM nb n JOIN ob o USING (band_idx, band_hash)
+    ),
+    m AS (
+      SELECT c.doc_new, c.doc_old,
+             CAST({matches} AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig a ON a.id = c.doc_new
+      JOIN sig b ON b.id = c.doc_old
+    )
+    SELECT doc_new, doc_old, n_match,
+           n_match / {num_hashes}.0 AS est_jaccard
+    FROM m WHERE n_match >= {min_match}
+    """
+
+
+@register(
+    "dedup_incremental_snapshot", oracle=_incremental_md5_oracle()
+)
+def q_dedup_incremental_snapshot(spark, sf_dir):
+    """Incremental near-dup detection against a PERSISTED snapshot
+    signature sink — the daily-ingest form of dedup_minhash_lsh
+    (operators/dedup.py:write_signature_sink /
+    incremental_minhash_pairs). The snapshot (docs with
+    doc_id % 10 != 0) is MinHash-signed ONCE and written as two
+    Parquet tables (signatures; bands partitioned by band_idx); the
+    ingest batch (doc_id % 10 == 0) signs only itself, joins its band
+    table against the persisted bands for candidates, and scores each
+    candidate with the signature-match estimator n_match/32 read from
+    the persisted signatures — the snapshot TEXT is never re-read. At
+    100 TB this turns per-batch dedup cost from O(corpus) to
+    O(batch + matches): the sink is the index. md5 hash mode, so the
+    ENTIRE pipeline — signatures, banding, candidates, estimator — is
+    replicated in the DuckDB oracle; the xxhash64 production mode and
+    the estimator-vs-exact calibration carry invariant tests in
+    tests/test_llm_ops.py. The sink write is cached across runs (same
+    sf_dir), mirroring the sink_ivf_partitioned_ann convention."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        incremental_minhash_pairs,
+        write_signature_sink,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "minhash_sink_md5")
+    if not os.path.exists(os.path.join(path, "bands", "_SUCCESS")):
+        write_signature_sink(
+            docs.filter(F.col("doc_id") % 10 != 0), path, hash_fn="md5"
+        )
+    return incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        path,
+        threshold=0.5,
+        hash_fn="md5",
+    )
