@@ -904,3 +904,32 @@ def test_approx_sketches_refutation_bounds(spark):
     assert abs(rank_of(row["p90_good"]) - 0.9 * N) <= max_rank_err
     # wrong compression: orders of magnitude outside the rank bound
     assert abs(rank_of(row["med_bad"]) - 0.5 * N) > 100
+
+
+def test_decontaminate_bloom_prefilter_is_shuffle_free(spark):
+    """The Bloom pre-filter must ride the corpus scan: three broadcast
+    hash joins on the word index (one per hash function) and ZERO
+    additional exchanges between the corpus scan and the exact-confirm
+    semi join — the whole point is that a 100 TB probe side tests its
+    bits without shuffling. The confirm join stays the broadcast
+    left-semi of the plain entry."""
+    p = plan(spark, "dedup_decontaminate_bloom")
+    assert "LeftSemi" in p, p
+    # k=3 bloom word-index joins + the confirm semi join, all broadcast
+    assert p.count("BroadcastHashJoin") >= 4, p
+    # the only hash exchange feeds the final per-doc count aggregate
+    agg_exchanges = [
+        l for l in p.splitlines() if ") Exchange hashpartitioning" in l
+    ]
+    assert len(agg_exchanges) <= 1, p
+
+
+def test_incremental_snapshot_joins_persisted_sink(spark):
+    """The incremental entry must read the snapshot state from the
+    Parquet sink (two file scans: bands + signatures) and never
+    recompute snapshot signatures: exactly one signature aggregation
+    pipeline (the batch's own) may appear in the plan."""
+    p = plan(spark, "dedup_incremental_snapshot")
+    assert "minhash_sink_md5" in p, p[:2000]
+    # batch documents scan + the sink's bands and signatures tables
+    assert p.count("Scan parquet") >= 3, p[:2000]
