@@ -2675,7 +2675,10 @@ def q_dedup_incremental_snapshot(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    path = _scratch(sf_dir, "minhash_sink_md5")
+    # the format tag (K/bands/hash family, bump on any signature-
+    # construction change) keys the cache: a stale sink from an older
+    # construction can never satisfy a newer entry's read
+    path = _scratch(sf_dir, "minhash_sink_md5_k32b16v1")
     if not os.path.exists(os.path.join(path, "bands", "_SUCCESS")):
         write_signature_sink(
             docs.filter(F.col("doc_id") % 10 != 0), path, hash_fn="md5"
