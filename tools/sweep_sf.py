@@ -59,9 +59,13 @@ def main() -> None:
                        "ok": True}
             except Exception:
                 failures += 1
+                err_lines = [
+                    l for l in traceback.format_exc(limit=3).splitlines()
+                    if l.strip()
+                ]
                 rec = {"name": name, "sec": round(time.monotonic() - t0, 3),
                        "ok": False,
-                       "err": traceback.format_exc(limit=3).splitlines()[-1]}
+                       "err": err_lines[-1] if err_lines else "unknown"}
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(f"[{start + i + 1}/{start + len(names)}] {name}: "
