@@ -1251,6 +1251,87 @@ def test_pairs_top_k_bound_keeps_clique_connectivity(spark):
     assert comp.count() == n
 
 
+def test_pairs_top_k_bounds_candidate_generation(spark):
+    """VERDICT r11 item 2: with ``top_k_per_doc`` set the bound must
+    reach CANDIDATE generation, not just the output — and on a corpus
+    where candidate pruning actually bites (cliques far larger than
+    the hub cap), the kept top-k pairs must be IDENTICAL to the
+    unbounded path truncated after full scoring.
+
+    Corpus: two equal-similarity cliques (40 and 25 identical copies;
+    hub cap for k=2 is max(k+1, 8) = 8, so both buckets prune) plus
+    an unrelated singleton. Proof obligation from
+    _hub_candidate_pairs' docstring: h ≥ k+1 hubs reproduce the exact
+    kNN subgraph of an equal-similarity clique."""
+    import warnings as _w
+
+    from trading212_etl_spark.operators.dedup import (
+        _hub_candidate_pairs,
+        _shingle_sets,
+        _top_k_per_doc,
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    clique_a = spark.range(1, 41).selectExpr(
+        "id AS doc_id",
+        "'alpha clique body with plenty of repeated shared shingle"
+        " material across each replicated member document' AS text",
+    )
+    clique_b = spark.range(200, 225).selectExpr(
+        "id AS doc_id",
+        "'beta clique text entirely different content but again"
+        " identical across its own copies of the document body' AS text",
+    )
+    lone = spark.createDataFrame(
+        [(999, "a lonely unrelated document about some other topic")],
+        "doc_id long, text string",
+    )
+    docs = clique_a.unionByName(clique_b).unionByName(lone)
+
+    # (a) pruning bites: hub candidates are a strict, linear subset of
+    # the quadratic pair listing (C(40,2)+C(25,2) = 1080 true pairs)
+    sh = _shingle_sets(docs, 3, "doc_id")
+    n_cand = _hub_candidate_pairs(sh, hubs=8).count()
+    assert n_cand < 1080, n_cand
+    # hub edges + successor edges: ≤ 2·h per member — O(h·n), not O(n²)
+    assert n_cand <= 2 * 8 * 65, n_cand
+
+    # (b) kept top-k pairs unchanged vs the unbounded path + output
+    # truncation, values included
+    k = 2
+    full = jaccard_pairs(docs, threshold=0.5, n=3)
+    expect = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _top_k_per_doc(full, k, "jaccard").collect()
+    }
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        got_df = jaccard_pairs(docs, threshold=0.5, n=3, top_k_per_doc=k)
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in got_df.collect()}
+    assert got == expect
+    # (c) the truncation is LOUD: a warning names the bound
+    assert any("BOUNDED" in str(w.message) for w in caught)
+
+    # (d) containment shares the route through the same skeleton
+    c_expect = {
+        (r.doc_a, r.doc_b): r.max_containment
+        for r in _top_k_per_doc(
+            containment_pairs(docs, threshold=0.5, n=3),
+            k,
+            "max_containment",
+        ).collect()
+    }
+    c_got = {
+        (r.doc_a, r.doc_b): r.max_containment
+        for r in containment_pairs(
+            docs, threshold=0.5, n=3, top_k_per_doc=k
+        ).collect()
+    }
+    assert c_got == c_expect
+
+
 def test_bloom_no_false_negatives_and_bounded_fp(spark):
     """bloom_build/bloom_maybe_contains contract: every inserted key
     passes (false negatives impossible — the exactness the
@@ -1341,3 +1422,72 @@ def test_incremental_minhash_sink_estimator(spark, sf_dir, tmp_path):
     ]
     assert errs and max(errs) <= 0.45, (max(errs), len(errs))
     assert sum(errs) / len(errs) <= 0.15, sum(errs) / len(errs)
+
+
+def test_sink_absorb_compact_expire(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 6 — the signature sink's maintenance story:
+    (a) absorbing ingest batches appends state equivalent to having
+    built the sink from the union corpus, (b) compaction merges the
+    accumulated per-absorb small files WITHOUT changing the
+    incremental join result, (c) version-tag expiry removes exactly
+    the superseded sink directories."""
+    import os
+
+    from trading212_etl_spark.operators.dedup import (
+        absorb_batch_into_sink,
+        compact_signature_sink,
+        expire_superseded_sinks,
+        incremental_minhash_pairs,
+        write_signature_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = docs.filter(F.col("doc_id") % 10 > 2)
+    b0 = docs.filter(F.col("doc_id") % 10 == 0)
+    b1 = docs.filter(F.col("doc_id") % 10 == 1)
+    probe = docs.filter(F.col("doc_id") % 10 == 2)
+    root = tmp_path / "sinks"
+    root.mkdir()
+    path = str(root / "minhash_sink_k32b16v2")
+    write_signature_sink(snapshot, path)
+    absorb_batch_into_sink(b0, path)
+    absorb_batch_into_sink(b1, path)
+
+    def run() -> set:
+        return {
+            tuple(r)
+            for r in incremental_minhash_pairs(
+                probe, path, threshold=0.5
+            ).collect()
+        }
+
+    before = run()
+    # (a) absorbed state ≡ a sink built from the union corpus in one
+    # shot: same signatures → same candidates → same estimator scores
+    oneshot = str(root / "oneshot_v1")
+    write_signature_sink(snapshot.unionByName(b0).unionByName(b1), oneshot)
+    assert before == {
+        tuple(r)
+        for r in incremental_minhash_pairs(
+            probe, oneshot, threshold=0.5
+        ).collect()
+    }
+    assert before, "corpus plants cross-split near-dups"
+
+    # (b) compaction: strictly fewer files, identical join result
+    stats = compact_signature_sink(spark, path)
+    assert stats["signatures_files_after"] < stats["signatures_files_before"], stats
+    assert stats["bands_files_after"] < stats["bands_files_before"], stats
+    assert run() == before
+    # band_idx partitioning survives the rewrite (pruning still works)
+    assert any(
+        d.startswith("band_idx=") for d in os.listdir(os.path.join(path, "bands"))
+    )
+
+    # (c) expiry drops only the superseded version of the same family
+    stale = root / "minhash_sink_k32b16v1"
+    stale.mkdir()
+    removed = expire_superseded_sinks(str(root))
+    assert removed == [str(stale)]
+    assert os.path.isdir(path) and os.path.isdir(oneshot)
+    assert run() == before

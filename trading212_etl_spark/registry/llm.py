@@ -86,14 +86,17 @@ def q_dedup_jaccard(spark, sf_dir):
     for pairs sharing dropped shingles). UNSET by default, so the
     driver/oracle runs stay exact.
 
-    Output-bound lever (r11, VERDICT r10 item 5): set
-    ``SPARK_GRAFT_PAIRS_TOP_K=<k>`` to truncate the result to each
-    document's k strongest partners (the kNN subgraph — deterministic
-    rank by jaccard DESC, partner id ASC; clique connectivity
-    preserved). A replicated corpus' TRUE pair listing is quadratic
-    in the copy count, so the unbounded form DNFs by construction at
-    the 125× probe; the bound makes completion O(n·k). UNSET by
-    default — driver/oracle runs emit the complete pair set."""
+    Top-k lever (r11 output bound; r12 candidate bound, VERDICT r11
+    item 2): set ``SPARK_GRAFT_PAIRS_TOP_K=<k>`` to truncate the
+    result to each document's k strongest partners (the kNN
+    subgraph — deterministic rank by jaccard DESC, partner id ASC;
+    clique connectivity preserved). Since r12 the bound also routes
+    CANDIDATE generation through the LSH hub subgraph
+    (operators/dedup._hub_candidate_pairs), so the quadratic shingle
+    co-occurrence is never enumerated — compute, not just output, is
+    O(n·k)-class; kept pairs carry exact Jaccard and the kept set is
+    exact on equal-similarity cliques. UNSET by default —
+    driver/oracle runs emit the complete pair set."""
     import os
 
     from ..operators.dedup import jaccard_pairs
@@ -283,12 +286,13 @@ def q_dedup_connected_components(spark, sf_dir):
     recursive-CTE transitive closure — O(V·E), test-scale only, which
     is exactly why the iterative form exists.
 
-    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11, unset by default) bounds the
-    edge list to the kNN subgraph before clustering — equal-J clique
-    connectivity is preserved (each member's top partner is the
-    clique minimum), so the component labels of replicated-corpus
-    cliques are unchanged while the edge mass drops from quadratic to
-    O(n·k)."""
+    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11; candidate-bounded since r12,
+    unset by default) bounds the edge list to the kNN subgraph before
+    clustering — equal-J clique connectivity is preserved (each
+    member's top partner is the clique minimum), so the component
+    labels of replicated-corpus cliques are unchanged while both the
+    edge mass AND the candidate enumeration drop from quadratic to
+    O(n·k)-class (operators/dedup._hub_candidate_pairs)."""
     import os
 
     from ..operators.dedup import connected_components, jaccard_pairs
@@ -1181,9 +1185,10 @@ def q_pipeline_curate(spark, sf_dir):
     removal) as ONE oracle-checked plan: the documents-table analog of
     the reference's flagship transactions pipeline (SURVEY §3 EP3).
 
-    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11, unset by default) bounds the
-    exact pair stage to the kNN subgraph so the pipeline completes on
-    corpora whose true pair mass is quadratic (see
+    ``SPARK_GRAFT_PAIRS_TOP_K`` (r11; candidate-bounded since r12,
+    unset by default) bounds the exact pair stage to the kNN subgraph
+    — including candidate generation, so the quadratic pair mass of a
+    replicated corpus is never enumerated (see
     plans/curate.py:curate_corpus); the LSH twin remains the
     production form."""
     import os

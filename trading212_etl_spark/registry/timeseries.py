@@ -1340,10 +1340,12 @@ def q_sample_leakage_safe_split(spark, sf_dir):
     from ..operators.sampling import hash_split
 
     docs = _t(spark, sf_dir, "documents")
-    # SPARK_GRAFT_PAIRS_TOP_K (r11, unset by default): kNN-subgraph
-    # edge bound — split labels are CC-derived, and equal-J clique
-    # connectivity survives the truncation, so replicated-corpus
-    # clusters keep landing on one side of the fence
+    # SPARK_GRAFT_PAIRS_TOP_K (r11; candidate-bounded since r12,
+    # unset by default): kNN-subgraph edge bound — split labels are
+    # CC-derived, and equal-J clique connectivity survives the
+    # truncation, so replicated-corpus clusters keep landing on one
+    # side of the fence; the r12 hub-candidate route means the
+    # quadratic pair mass is never even enumerated
     top_k = os.environ.get("SPARK_GRAFT_PAIRS_TOP_K")
     comp = connected_components(
         jaccard_pairs(docs, 0.5, top_k_per_doc=int(top_k) if top_k else None)
