@@ -173,10 +173,43 @@ HEADLINE = [
 ]
 
 
+def _canary_df(spark):
+    """Fixed-work host-speed probe (VERDICT r11 item 4): constant row
+    count, constant partitioning, constant plan — 32M sha256 hashes
+    through one 1000-key shuffle, zero file I/O, zero SF dependence.
+    Its wall moves with HOST speed only, so round-over-round bench
+    deltas can be split mechanically into host drift (canary moved
+    too) vs code change (canary flat). The r10→r11 +10.5% shift had
+    to be attributed by hand from idle-host reruns; this makes the
+    attribution part of every artifact."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 32_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("lo"), F.max("h").alias("hi"))
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="bench")
     pin_oracle_confs(spark)
+
+    def canary_wall() -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _canary_df(spark).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # one untimed canary execution: codegen/JIT warm-up, same reason
+    # as the headline warm pass below
+    _canary_df(spark).write.format("noop").mode("overwrite").save()
 
     # Warm-up: run every headline query once at a SMALLER SF so the
     # timed loop measures steady-state query execution, not one-off
@@ -245,8 +278,14 @@ def main() -> None:
     # pass also measures first-run-after-clear (the caches are cleared
     # per query), so the min is still the reproducible first-run
     # convention, minus the worst of the host noise.
+    # calibration canary measured FIRST and LAST so it brackets the
+    # timed window; min is the headline host-speed number (same
+    # min-of-N convention as the queries)
+    canary_first = canary_wall()
     pass1 = timed_pass(sf_dir)
     pass2 = timed_pass(sf_dir)
+    canary_last = canary_wall()
+    canary = min(canary_first, canary_last)
     timings = {q: min(pass1[q], pass2[q]) for q in pass1}
     total = round(sum(timings.values()), 3)
 
@@ -267,6 +306,7 @@ def main() -> None:
         "queries": {"flagship_pipeline": timings.get("flagship_pipeline")},
         "n_queries": len(timings),
         "sf": parse_sf(sf_dir),
+        "canary": canary,
         "queries_file": "BENCH_SCALING.json",
     }
     scaling: dict = {
@@ -316,6 +356,15 @@ def main() -> None:
                 round(sum(pass1.values()), 3),
                 round(sum(pass2.values()), 3),
             ],
+            "canary": {
+                "what": "fixed-work host-speed probe (32M sha256 → "
+                "1000-key shuffle, no file I/O; see bench.py:_canary_df)"
+                " measured before pass1 and after pass2; compare the"
+                " min across rounds to split a total-wall delta into"
+                " host drift vs code change",
+                "walls": [canary_first, canary_last],
+                "min": canary,
+            },
         }
     }
 
