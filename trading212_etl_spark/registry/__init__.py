@@ -51,85 +51,78 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r11 window (exactly 50): executes the r10 verdict's task 1 — FINISH
-# the freshness rotation. After r10 the last-green histogram was
-# {r4: 35, r5: 40, r6: 36, r8: 48, r9: 49, r10: 50}; this window takes
-# every remaining r4 row (group 1), the entries whose plans change in
-# r11 (group 2, the growth rule), and the stalest r5 rows (group 3).
-# After r11 the oldest surviving proof anywhere is r5 and steady-state
-# rotation holds: subsequent windows sample the stalest band plus
-# changed plans.
+# r12 window (exactly 50): executes the r11 verdict's task 2 —
+# continue the steady-state freshness rotation. After r11 the
+# last-green histogram is {r5: 35, r6: 35, r8: 45, r9: 49, r10: 46,
+# r11: 50}; this window takes the ENTIRE r5 band (group 1 — after r12
+# no surviving proof is older than r6), the entries whose plans
+# changed in r12 (group 2, the growth rule — these displace r6
+# re-samples first), and the stalest r6 rows in their r6-file
+# registration order (group 3).
 _DRIVER_WINDOW = [
-    # --- r11 window (exactly 50) ---
-    # (1) ALL 35 entries whose last hash-green driver row is r4 —
-    #     finishing the freshness rotation (VERDICT r10 task 1):
-    #     after r11 no surviving row is older than r5.
-    "agg_argmax_battery",
-    "array_funcs",
-    "delete_propagation",
-    "embedding_norms",
-    "embedding_pca_power_iter",
-    "events_rollup_hierarchy",
-    "filter_isin",
-    "grouping_sets_sql",
-    "intersect_except",
-    "literal_and_derived_columns",
-    "map_funcs",
-    "math_funcs",
-    "null_conditional_funcs",
-    "predicate_equality",
-    "profile_key_skew",
-    "profile_quantiles",
-    "projection_reorder",
-    "sink_compaction",
-    "sink_zorder_layout",
-    "sort_limit_topk",
-    "source_binary_files",
-    "source_csv_gzip_roundtrip",
-    "source_csv_malformed",
-    "stat_aggs",
-    "string_agg_first8",
-    "text_chunk_windows",
-    "text_code_detection",
-    "text_fingerprint",
-    "text_model_quality_filter",
-    "text_repetition",
-    "text_top_ngrams",
-    "text_unigram_lm_score",
-    "union_dedup_chunks",
-    "union_missing_columns",
-    "window_running_distinct",
-    # (2) plan/code changed in r11 — the growth rule: a changed plan
-    #     must re-prove on the driver regardless of age. The star
-    #     paths now emit unfiltered over-cap edges (dedup_simhash,
-    #     embedding_near_dup_lsh, dedup_semantic_clusters), the IVF
-    #     cell writer gained the left-join/null-cell + group-count
-    #     fan-out (sink_ivf_partitioned_ann), entity hubs skip
-    #     null names (entity_resolution_customers), and the
-    #     exact-pair family gained the default-off top-k output
-    #     bound (dedup_jaccard/containment_pairs,
-    #     dedup_connected_components, sample_leakage_safe_split,
-    #     pipeline_curate_corpus).
-    "dedup_simhash",
-    "embedding_near_dup_lsh",
-    "dedup_semantic_clusters",
-    "sink_ivf_partitioned_ann",
-    "entity_resolution_customers",
+    # --- r12 window (exactly 50) ---
+    # (1) ALL 35 entries whose last hash-green driver row is r5.
+    "clean_winsorize_prices",
+    "documents_source_overlap",
+    "dq_constraints",
+    "drift_priority_mix_monthly",
+    "drift_value_ks_distance",
+    "drift_value_mann_whitney",
+    "embedding_dim_variance_ranking",
+    "embedding_quantize_int8",
+    "eval_lang_id_confusion",
+    "events_activation_depth",
+    "events_attribution_first_touch",
+    "events_burst_detection",
+    "events_dau_wau",
+    "events_markov_transitions",
+    "events_overdispersion_fano",
+    "events_rolling_volatility",
+    "events_session_paths",
+    "events_srm_check",
+    "events_stickiness_dau_mau",
+    "events_user_presence_bitmap",
+    "events_vwap_hourly",
+    "features_market_hourly",
+    "features_ntile_bins",
+    "lineitem_discount_did",
+    "lineitem_shipment_lead_time",
+    "orders_basket_affinity",
+    "orders_churn_labels",
+    "orders_cohort_ltv",
+    "orders_gini_coefficient",
+    "orders_pareto_8020",
+    "orders_rfm_segments",
+    "orders_trend_residual_daily",
+    "stats_returns_rate_wilson",
+    "stats_supplier_concentration_hhi",
+    "text_inverted_index",
+    # (2) plan/code changed in r12 — the growth rule: the exact-pair
+    #     family's top_k bound moved from output-only truncation into
+    #     CANDIDATE generation (operators/dedup._hub_candidate_pairs;
+    #     VERDICT r11 item 2). The bound stays default-off so the
+    #     oracle path builds the identical plan, but the operators'
+    #     code changed and must re-prove — same convention that put
+    #     this family in the r11 window.
     "dedup_jaccard_pairs",
     "dedup_containment_pairs",
     "dedup_connected_components",
     "sample_leakage_safe_split",
     "pipeline_curate_corpus",
-    # (3) stalest r5 re-samples filling three slots (iterative graph
-    #     pair + the merge-state aggregate), plus the two entries BORN
-    #     in r11 — a never-driver-checked entry outranks an r5
-    #     re-sample (the displaced events_markov_transitions /
-    #     orders_cohort_ltv stay r5-green, within the freshness bar).
-    "graph_pagerank",
-    "graph_triangle_count",
-    "incremental_agg_merge",
-    "dedup_decontaminate_bloom",
-    "dedup_incremental_snapshot",
+    # (3) the 10 stalest r6 rows (r6-file registration order), the
+    #     steady-state band sample — the 5 growth-rule slots above
+    #     displaced the next 5 r6 re-samples, which stay r6-green,
+    #     within the freshness bar.
+    "dedup_minhash_lsh",
+    "streaming_tumbling_1h",
+    "streaming_stream_static_join",
+    "streaming_stateful_user_stats",
+    "orders_anomalous_days",
+    "orders_runs_test_daily",
+    "orders_yoy_growth_monthly",
+    "orders_fiscal_445_rollup",
+    "orders_segment_migration_matrix",
+    "events_hourly_autocorrelation",
 ]
 
 
