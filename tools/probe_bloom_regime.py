@@ -1,0 +1,161 @@
+"""Prove decontaminate_bloom in its own regime (VERDICT r11 item 3):
+a reference set too large to broadcast.
+
+The 125x corpus is key-offset REPLICATED text, so its distinct-shingle
+set stays sf0.1-sized and the plain broadcast-exact path never
+struggles — which is why the r11 measurement could only show the
+Bloom variant costing ~1.2x in the regime where both work. This probe
+builds the regime the operator exists for:
+
+- reference: N synthetic documents of globally-unique words (every
+  doc contributes 18 unique 3-shingles), so distinct shingles = 18*N
+  — tens of millions of 8-byte keys, far past what a constrained
+  driver can collect+broadcast;
+- probe corpus: the real .scale/sf12.5 documents table, plus a planted
+  contamination slice (reference texts re-keyed as corpus docs) so the
+  output is non-empty;
+- both paths run in a FRESH constrained JVM (spark.driver.memory set
+  before launch; local mode, so driver heap IS the executor heap) as
+  separate subprocesses — the expected OOM of the exact path must not
+  take the Bloom measurement down with it.
+
+Usage:
+    python tools/probe_bloom_regime.py exact|bloom [n_ref_docs]
+        one path, one measurement, prints ONE JSON line
+    python tools/probe_bloom_regime.py both [n_ref_docs]
+        orchestrates the two subprocesses and prints both results
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF12_5 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf12.5"
+)
+DRIVER_MEM = os.environ.get("PROBE_BLOOM_MEM", "3g")
+CORES = os.environ.get("PROBE_BLOOM_CORES", "16")
+BITS_LOG2 = 28  # m=2^28 bits: ~4.2M-row (32 MiB) summary, fp ~5% at 43M keys
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CORES}]")
+        .appName("probe_bloom_regime")
+        .config("spark.driver.memory", DRIVER_MEM)
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _frames(spark, n_ref: int):
+    from pyspark.sql import functions as F
+
+    # 20 globally-unique words per reference doc -> 18 unique shingles
+    ref = spark.range(n_ref).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 19),"
+        " i -> substr(md5(concat(cast(id AS string), ':',"
+        " cast(i AS string))), 1, 10))) AS text",
+    )
+    corpus = spark.read.parquet(os.path.join(SF12_5, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # plant contamination: every 1024th reference text appears in the
+    # corpus under a fresh doc_id, so n_hits > 0 proves the join found
+    # real leaks, not just survived
+    planted = ref.filter(F.col("doc_id") % 1024 == 0).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+    )
+    return corpus.unionByName(planted), ref
+
+
+def run_one(mode: str, n_ref: int) -> None:
+    from trading212_etl_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    spark = _session()
+    probe, ref = _frames(spark, n_ref)
+    t0 = time.monotonic()
+    if mode == "exact":
+        out = decontaminate(probe, ref)
+    else:
+        out = decontaminate_bloom(probe, ref, bits_log2=BITS_LOG2)
+    n = out.count()
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "ok": True,
+                "wall_s": round(time.monotonic() - t0, 1),
+                "contaminated_docs": n,
+                "n_ref_docs": n_ref,
+                "distinct_ref_shingles": 18 * n_ref,
+                "driver_memory": DRIVER_MEM,
+                "cores": int(CORES),
+            }
+        )
+    )
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
+    if mode in ("exact", "bloom"):
+        run_one(mode, n_ref)
+        return
+    assert mode == "both", mode
+    results = []
+    for m in ("bloom", "exact"):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), m, str(n_ref)],
+            capture_output=True,
+            text=True,
+            timeout=7200,
+        )
+        line = next(
+            (l for l in reversed(p.stdout.splitlines()) if l.startswith("{")),
+            None,
+        )
+        if p.returncode == 0 and line:
+            results.append(json.loads(line))
+        else:
+            tail = (p.stderr or p.stdout).splitlines()[-30:]
+            err = next(
+                (
+                    l
+                    for l in tail
+                    if "OutOfMemoryError" in l
+                    or "Total size" in l
+                    or "Not enough memory" in l
+                    or "Error" in l
+                ),
+                tail[-1] if tail else "no output",
+            )
+            results.append(
+                {
+                    "mode": m,
+                    "ok": False,
+                    "returncode": p.returncode,
+                    "error": err.strip()[:300],
+                    "n_ref_docs": n_ref,
+                    "driver_memory": DRIVER_MEM,
+                }
+            )
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"probe": "bloom_regime", "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,14 +160,21 @@ def _hub_candidate_pairs(
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band_idx", "band_hash").orderBy("id")
-    ranked = banded.select(
-        "band_idx",
-        "band_hash",
-        "id",
-        F.row_number().over(wb).alias("__rk"),
-        F.array(
-            *[F.lead("id", j).over(wb) for j in range(1, hubs + 1)]
-        ).alias("__succ"),
+    # materialized: ranked feeds THREE consumers (hub side, member
+    # side, successor explode), and without the lineage cut each one
+    # re-runs the whole shingle→signature→banding→window pipeline —
+    # the same multi-consumer rule as minhash_lsh_pairs' shingle
+    # freeze. O(bands·n) fixed-width rows, cheap to hold.
+    ranked = materialize(
+        banded.select(
+            "band_idx",
+            "band_hash",
+            "id",
+            F.row_number().over(wb).alias("__rk"),
+            F.array(
+                *[F.lead("id", j).over(wb) for j in range(1, hubs + 1)]
+            ).alias("__succ"),
+        )
     )
     # successor edges: rank order IS id order, so doc_a < doc_b free
     succ_edges = ranked.select(
