@@ -39,9 +39,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF12_5 = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf12.5"
 )
-DRIVER_MEM = os.environ.get("PROBE_BLOOM_MEM", "3g")
-CORES = os.environ.get("PROBE_BLOOM_CORES", "16")
-BITS_LOG2 = 28  # m=2^28 bits: ~4.2M-row (32 MiB) summary, fp ~5% at 43M keys
+DRIVER_MEM = os.environ.get("PROBE_BLOOM_MEM", "2g")
+CORES = os.environ.get("PROBE_BLOOM_CORES", "8")
+# m=2^26 bits: ~1M-row (8 MiB bit-data, ~35 MB as a hashed relation)
+# summary — fits the constrained heap where the exact path's 43M-key
+# broadcast (>1.5 GB as a hashed relation) cannot. fp ~62% pass-rate
+# at 43M keys: pruning is partial in this deliberately undersized
+# probe, but the broadcast stays O(m), not O(reference) — the cost
+# class under test. (A first attempt at bits=2^28 showed the flip
+# side: size the summary past the heap and the Bloom path inherits
+# the exact path's failure mode.)
+BITS_LOG2 = 26
 
 
 def _session():
@@ -131,17 +139,17 @@ def main() -> None:
         if p.returncode == 0 and line:
             results.append(json.loads(line))
         else:
-            tail = (p.stderr or p.stdout).splitlines()[-30:]
+            blob = (p.stderr or "") + (p.stdout or "")
             err = next(
                 (
                     l
-                    for l in tail
-                    if "OutOfMemoryError" in l
+                    for l in blob.splitlines()
+                    if "Not enough memory" in l
+                    or "OutOfMemoryError" in l
                     or "Total size" in l
-                    or "Not enough memory" in l
-                    or "Error" in l
+                    or "broadcastTimeout" in l
                 ),
-                tail[-1] if tail else "no output",
+                (blob.splitlines() or ["no output"])[-1],
             )
             results.append(
                 {
