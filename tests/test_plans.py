@@ -921,13 +921,31 @@ def test_decontaminate_bloom_prefilter_is_shuffle_free(spark):
     # of 4 would only guarantee 2 joins; ADVICE r11)
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 4, p
     # every hash exchange sits on a SMALL side: the bench distinct,
-    # the three bloom-build aggregates (the build subtree repeats per
-    # hash-function join), and the final per-doc count aggregate. The
-    # corpus-probe path itself — scan → explode → 3 bloom joins →
-    # confirm semi join — shuffles NOTHING: a probe-side exchange
-    # would grow this count and fail the pin. (The plan's two
-    # remaining exchanges are fan_out round-robins, not hash.)
-    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 5, p
+    # ONE bloom-build aggregate (the built summary is frozen since
+    # r12, so the k joins share a single build instead of repeating
+    # the subtree per hash function), and the final per-doc count
+    # aggregate. The corpus-probe path itself — scan → explode →
+    # 3 bloom joins → confirm semi join — shuffles NOTHING: a
+    # probe-side exchange would grow this count and fail the pin.
+    # (The plan's remaining exchanges are fan_out round-robins.)
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 3, p
+
+
+def test_bounded_pairs_plan_has_no_shingle_self_join(spark, monkeypatch):
+    """With the top-k candidate bound active (VERDICT r11 item 2), the
+    exact-pair plan must contain NO shingle self-join — candidates
+    come from the checkpointed LSH band frame (one signature pipeline,
+    served to its three consumers as Scan ExistingRDD) and only the
+    successor explode generates rows. A SortMergeJoin or a second
+    Generate here means the quadratic shingle co-occurrence crept
+    back in."""
+    monkeypatch.setenv("SPARK_GRAFT_PAIRS_TOP_K", "8")
+    p = plan(spark, "dedup_jaccard_pairs")
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0, p
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p, re.M)) >= 3, p
+    # the only Generate is the successor-array explode; the shingle
+    # explode lives inside the checkpointed candidate pipeline
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1, p
 
 
 def test_incremental_snapshot_joins_persisted_sink(spark):

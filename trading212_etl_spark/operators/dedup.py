@@ -918,7 +918,12 @@ def decontaminate_bloom(
         .distinct()
     )
     bench = freeze_partitions(bench)
-    bloom = bloom_build(bench, "shingle", bits_log2, k)
+    # the summary feeds k broadcast joins; without the freeze each one
+    # re-runs the whole bloom build (explode k positions over every
+    # reference shingle + bit_or aggregate) — 3 redundant passes over
+    # the reference set (verified in the formatted plan: 3 duplicated
+    # build subtrees). The frame is at most m/64 rows, trivially cached.
+    bloom = freeze_partitions(bloom_build(bench, "shingle", bits_log2, k))
     maybe = bloom_maybe_contains(corpus, bloom, "shingle", bits_log2, k)
     if audit is not None:
         audit["probe_rows"] = corpus.count()
