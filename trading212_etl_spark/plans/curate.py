@@ -35,6 +35,7 @@ def curate_corpus(
     shingle_n: int = 3,
     use_lsh: bool = False,
     pairs_top_k: int | None = None,
+    lsh_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Return the curated corpus: docs scoring ≥ ``min_quality_bp``,
     predicted in ``langs``, exact-deduped (min doc_id per content
@@ -53,7 +54,12 @@ def curate_corpus(
     keep-minimum decision per clique is unchanged; components joined
     only through truncated weak edges may split — the documented
     trade. LSH mode ignores it (banding already bounds candidate
-    mass)."""
+    mass).
+
+    ``lsh_hash_fn`` selects the MinHash hash family in LSH mode:
+    ``xxhash64`` (production default, JVM-native) or ``md5`` (the
+    cross-engine-replicable mode the DuckDB oracle twin runs —
+    registry/timeseries.py pipeline_curate_corpus_lsh)."""
     toks = F.col("__toks")
     scored = fan_out(docs).select(
         "doc_id", "text", "lang", tokens("text").alias("__toks")
@@ -100,6 +106,7 @@ def curate_corpus(
             threshold=jaccard_threshold,
             shingle_n=shingle_n,
             tokens_col="__toks",
+            hash_fn=lsh_hash_fn,
         )
     else:
         pairs = jaccard_pairs(

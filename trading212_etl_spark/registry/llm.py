@@ -307,16 +307,16 @@ def q_dedup_connected_components(spark, sf_dir):
     return connected_components(pairs)
 
 
-def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16) -> str:
-    """Full MinHash+LSH pipeline in DuckDB SQL, hash-exact against the
-    engine's ``hash_fn="md5"`` mode: seeded mins are
-    ``min`` over 8-hex-char slices of ``md5(j || ':' || shingle)``
-    (lowercase hex on both engines, lexicographic min == numeric min;
-    each digest carries four independent 32-bit hashes, mirroring the
-    engine's K/4-digest projection), band keys the concat of the
-    band's row mins. This oracles the CANDIDATE GENERATION, not just
-    the verified output — the r3/r4 verdicts' open item 'LSH never
-    driver-verifiable'."""
+def _minhash_md5_cand_ctes(
+    source: str, num_hashes: int = 32, bands: int = 16
+) -> str:
+    """CTE chain ``e → sig → banded → cand`` producing md5-mode
+    MinHash+LSH candidate pairs (``doc_a < doc_b``) from a CTE
+    ``source(id, shingles)`` — the signature/banding SQL shared by the
+    :func:`_minhash_md5_oracle` entry and the curate-LSH twin
+    (registry/timeseries.py, VERDICT r12 item 2). Splicing this after
+    a prefix that FILTERS the corpus oracles the banding over exactly
+    the surviving documents, not the raw table."""
     rows = num_hashes // bands
     mins = ",\n    ".join(
         f"min(substring(md5('{k // 4}:' || s), {8 * (k % 4) + 1}, 8)) AS h{k}"
@@ -329,12 +329,7 @@ def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16) -> str:
         )
         for i in range(bands)
     )
-    return f"""
-    WITH t AS (
-      SELECT doc_id AS id, {_SHINGLES} AS shingles
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-    ),
-    e AS (SELECT id, unnest(shingles) AS s FROM t),
+    return f"""e AS (SELECT id, unnest(shingles) AS s FROM {source}),
     sig AS (
       SELECT id, {mins}
       FROM e GROUP BY id
@@ -346,7 +341,25 @@ def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16) -> str:
       SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       FROM banded a JOIN banded b USING (band_idx, band_hash)
       WHERE a.id < b.id
+    )"""
+
+
+def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """Full MinHash+LSH pipeline in DuckDB SQL, hash-exact against the
+    engine's ``hash_fn="md5"`` mode: seeded mins are
+    ``min`` over 8-hex-char slices of ``md5(j || ':' || shingle)``
+    (lowercase hex on both engines, lexicographic min == numeric min;
+    each digest carries four independent 32-bit hashes, mirroring the
+    engine's K/4-digest projection), band keys the concat of the
+    band's row mins. This oracles the CANDIDATE GENERATION, not just
+    the verified output — the r3/r4 verdicts' open item 'LSH never
+    driver-verifiable'."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SHINGLES} AS shingles
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     ),
+    {_minhash_md5_cand_ctes("t", num_hashes, bands)},
     v AS (
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(ta.shingles, tb.shingles)) AS n_common,
@@ -1107,10 +1120,12 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-@register(
-    "pipeline_curate_corpus",
-    oracle=f"""
-    WITH RECURSIVE t AS (
+# Shared CTE text for the two curate-pipeline oracles (exact shingle
+# join + the MinHash/LSH twin in registry/timeseries.py): scoring →
+# quality/lang filters → digest keep-first → shingles of the canonical
+# survivors. Extracted verbatim in r13 so the exact entry's oracle
+# string is byte-identical to its r12 driver-hash-green form.
+_CURATE_CANONICAL_CTES = f"""t AS (
       SELECT doc_id, text, lang, {_TOKS} AS toks,
              regexp_extract_all(text, '[^a-z0-9\\s]') AS syms
       FROM documents
@@ -1155,18 +1170,12 @@ def q_multimodal_frames(spark, sf_dir):
              WHERE quality_bp >= 5200 AND lang_pred IN ('en')),
     canon_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
     canonical AS (SELECT k.* FROM kept k JOIN canon_ids USING (doc_id)),
-    sh AS (SELECT doc_id AS id, {_SHINGLES} AS shingles FROM canonical),
-    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
-          FROM sh),
-    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
-                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
-                 count(*) AS n_common
-          FROM e a JOIN e b USING (shingle)
-          WHERE a.id < b.id GROUP BY a.id, b.id),
-    pairs AS (SELECT doc_a, doc_b FROM c
-              WHERE round(CAST(n_common AS DOUBLE)
-                          / (size_a + size_b - n_common), 4) >= 0.5),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    sh AS (SELECT doc_id AS id, {_SHINGLES} AS shingles FROM canonical)"""
+
+# Survivor rule shared by both curate oracles: recursive-CTE closure
+# over the near-dup pair graph, drop every non-minimum member, return
+# the canonical survivors' metadata columns.
+_CURATE_SURVIVOR_SQL = """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
@@ -1177,7 +1186,24 @@ def q_multimodal_frames(spark, sf_dir):
               GROUP BY src HAVING least(src, min(dst)) != src)
     SELECT doc_id, lang, lang_pred, quality_bp, n_tokens
     FROM canonical WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-    """,
+    """
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_CURATE_CANONICAL_CTES},
+    e AS (SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+          FROM sh),
+    c AS (SELECT a.id AS doc_a, b.id AS doc_b,
+                 any_value(a.set_size) AS size_a, any_value(b.set_size) AS size_b,
+                 count(*) AS n_common
+          FROM e a JOIN e b USING (shingle)
+          WHERE a.id < b.id GROUP BY a.id, b.id),
+    pairs AS (SELECT doc_a, doc_b FROM c
+              WHERE round(CAST(n_common AS DOUBLE)
+                          / (size_a + size_b - n_common), 4) >= 0.5),
+    {_CURATE_SURVIVOR_SQL}""",
 )
 def q_pipeline_curate(spark, sf_dir):
     """North-star composition — the full training-data curation chain

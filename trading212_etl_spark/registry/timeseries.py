@@ -1144,19 +1144,60 @@ def q_delete_propagation(spark, sf_dir):
     )
 
 
-@register("pipeline_curate_corpus_lsh")  # no SQL oracle: MinHash band
-# hashes are engine-specific; tests/test_llm_ops.py asserts the LSH
-# path's survivors are a near-complete superset of the exact path's
+def _curate_lsh_oracle() -> str:
+    """Full-pipeline DuckDB twin of the LSH curate path (VERDICT r12
+    item 2): the shared canonical prefix (scoring → filters → digest
+    keep-first), the md5-mode MinHash signature/banding candidate
+    stages (hash-exact vs the engine's ``hash_fn="md5"``), exact-
+    Jaccard verification of the candidates, and the shared recursive-
+    closure survivor rule. Composed from the same SQL fragments the
+    ``pipeline_curate_corpus`` and ``dedup_minhash_lsh`` oracles run,
+    so the three entries cannot drift apart."""
+    from .llm import (
+        _CURATE_CANONICAL_CTES,
+        _CURATE_SURVIVOR_SQL,
+        _minhash_md5_cand_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_CURATE_CANONICAL_CTES},
+    {_minhash_md5_cand_ctes("sh")},
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(ta.shingles, tb.shingles)) AS n_common,
+             len(ta.shingles) AS size_a, len(tb.shingles) AS size_b
+      FROM cand c
+      JOIN sh ta ON ta.id = c.doc_a
+      JOIN sh tb ON tb.id = c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM v
+      WHERE round(CAST(n_common AS DOUBLE)
+                  / (size_a + size_b - n_common), 4) >= 0.5
+    ),
+    {_CURATE_SURVIVOR_SQL}"""
+
+
+@register("pipeline_curate_corpus_lsh", oracle=_curate_lsh_oracle())
 def q_curate_corpus_lsh(spark, sf_dir):
     """The curation pipeline on its 100 TB pair generator: MinHash+LSH
     banding with exact-Jaccard candidate verification replaces the
     exact shingle-join (plans/curate.py use_lsh=True). Identical
     stages otherwise; LSH can only MISS pairs, so relative to the
     exact path it keeps a (near-identical) superset of documents —
-    the recall invariant the test pins."""
+    the recall invariant tests/test_llm_ops.py pins.
+
+    Registered in ``hash_fn="md5"`` mode so the ENTIRE pipeline —
+    scoring, filters, exact dedup, signatures, banding, candidate
+    verification, survivor closure — is replicated in the DuckDB
+    oracle (hash-green since r13; formerly rows-only). The xxhash64
+    production default stays exercised by the superset-recall test
+    and the 125× sweeps."""
     from ..plans.curate import curate_corpus
 
-    return curate_corpus(_t(spark, sf_dir, "documents"), use_lsh=True)
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"), use_lsh=True, lsh_hash_fn="md5"
+    )
 
 
 @register(
