@@ -1424,6 +1424,24 @@ def test_incremental_minhash_sink_estimator(spark, sf_dir, tmp_path):
     assert sum(errs) / len(errs) <= 0.15, sum(errs) / len(errs)
 
 
+def test_pairs_both_levers_warns(spark):
+    """ADVICE r12: setting ``max_df`` alongside ``top_k_per_doc``
+    silently dropped the max_df lever on the bounded route — both env
+    levers can legitimately be exported together, so the drop must be
+    visible at runtime, not only in the docstring."""
+    import pytest as _pt
+
+    from trading212_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    with _pt.warns(UserWarning, match="max_df=5 is ignored"):
+        jaccard_pairs(docs, 0.5, top_k_per_doc=2, max_df=5).collect()
+
+
 def test_sink_absorb_compact_expire(spark, sf_dir, tmp_path):
     """VERDICT r11 item 6 — the signature sink's maintenance story:
     (a) absorbing ingest batches appends state equivalent to having
@@ -1484,10 +1502,37 @@ def test_sink_absorb_compact_expire(spark, sf_dir, tmp_path):
         d.startswith("band_idx=") for d in os.listdir(os.path.join(path, "bands"))
     )
 
+    # (b2) the compaction salt actually splits an oversized band
+    # across multiple files (ADVICE r12: hash-partitioning on
+    # band_idx alone could never split one band): recompact with a
+    # tiny per-file row target and check a band dir holds >1 file,
+    # with the join result still unchanged
+    stats2 = compact_signature_sink(spark, path, target_rows_per_file=50)
+    bands_dir = os.path.join(path, "bands")
+    max_files_one_band = max(
+        len(
+            [
+                f
+                for f in os.listdir(os.path.join(bands_dir, d))
+                if f.endswith(".parquet")
+            ]
+        )
+        for d in os.listdir(bands_dir)
+        if d.startswith("band_idx=")
+    )
+    assert max_files_one_band > 1, stats2
+    assert run() == before
+
     # (c) expiry drops only the superseded version of the same family
+    # — and only directories that ARE sinks (ADVICE r12: a bare
+    # name-pattern match would delete unrelated *_v1 dirs)
     stale = root / "minhash_sink_k32b16v1"
-    stale.mkdir()
+    (stale / "signatures").mkdir(parents=True)
+    (stale / "bands").mkdir()
+    decoy = root / "experiments_v1"
+    decoy.mkdir()
     removed = expire_superseded_sinks(str(root))
     assert removed == [str(stale)]
+    assert decoy.is_dir(), "non-sink directory must survive expiry"
     assert os.path.isdir(path) and os.path.isdir(oneshot)
     assert run() == before

@@ -148,12 +148,17 @@ def _hub_candidate_pairs(
     Together: the bounded frame contains every pair the unbounded
     frame's per-partition top-k would keep, and since it is a SUBSET
     of the full frame, each partition's top-k is unchanged — the kept
-    kNN subgraph of an equal-similarity clique is bit-identical
-    (asserted in tests). Buckets with ≤ hubs+1 members get their
+    kNN subgraph of a REPLICATED clique is bit-identical (asserted in
+    tests). The per-bucket argument above needs clique members to
+    CO-OCCUR in band buckets, which identical signatures guarantee
+    (every band collides); an equal-J<1 clique only collides per band
+    with probability J^r, so its exactness is probabilistic, not
+    guaranteed (ADVICE r12). Buckets with ≤ hubs+1 members get their
     complete pair listing, so small buckets lose nothing; across
     buckets with unequal similarities recall is approximate — the
     documented trade, loudly marked by the caller's truncation
-    warning.
+    warning and MEASURED on hostile corpora in BENCH_SCALING.json
+    (bounded_pair_recall).
     """
     sig = _signature_frame(sh, num_hashes, hash_fn)
     banded = _band_frame(sig, num_hashes, bands, hash_fn)
@@ -229,8 +234,12 @@ def _candidate_common_counts(
         f"exact-pair top_k_per_doc={top_k} set: candidate generation is "
         f"BOUNDED to the LSH hub subgraph (hubs={hubs}/bucket) — kept "
         "pairs carry exact similarities, but pair recall above the "
-        "per-bucket hub cap is approximate (exact on equal-similarity "
-        "cliques). Unset the bound for the complete listing.",
+        "per-bucket hub cap is approximate (exact for replicated "
+        "documents, whose identical signatures share every band "
+        "bucket; an equal-J<1 clique may miss band collisions). "
+        "Unset the bound for the complete listing. Measured recall "
+        "on mixed-similarity corpora: BENCH_SCALING.json "
+        "bounded_pair_recall.",
         stacklevel=3,
     )
     cand = _hub_candidate_pairs(sh.select("id", "shingles"), hubs)
@@ -297,13 +306,25 @@ def jaccard_pairs(
     125×-replicated corpus costs O(n·h) scored pairs instead of
     enumerating every quadratic shingle co-occurrence before
     truncating. Kept pairs carry exact Jaccard values; the kept top-k
-    set is exactly the unbounded answer on equal-similarity cliques
-    (the replicated case) and approximate above the hub cap on
+    set is exactly the unbounded answer on REPLICATED cliques
+    (identical signatures share every band bucket — the proof in
+    tests/test_llm_ops.py; an equal-J<1 clique may miss band
+    collisions) and approximate above the hub cap on
     mixed-similarity buckets. ``max_df`` applies to the exact route
-    only (the hub route's candidate mass is already banding-bounded).
+    only (the hub route's candidate mass is already banding-bounded)
+    and is IGNORED — with a runtime warning — when both are set.
     Default None keeps the complete pair set — the oracle path.
     """
     if top_k_per_doc is not None:
+        if max_df is not None:
+            import warnings
+
+            warnings.warn(
+                f"max_df={max_df} is ignored when top_k_per_doc bounds "
+                "candidate generation (the hub route is already "
+                "banding-bounded) — unset one lever to silence this",
+                stacklevel=2,
+            )
         common = _candidate_common_counts(
             docs, n, id_col, tokens_col, top_k_per_doc
         )
@@ -399,6 +420,15 @@ def containment_pairs(
     ratio differs, so the 100 TB analysis carries over unchanged.
     """
     if top_k_per_doc is not None:
+        if max_df is not None:
+            import warnings
+
+            warnings.warn(
+                f"max_df={max_df} is ignored when top_k_per_doc bounds "
+                "candidate generation (the hub route is already "
+                "banding-bounded) — unset one lever to silence this",
+                stacklevel=2,
+            )
         common = _candidate_common_counts(
             docs, n, id_col, tokens_col, top_k_per_doc
         )
@@ -1021,14 +1051,23 @@ def compact_signature_sink(
 
     Rewrite-and-swap: both tables are rewritten under ``<path>/.compact``
     first and only then moved into place (never read-and-overwrite the
-    live path), so a crash mid-compaction leaves the sink intact. The
-    swap is a driver-side rename — the local/test form of the
-    HDFS/object-store rename a cluster deployment would use. Returns
-    ``{"signatures_files_before"/"_after", "bands_files_before"/"_after"}``.
+    live path), so a crash during the REWRITE leaves the sink intact.
+    The swap itself is two directory renames per table (live →
+    ``.old_<table>``, compacted → live) with an automatic rename-back
+    on failure; a hard kill landing exactly between the two renames
+    can still leave a table absent, with its content intact under
+    ``.old_<table>`` for manual restore — directory swaps have no
+    atomic form on a plain filesystem (ADVICE r12). The local/test
+    form of the object-store rename a cluster deployment would use.
+    Returns ``{"signatures_files_before"/"_after",
+    "bands_files_before"/"_after"}``.
 
     File sizing is row-count based (signatures are fixed-width rows):
-    one output file per ``target_rows_per_file`` rows per table —
-    coalesce, not repartition, so compaction shuffles nothing."""
+    roughly one output file per ``target_rows_per_file`` rows per
+    table — signatures via shuffle-free coalesce; bands via ONE
+    shuffle keyed by (band_idx, salt), because the table must stay
+    hive-partitioned by band_idx and a coalesce can neither preserve
+    that layout nor split an oversized band into multiple files."""
     import math
     import os
     import shutil
@@ -1057,17 +1096,33 @@ def compact_signature_sink(
     files_per_part = max(
         1, math.ceil(n_bands_rows / n_band_parts / target_rows_per_file)
     )
-    # one shuffle keyed by the partition column: each band_idx
-    # partition lands as `files_per_part` files instead of one file
-    # per historical absorb
-    bands_df.repartition(n_band_parts * files_per_part, "band_idx").write.partitionBy(
-        "band_idx"
-    ).parquet(f"{tmp}/bands")
+    # one shuffle keyed by (band_idx, salt): hashing band_idx alone
+    # sends a band's every row to ONE partition however many
+    # partitions exist (ADVICE r12) — the salt actually splits an
+    # oversized band across files_per_part writer tasks, so each
+    # band_idx directory lands as files_per_part files instead of one
+    # file per historical absorb
+    (
+        bands_df.withColumn(
+            "__salt", F.pmod(F.hash("id"), F.lit(files_per_part))
+        )
+        .repartition(n_band_parts * files_per_part, "band_idx", "__salt")
+        .drop("__salt")
+        .write.partitionBy("band_idx")
+        .parquet(f"{tmp}/bands")
+    )
     for table in ("signatures", "bands"):
         old = os.path.join(path, f".old_{table}")
+        live = os.path.join(path, table)
         shutil.rmtree(old, ignore_errors=True)
-        os.rename(os.path.join(path, table), old)
-        os.rename(os.path.join(tmp, table), os.path.join(path, table))
+        os.rename(live, old)
+        try:
+            os.rename(os.path.join(tmp, table), live)
+        except BaseException:
+            # restore the live table before propagating — without
+            # this a failed second rename leaves the sink headless
+            os.rename(old, live)
+            raise
         shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
     stats["signatures_files_after"] = _nfiles(f"{path}/signatures")
@@ -1085,9 +1140,13 @@ def expire_superseded_sinks(parent_dir: str) -> list[str]:
 
     Groups ``<parent_dir>``'s immediate subdirectories by their
     ``v<N>``-stripped prefix and removes all but the highest version
-    in each group. Returns the removed paths. Driver-side fs ops —
-    the local/test form of the object-store lifecycle rule a cluster
-    deployment would use."""
+    in each group. Only directories that actually ARE signature sinks
+    (contain both ``signatures/`` and ``bands/`` subdirs) are
+    considered — a name-pattern match alone would irreversibly delete
+    an unrelated ``experiments_v1``-style directory (ADVICE r12).
+    Returns the removed paths. Driver-side fs ops — the local/test
+    form of the object-store lifecycle rule a cluster deployment
+    would use."""
     import os
     import re
     import shutil
@@ -1096,6 +1155,11 @@ def expire_superseded_sinks(parent_dir: str) -> list[str]:
     for name in sorted(os.listdir(parent_dir)):
         full = os.path.join(parent_dir, name)
         if not os.path.isdir(full):
+            continue
+        if not (
+            os.path.isdir(os.path.join(full, "signatures"))
+            and os.path.isdir(os.path.join(full, "bands"))
+        ):
             continue
         m = re.fullmatch(r"(.+v)(\d+)", name)
         if m:
