@@ -510,22 +510,6 @@ def embedding_near_dup_pairs_lsh(
     #   (tools/gen_bucket_skew.py).
     cutoff = threshold - 0.5 * 10 ** (-round_dp) - 1e-12
 
-    def _score_star(pdf):
-        import pandas as _pd
-
-        m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
-        hub = int(_np.argmin(ids))
-        cos_h = normed @ normed[hub]
-        # NO cutoff here: star edges leave unfiltered (true cosine,
-        # below-threshold included) so over-cap members keep their
-        # hub-reachable connectivity — the consumer applies the test
-        keep = _np.arange(len(ids)) != hub
-        lo = _np.minimum(ids[keep], ids[hub])
-        hi = _np.maximum(ids[keep], ids[hub])
-        return _pd.DataFrame({"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]})
-
     def _score_tile(pdf):
         import pandas as _pd
 
@@ -533,6 +517,21 @@ def embedding_near_dup_pairs_lsh(
         m = _np.asarray(pdf["emb"].tolist(), dtype=_np.float64)
         ids = pdf["vec_id"].to_numpy()
         normed = m / _np.linalg.norm(m, axis=1, keepdims=True)
+        if bool(pdf["__star"].iloc[0]):
+            # star tile of an over-cap bucket: the global hub (the
+            # bucket's min id — present in every tile by the __j
+            # routing) against this tile's members. NO cutoff: star
+            # edges leave unfiltered (true cosine, below-threshold
+            # included) so over-cap members keep their hub-reachable
+            # connectivity — the consumer applies the test.
+            hub = int(_np.argmin(ids))
+            cos_h = normed @ normed[hub]
+            keep = _np.arange(len(ids)) != hub
+            lo = _np.minimum(ids[keep], ids[hub])
+            hi = _np.maximum(ids[keep], ids[hub])
+            return _pd.DataFrame(
+                {"vec_a": lo, "vec_b": hi, "raw_cos": cos_h[keep]}
+            )
         if ci == cj:
             # diagonal tile: triangular gram over the chunk
             cos = normed @ normed.T
@@ -556,50 +555,85 @@ def embedding_near_dup_pairs_lsh(
             {"vec_a": lo, "vec_b": hi, "raw_cos": cos[ia, ib]}
         )
 
-    from pyspark.sql import Window
-
     v = fan_out(corpus).select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("emb")
     )
     banded = v.select(
         "vec_id", "emb", F.posexplode(_bands_arrow_udf(tables)("emb")).alias("tbl", "bkt")
     )
-    # bucket size + in-bucket rank via ONE window over the banded
-    # frame (the minhash lesson: a separate count aggregate joined
-    # back re-executes the banding subtree); the window's exchange on
-    # (tbl, bkt) feeds both downstream groupings.
+    # ONE plan branch for both regimes, r9's plan shape restored
+    # (r13, VERDICT r12 item 3): the r10 star/tile rework added two
+    # window-sorts (bucket size + in-bucket rank) and a two-branch
+    # union, and the isolated sf0.1 wall doubled (0.92 s → 1.8 s
+    # quiet; pinning the shared frame was WORSE, 2.3–2.5 s — both an
+    # eager localCheckpoint and a lazy persist cost more than the
+    # subtree, and the checkpoint erased the (tbl, bkt) partitioning).
+    # Neither window is needed:
+    # - bucket size + hub id come from ONE window node (count + min
+    #   over the same unbounded (tbl, bkt) frame — no orderBy, so one
+    #   partition-key sort serves both; the r10 row_number needed its
+    #   own vec_id sort). A count-aggregate joined back re-executes
+    #   the banding subtree (the minhash lesson — measured 2.1 s) and
+    #   its broadcast build adds driver latency;
+    # - chunk assignment hashes the id (pmod(xxhash64(vec_id), nc))
+    #   instead of round-robining the window rank: tile EXACTNESS is
+    #   assignment-independent (each pair still lands in exactly one
+    #   tile), only chunk balance shifts, and hash balance is within
+    #   a few percent at gram_cap scale.
+    # Over-cap buckets route through the SAME tile machinery: members
+    # emit exactly their own (0, chunk) tile, the hub row (the
+    # bucket's min id, chunk pinned to 0) fans out to every (0, j)
+    # tile — each star tile holds the hub plus ~gram_cap members and
+    # _score_tile's star mode emits hub↔member edges once each. This
+    # also fixes the old star path's straggler shape: a 1M-row hot
+    # bucket is nc bounded tasks instead of ONE applyInPandas task
+    # holding the whole bucket. The window's (tbl, bkt) exchange
+    # already clusters the 4-key groupBy below, so the whole operator
+    # is two exchanges (fan-out + banding) plus the final pair agg —
+    # r9's shape with both scale guards kept.
+    from pyspark.sql import Window
+
     wb = Window.partitionBy("tbl", "bkt")
     sized = banded.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
-        "__rn", F.row_number().over(wb.orderBy("vec_id"))
-    )
-    star_scored = (
-        sized.filter(F.col("__n") > max_bucket)
-        .groupBy("tbl", "bkt")
-        .applyInPandas(_score_star, "vec_a long, vec_b long, raw_cos double")
+        "__hub", F.min("vec_id").over(wb)
     )
     # chunked exact tiles: nc = 1 for ordinary buckets (sequence(0,0)
-    # explodes to the single (0,0) tile == the old one-task gram)
+    # explodes to the single (0,0) tile == the old one-task gram);
+    # a chunk-c row emits tile (c, j) once per j, so tile (ci, cj)
+    # holds each ci row once (j = cj) and each cj row once (j = ci) —
+    # every pair scored in exactly one tile
     tiled = (
-        sized.filter(F.col("__n") <= max_bucket)
-        .withColumn("__nc", F.ceil(F.col("__n") / F.lit(gram_cap)).cast("int"))
-        .withColumn("__c", (F.col("__rn") - 1) % F.col("__nc"))
-        .withColumn(
-            "__j", F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+        sized.withColumn(
+            "__nc", F.ceil(F.col("__n") / F.lit(gram_cap)).cast("int")
         )
-        # a chunk-c row emits tile (c, j) once per j, so tile (ci, cj)
-        # holds each ci row once (j = cj) and each cj row once
-        # (j = ci) — every pair scored in exactly one tile
+        .withColumn("__star", F.col("__n") > F.lit(max_bucket))
+        .withColumn("__is_hub", F.col("vec_id") == F.col("__hub"))
+        .withColumn(
+            "__c",
+            F.when(F.col("__star") & F.col("__is_hub"), F.lit(0))
+            .otherwise(
+                F.pmod(F.xxhash64("vec_id"), F.col("__nc")).cast("int")
+            ),
+        )
+        .withColumn(
+            "__j",
+            F.explode(
+                F.when(
+                    F.col("__star") & ~F.col("__is_hub"),
+                    F.array(F.lit(0)),
+                ).otherwise(F.sequence(F.lit(0), F.col("__nc") - 1))
+            ),
+        )
         .withColumn("__ci", F.least("__c", "__j"))
         .withColumn("__cj", F.greatest("__c", "__j"))
     )
-    tile_scored = tiled.groupBy("tbl", "bkt", "__ci", "__cj").applyInPandas(
+    # tile pairs verify against the threshold INSIDE the kernel (the
+    # numpy `keep` mask); star edges leave UNFILTERED — the same pair
+    # seen in k tables has identical float64 cosine, so min() still
+    # collapses cleanly
+    scored = tiled.groupBy("tbl", "bkt", "__ci", "__cj").applyInPandas(
         _score_tile, "vec_a long, vec_b long, raw_cos double"
     )
-    # exact-path (tile) pairs verify against the threshold here; star
-    # edges pass through UNFILTERED — the same pair seen on both paths
-    # has an identical float64 cosine, so min() still collapses cleanly
-    verified = tile_scored.filter(F.col("raw_cos") >= cutoff)
-    scored = verified.unionByName(star_scored)
     # a pair co-bucketing in k tables is scored k times with identical
     # float64 arithmetic; min() collapses the copies deterministically
     return (
