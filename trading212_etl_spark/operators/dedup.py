@@ -209,6 +209,7 @@ def _candidate_common_counts(
     id_col: str,
     tokens_col: str | None,
     top_k: int,
+    hubs: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, size_a, size_b, n_common) — the same pair
     skeleton as :func:`_common_shingle_counts`, but enumerated over
@@ -219,9 +220,11 @@ def _candidate_common_counts(
     pair's value). Compute is O(candidates · shingles/doc); the full
     self-join's O(Σ df²) shingle-co-occurrence blowup never happens.
 
-    Hub count = max(top_k + 1, 8): k+1 is the clique-exactness floor
-    (see :func:`_hub_candidate_pairs`); the margin costs O(n·h·bands)
-    candidate rows and buys recall on mixed-similarity buckets."""
+    Hub count defaults to max(top_k + 1, 8): k+1 is the
+    clique-exactness floor (see :func:`_hub_candidate_pairs`); the
+    margin costs O(n·h·bands) candidate rows and buys recall on
+    mixed-similarity buckets. ``hubs`` overrides it — the recall/cost
+    dial measured in BENCH_SCALING.json (bounded_pair_recall)."""
     import warnings
 
     sh = freeze_partitions(
@@ -229,7 +232,8 @@ def _candidate_common_counts(
             "set_size", F.size("shingles")
         )
     )
-    hubs = max(top_k + 1, 8)
+    if hubs is None:
+        hubs = max(top_k + 1, 8)
     warnings.warn(
         f"exact-pair top_k_per_doc={top_k} set: candidate generation is "
         f"BOUNDED to the LSH hub subgraph (hubs={hubs}/bucket) — kept "
@@ -275,6 +279,7 @@ def jaccard_pairs(
     tokens_col: str | None = None,
     max_df: int | None = None,
     top_k_per_doc: int | None = None,
+    hubs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (doc_a < doc_b, J ≥ threshold).
 
@@ -326,7 +331,7 @@ def jaccard_pairs(
                 stacklevel=2,
             )
         common = _candidate_common_counts(
-            docs, n, id_col, tokens_col, top_k_per_doc
+            docs, n, id_col, tokens_col, top_k_per_doc, hubs=hubs
         )
     else:
         common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
@@ -403,6 +408,7 @@ def containment_pairs(
     tokens_col: str | None = None,
     max_df: int | None = None,
     top_k_per_doc: int | None = None,
+    hubs: int | None = None,
 ) -> DataFrame:
     """Near-containment pairs: C(X→Y) = |X∩Y| / |X| — the fraction of
     X's shingles that also appear in Y. Catches doc-inside-doc
@@ -430,7 +436,7 @@ def containment_pairs(
                 stacklevel=2,
             )
         common = _candidate_common_counts(
-            docs, n, id_col, tokens_col, top_k_per_doc
+            docs, n, id_col, tokens_col, top_k_per_doc, hubs=hubs
         )
     else:
         common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
