@@ -1380,6 +1380,43 @@ def test_decontaminate_bloom_matches_exact_and_prunes(spark, sf_dir):
     assert audit["maybe_rows"] < 0.2 * audit["probe_rows"], audit
 
 
+def test_decontaminate_bloom_sink_roundtrip(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 7: the persisted decontamination sink
+    (reference shingle set + Bloom summary + hash-parameter meta) must
+    reproduce the in-memory Bloom path BIT-IDENTICALLY — the reference
+    build is deterministic, and the from-sink path shares the
+    probe/confirm tail, so any divergence is a real bug. Also pins
+    that the loader takes its hash parameters from the sink's meta
+    (the sink here is built with non-default bits_log2/k)."""
+    from trading212_etl_spark.operators.dedup import (
+        decontaminate_bloom,
+        decontaminate_bloom_from_sink,
+        write_decontamination_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    path = str(tmp_path / "decon_sink_b16k2_v1")
+    write_decontamination_sink(bench, path, bits_log2=16, k=2)
+    want = {
+        tuple(r)
+        for r in decontaminate_bloom(
+            corpus, bench, bits_log2=16, k=2
+        ).collect()
+    }
+    audit: dict = {}
+    got = {
+        tuple(r)
+        for r in decontaminate_bloom_from_sink(
+            corpus, path, audit=audit
+        ).collect()
+    }
+    assert got == want and want
+    # the pre-filter still prunes when loaded from disk
+    assert audit["maybe_rows"] < 0.2 * audit["probe_rows"], audit
+
+
 def test_incremental_minhash_sink_estimator(spark, sf_dir, tmp_path):
     """Incremental-vs-snapshot dedup (xxhash64 production mode): the
     persisted-signature estimator must (a) find every strong bipartite

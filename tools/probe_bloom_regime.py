@@ -24,6 +24,13 @@ Usage:
         one path, one measurement, prints ONE JSON line
     python tools/probe_bloom_regime.py both [n_ref_docs]
         orchestrates the two subprocesses and prints both results
+    python tools/probe_bloom_regime.py sink_write|bloom_sink [n_ref_docs]
+        VERDICT r12 item 7: persist the reference state once
+        (write_decontamination_sink under .scale/) / run the
+        decontamination from the persisted sink — the rebuild-vs-load
+        wall delta, same constrained JVM
+    python tools/probe_bloom_regime.py sink [n_ref_docs]
+        orchestrates sink_write then bloom_sink and prints both
 """
 
 from __future__ import annotations
@@ -87,10 +94,19 @@ def _frames(spark, n_ref: int):
     return corpus.unionByName(planted), ref
 
 
+def _sink_path(n_ref: int) -> str:
+    return os.path.join(
+        os.path.dirname(SF12_5),
+        f"decon_sink_b{BITS_LOG2}k3_n{n_ref}_v1",
+    )
+
+
 def run_one(mode: str, n_ref: int) -> None:
     from trading212_etl_spark.operators.dedup import (
         decontaminate,
         decontaminate_bloom,
+        decontaminate_bloom_from_sink,
+        write_decontamination_sink,
     )
 
     spark = _session()
@@ -98,6 +114,24 @@ def run_one(mode: str, n_ref: int) -> None:
     t0 = time.monotonic()
     if mode == "exact":
         out = decontaminate(probe, ref)
+    elif mode == "sink_write":
+        write_decontamination_sink(ref, _sink_path(n_ref), bits_log2=BITS_LOG2)
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "ok": True,
+                    "wall_s": round(time.monotonic() - t0, 1),
+                    "sink": _sink_path(n_ref),
+                    "n_ref_docs": n_ref,
+                    "driver_memory": DRIVER_MEM,
+                    "cores": int(CORES),
+                }
+            )
+        )
+        return
+    elif mode == "bloom_sink":
+        out = decontaminate_bloom_from_sink(probe, _sink_path(n_ref))
     else:
         out = decontaminate_bloom(probe, ref, bits_log2=BITS_LOG2)
     n = out.count()
@@ -120,12 +154,12 @@ def run_one(mode: str, n_ref: int) -> None:
 def main() -> None:
     mode = sys.argv[1]
     n_ref = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
-    if mode in ("exact", "bloom"):
+    if mode in ("exact", "bloom", "sink_write", "bloom_sink"):
         run_one(mode, n_ref)
         return
-    assert mode == "both", mode
+    assert mode in ("both", "sink"), mode
     results = []
-    for m in ("bloom", "exact"):
+    for m in ("bloom", "exact") if mode == "both" else ("sink_write", "bloom_sink"):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), m, str(n_ref)],
             capture_output=True,

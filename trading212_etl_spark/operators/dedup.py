@@ -941,12 +941,6 @@ def decontaminate_bloom(
     ``audit`` (optional, test/measurement hook) receives
     ``probe_rows`` / ``maybe_rows`` counts proving the pre-filter
     actually prunes (not run by default — keeps the op action-free)."""
-    corpus = (
-        _shingle_sets(docs, n, id_col)
-        .withColumn("set_size", F.size("shingles"))
-        .select("id", "set_size", F.explode("shingles").alias("__s"))
-        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
-    )
     bench = (
         _shingle_sets(benchmark, n, id_col)
         .select(F.explode("shingles").alias("__s"))
@@ -960,6 +954,34 @@ def decontaminate_bloom(
     # the reference set (verified in the formatted plan: 3 duplicated
     # build subtrees). The frame is at most m/64 rows, trivially cached.
     bloom = freeze_partitions(bloom_build(bench, "shingle", bits_log2, k))
+    return _bloom_probe_confirm(
+        docs, bench, bloom, n, id_col, bits_log2, k, audit
+    )
+
+
+def _bloom_probe_confirm(
+    docs: DataFrame,
+    bench: DataFrame,
+    bloom: DataFrame,
+    n: int,
+    id_col: str,
+    bits_log2: int,
+    k: int,
+    audit: dict | None,
+) -> DataFrame:
+    """Shared probe/confirm tail of the Bloom decontamination paths:
+    shingle the corpus, discard scan-side via the broadcast summary,
+    exact-confirm survivors against the true shingle set. One body for
+    the build-in-memory (:func:`decontaminate_bloom`) and
+    load-from-sink (:func:`decontaminate_bloom_from_sink`) entries, so
+    the two CANNOT diverge — the sink path's bit-identity claim is
+    structural."""
+    corpus = (
+        _shingle_sets(docs, n, id_col)
+        .withColumn("set_size", F.size("shingles"))
+        .select("id", "set_size", F.explode("shingles").alias("__s"))
+        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
+    )
     maybe = bloom_maybe_contains(corpus, bloom, "shingle", bits_log2, k)
     if audit is not None:
         audit["probe_rows"] = corpus.count()
@@ -976,6 +998,84 @@ def decontaminate_bloom(
                 "contam_bp"
             ),
         )
+    )
+
+
+def write_decontamination_sink(
+    benchmark: DataFrame,
+    path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    bits_log2: int = 18,
+    k: int = 3,
+) -> None:
+    """Persist a reference set's decontamination state — the Bloom
+    twin of :func:`write_signature_sink` (VERDICT r12 item 7): the
+    125× regime probe's wall is dominated by building the reference
+    summary (explode k positions over tens of millions of shingles +
+    bit_or), which is IDENTICAL across runs for a fixed reference.
+    Persisting it turns every later decontamination run's reference
+    cost into two parquet reads.
+
+    Layout: ``<path>/shingles`` (shingle BIGINT — the distinct
+    xxhash64 shingle set, what the exact-confirm join needs),
+    ``<path>/bloom`` (bucket, bits — the broadcastable summary), and
+    ``<path>/_meta.json`` pinning (n, bits_log2, k) so a loader can
+    never probe with mismatched hash parameters. Version the PATH
+    exactly like signature sinks (``..._v<N>``, bumped on any
+    reference or parameter change); :func:`expire_superseded_sinks`
+    does not match this layout — stale decontamination sinks are
+    retired by the same naming convention but a separate lifecycle
+    rule (they lack the signatures/bands marker by design)."""
+    import json
+    import os
+
+    bench = (
+        _shingle_sets(benchmark, n, id_col)
+        .select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
+    bench = freeze_partitions(bench)
+    bench.write.mode("overwrite").parquet(f"{path}/shingles")
+    bloom_build(bench, "shingle", bits_log2, k).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bloom")
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": n, "bits_log2": bits_log2, "k": k}, fh)
+
+
+def decontaminate_bloom_from_sink(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    audit: dict | None = None,
+) -> DataFrame:
+    """:func:`decontaminate_bloom` against a persisted reference sink
+    (:func:`write_decontamination_sink`): the summary and the exact
+    shingle set load from parquet instead of being rebuilt, and the
+    hash parameters come from the sink's ``_meta.json`` — so a probe
+    can never run with mismatched (n, bits_log2, k). Output is
+    bit-identical to the in-memory path by construction (shared
+    :func:`_bloom_probe_confirm` tail over the same deterministic
+    frames; pinned in tests/test_llm_ops.py)."""
+    import json
+    import os
+
+    spark = docs.sparkSession
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    bench = spark.read.parquet(f"{path}/shingles")
+    bloom = freeze_partitions(spark.read.parquet(f"{path}/bloom"))
+    return _bloom_probe_confirm(
+        docs,
+        bench,
+        bloom,
+        meta["n"],
+        id_col,
+        meta["bits_log2"],
+        meta["k"],
+        audit,
     )
 
 
