@@ -51,78 +51,81 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r12 window (exactly 50): executes the r11 verdict's task 2 —
-# continue the steady-state freshness rotation. After r11 the
-# last-green histogram is {r5: 35, r6: 35, r8: 45, r9: 49, r10: 46,
-# r11: 50}; this window takes the ENTIRE r5 band (group 1 — after r12
-# no surviving proof is older than r6), the entries whose plans
-# changed in r12 (group 2, the growth rule — these displace r6
-# re-samples first), and the stalest r6 rows in their r6-file
-# registration order (group 3).
+# r13 window (exactly 50): executes the r12 verdict's task 3 —
+# continue the steady-state freshness rotation. After r12 the
+# last-green histogram is {r6: 25, r8: 45, r9: 49, r10: 46, r11: 45,
+# r12: 50}; this window takes the ENTIRE r6 band (group 1 — after r13
+# no surviving proof is older than r8), the entries whose plans
+# changed in r13 (group 2, the growth rule — these displace r8
+# re-samples first), and the stalest r8 rows in their r8-file
+# registration order (group 3), leading with the verdict's mandatory
+# pick streaming_stream_stream_join (task 1's hardened drive AND the
+# stalest+flakiest streaming proof).
 _DRIVER_WINDOW = [
-    # --- r12 window (exactly 50) ---
-    # (1) ALL 35 entries whose last hash-green driver row is r5.
-    "clean_winsorize_prices",
-    "documents_source_overlap",
-    "dq_constraints",
-    "drift_priority_mix_monthly",
-    "drift_value_ks_distance",
-    "drift_value_mann_whitney",
-    "embedding_dim_variance_ranking",
-    "embedding_quantize_int8",
-    "eval_lang_id_confusion",
-    "events_activation_depth",
-    "events_attribution_first_touch",
-    "events_burst_detection",
-    "events_dau_wau",
-    "events_markov_transitions",
-    "events_overdispersion_fano",
-    "events_rolling_volatility",
-    "events_session_paths",
-    "events_srm_check",
-    "events_stickiness_dau_mau",
-    "events_user_presence_bitmap",
-    "events_vwap_hourly",
-    "features_market_hourly",
-    "features_ntile_bins",
-    "lineitem_discount_did",
-    "lineitem_shipment_lead_time",
-    "orders_basket_affinity",
-    "orders_churn_labels",
-    "orders_cohort_ltv",
-    "orders_gini_coefficient",
-    "orders_pareto_8020",
-    "orders_rfm_segments",
-    "orders_trend_residual_daily",
-    "stats_returns_rate_wilson",
-    "stats_supplier_concentration_hhi",
-    "text_inverted_index",
-    # (2) plan/code changed in r12 — the growth rule: the exact-pair
-    #     family's top_k bound moved from output-only truncation into
-    #     CANDIDATE generation (operators/dedup._hub_candidate_pairs;
-    #     VERDICT r11 item 2). The bound stays default-off so the
-    #     oracle path builds the identical plan, but the operators'
-    #     code changed and must re-prove — same convention that put
-    #     this family in the r11 window.
-    "dedup_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_connected_components",
-    "sample_leakage_safe_split",
-    "pipeline_curate_corpus",
-    # (3) the 10 stalest r6 rows (r6-file registration order), the
-    #     steady-state band sample — the 5 growth-rule slots above
-    #     displaced the next 5 r6 re-samples, which stay r6-green,
-    #     within the freshness bar.
-    "dedup_minhash_lsh",
-    "streaming_tumbling_1h",
-    "streaming_stream_static_join",
-    "streaming_stateful_user_stats",
-    "orders_anomalous_days",
-    "orders_runs_test_daily",
-    "orders_yoy_growth_monthly",
-    "orders_fiscal_445_rollup",
-    "orders_segment_migration_matrix",
-    "events_hourly_autocorrelation",
+    # --- r13 window (exactly 50) ---
+    # (1) ALL 25 entries whose last hash-green driver row is r6.
+    "events_power_analysis_mde",
+    "events_twap_hourly",
+    "events_anomaly_zscore",
+    "events_funnel_windowed",
+    "events_heatmap_dow_hour",
+    "events_ewma_smoothed",
+    "events_gap_percentiles",
+    "events_watermark_lateness_audit",
+    "events_funnel_conversion_ppm",
+    "events_error_rate_sli",
+    "clean_mad_outliers",
+    "dq_freshness_skew",
+    "customer_order_count_distribution",
+    "sample_weighted",
+    "multimodal_audio_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "text_bm25_topk",
+    "embedding_pq_assign",
+    "similarity_topk_pq_adc",
+    "privacy_k_anonymity",
+    "embedding_drift_split",
+    "text_wordpiece_encode",
+    "events_concurrency_peak",
+    # (2) plan/code changed in r13 — the growth rule:
+    #     pipeline_curate_corpus_lsh gained its md5-mode full SQL
+    #     oracle (VERDICT r12 item 2 — first-ever driver hash check);
+    #     embedding_near_dup_lsh's operator was rebuilt single-branch
+    #     (VERDICT r12 item 3) and dedup_semantic_clusters consumes
+    #     the same operator.
+    "pipeline_curate_corpus_lsh",
+    "embedding_near_dup_lsh",
+    "dedup_semantic_clusters",
+    # (3) streaming_stream_stream_join — the verdict's mandatory pick
+    #     (hardened availableNow drive from task 1; its r8 proof was
+    #     both the stalest streaming row and the flaky one) — then the
+    #     21 stalest r8 rows in r8-file registration order. The 3
+    #     growth-rule slots above displaced the next 3 r8 re-samples,
+    #     which stay r8-green, within the freshness bar.
+    "streaming_stream_stream_join",
+    "events_bounce_rate_daily",
+    "events_type_lift_matrix",
+    "features_user_behavior_profile",
+    "text_bigram_coherence",
+    "embedding_knn_outlier",
+    "dedup_rate_by_source",
+    "sample_curriculum_order",
+    "text_rake_keyphrases",
+    "pipeline_release_gate",
+    "streaming_error_rate_sli",
+    "events_time_to_convert",
+    "supplier_service_scorecard",
+    "orders_reorder_interval",
+    "events_burn_rate_alert",
+    "parts_abc_classification",
+    "orders_revenue_bridge_monthly",
+    "orders_gap_burstiness",
+    "profile_correlation_matrix",
+    "stats_discount_qty_ols",
+    "orders_seasonal_decomposition",
+    "orders_forecast_seasonal_naive",
 ]
 
 
