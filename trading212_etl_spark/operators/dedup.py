@@ -346,6 +346,24 @@ def jaccard_pairs(
     return out
 
 
+def _explode_nonempty(df, keep: list, array_col: str, alias: str):
+    """``explode`` minus Spark's ``InferFiltersFromGenerate`` trap: an
+    inner explode makes the optimizer infer ``size(arr) > 0``, and
+    predicate pushdown then RE-INLINES the whole array expression —
+    tokenizer regex included, inside the shingle transform lambda —
+    into a scan-stage interpreted Filter that costs O(tokens²) per
+    document (r7 lesson 3's pushdown half, caught live by jstack at
+    the r13 125× sweep: one scan task burned 10+ CPU-minutes
+    re-tokenizing inside the pushed filter). ``explode_outer`` admits
+    no such inference, and the null row an empty array contributes is
+    dropped on the generator OUTPUT attribute, which cannot push below
+    the Generate — so the result is row-identical to plain explode
+    with the quadratic filter gone."""
+    return df.select(
+        *keep, F.explode_outer(array_col).alias(alias)
+    ).filter(F.col(alias).isNotNull())
+
+
 def _common_shingle_counts(
     docs: DataFrame,
     n: int,
@@ -365,9 +383,9 @@ def _common_shingle_counts(
     sh = _shingle_sets(docs, n, id_col, tokens_col).withColumn(
         "set_size", F.size("shingles")
     )
-    exploded = sh.select(
-        "id", "set_size", F.explode("shingles").alias("__s")
-    ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
+    exploded = _explode_nonempty(sh, ["id", "set_size"], "shingles", "__s").select(
+        "id", "set_size", F.xxhash64("__s").alias("shingle")
+    )
     if max_df is not None:
         # df via a WINDOW over the exploded frame, not a separate
         # aggregate + left_semi join: the aggregate subtree re-executes
@@ -488,7 +506,7 @@ def _signature_frame(sh: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     shingle row; the digests are materialized in a projection BEFORE
     the aggregate because CSE across sibling aggregate expressions is
     not guaranteed."""
-    ex = sh.select("id", F.explode("shingles").alias("s"))
+    ex = _explode_nonempty(sh, ["id"], "shingles", "s")
     if hash_fn == "md5":
         n_digests = (num_hashes + 3) // 4
         ex = ex.select(
@@ -803,17 +821,18 @@ def decontaminate(
     map-side combine. If a benchmark ever outgrew broadcast, dropping
     the hint degrades gracefully to a shuffle join on the same key.
     """
-    corpus = (
-        _shingle_sets(docs, n, id_col)
-        .withColumn("set_size", F.size("shingles"))
-        .select(
-            "id", "set_size", F.explode("shingles").alias("__s")
-        )
-        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
-    )
+    corpus = _explode_nonempty(
+        _shingle_sets(docs, n, id_col).withColumn(
+            "set_size", F.size("shingles")
+        ),
+        ["id", "set_size"],
+        "shingles",
+        "__s",
+    ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
     bench = (
-        _shingle_sets(benchmark, n, id_col)
-        .select(F.explode("shingles").alias("__s"))
+        _explode_nonempty(
+            _shingle_sets(benchmark, n, id_col), [], "shingles", "__s"
+        )
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
@@ -942,8 +961,9 @@ def decontaminate_bloom(
     ``probe_rows`` / ``maybe_rows`` counts proving the pre-filter
     actually prunes (not run by default — keeps the op action-free)."""
     bench = (
-        _shingle_sets(benchmark, n, id_col)
-        .select(F.explode("shingles").alias("__s"))
+        _explode_nonempty(
+            _shingle_sets(benchmark, n, id_col), [], "shingles", "__s"
+        )
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
@@ -976,12 +996,14 @@ def _bloom_probe_confirm(
     load-from-sink (:func:`decontaminate_bloom_from_sink`) entries, so
     the two CANNOT diverge — the sink path's bit-identity claim is
     structural."""
-    corpus = (
-        _shingle_sets(docs, n, id_col)
-        .withColumn("set_size", F.size("shingles"))
-        .select("id", "set_size", F.explode("shingles").alias("__s"))
-        .select("id", "set_size", F.xxhash64("__s").alias("shingle"))
-    )
+    corpus = _explode_nonempty(
+        _shingle_sets(docs, n, id_col).withColumn(
+            "set_size", F.size("shingles")
+        ),
+        ["id", "set_size"],
+        "shingles",
+        "__s",
+    ).select("id", "set_size", F.xxhash64("__s").alias("shingle"))
     maybe = bloom_maybe_contains(corpus, bloom, "shingle", bits_log2, k)
     if audit is not None:
         audit["probe_rows"] = corpus.count()
@@ -1031,8 +1053,9 @@ def write_decontamination_sink(
     import os
 
     bench = (
-        _shingle_sets(benchmark, n, id_col)
-        .select(F.explode("shingles").alias("__s"))
+        _explode_nonempty(
+            _shingle_sets(benchmark, n, id_col), [], "shingles", "__s"
+        )
         .select(F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
@@ -1383,10 +1406,20 @@ def dedup_lines(
     a 128-bit digest has no birthday risk at any corpus size worth
     scanning.
     """
-    exploded = fan_out(docs).select(
-        F.col(id_col),
-        F.posexplode(lines_col).alias("pos", "line"),
-    ).withColumn("__k", F.md5("line"))
+    # posexplode_outer + null filter, not posexplode: the inner form
+    # makes the optimizer infer size(lines) > 0 and push it below the
+    # projection, re-inlining the caller's line-construction lambda
+    # (tokenizer included) into a scan-stage interpreted Filter — the
+    # same quadratic trap _explode_nonempty documents.
+    exploded = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(lines_col).alias("pos", "line"),
+        )
+        .filter(F.col("line").isNotNull())
+        .withColumn("__k", F.md5("line"))
+    )
     boiler = (
         exploded.select("__k", id_col)
         .distinct()
