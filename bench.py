@@ -287,24 +287,6 @@ def main() -> None:
     # split a round-over-round delta into host vs code terms.
     canary_walls: list[float] = []
     loadavgs: list[float] = []
-
-    def probe() -> None:
-        canary_walls.append(canary_wall())
-        loadavgs.append(round(os.getloadavg()[0], 2))
-
-    probe()
-    pass1 = timed_pass(sf_dir)
-    probe()
-    probe()
-    pass2 = timed_pass(sf_dir)
-    probe()
-    canary_pass = [
-        min(canary_walls[0], canary_walls[1]),
-        min(canary_walls[2], canary_walls[3]),
-    ]
-    canary = min(canary_walls)
-    timings = {q: min(pass1[q], pass2[q]) for q in pass1}
-    total = round(sum(timings.values()), 3)
     # Host-normalized per-pass totals: scale each pass by (anchor
     # canary / that pass's canary min). The anchor is the r12
     # quiet-host canary (BENCH_SCALING primary at commit a61903c) —
@@ -313,6 +295,92 @@ def main() -> None:
     # anchor code or host?" into arithmetic on the artifact instead
     # of judge archaeology.
     canary_anchor = 2.936
+
+    # Quiet-host gate (VERDICT r13 item 1): normalization of a
+    # CONTENDED run over-corrects (a CPU-saturating canary slows more
+    # than I/O-mixed queries — r13's official normalized total came
+    # out 0.87x anchor, implausible for a no-code-change round), so
+    # instead of normalizing a loud run, refuse to record one: before
+    # each official pass, measure the canary and back off (bounded)
+    # until it is within ~15% of the anchor; if a pass's AFTER-probe
+    # comes back loud, the pass was contaminated mid-flight — discard
+    # it (logged, not hidden) and re-run once. Give-ups are recorded
+    # explicitly in the artifact, never silent.
+    quiet_limit = round(canary_anchor * 1.15, 3)
+    gate_enabled = os.environ.get("SPARK_GRAFT_QUIET_GATE", "on") != "off"
+    gate_budget = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    gate: dict = {
+        "what": "refuse-to-record-contended-pass gate (VERDICT r13 "
+        "item 1): each official pass must be bracketed by canary "
+        "walls <= limit; loud before-probe -> bounded exponential "
+        "backoff, loud after-probe -> pass discarded (logged below) "
+        "and re-run once; give_up=true marks an artifact whose "
+        "bracketing could not be made quiet within the wait budget",
+        "limit": quiet_limit,
+        "anchor": canary_anchor,
+        "enabled": gate_enabled,
+        "wait_budget_s": gate_budget,
+        "waits": [],
+        "discarded_passes": [],
+        "give_up": False,
+    }
+
+    def quiet_probe() -> tuple[float, float]:
+        return canary_wall(), round(os.getloadavg()[0], 2)
+
+    def await_quiet() -> tuple[float, float]:
+        waited, delay = 0, 15
+        while True:
+            w, la = quiet_probe()
+            gate["waits"].append(
+                {"wall": w, "loadavg": la, "waited_s": waited}
+            )
+            if not gate_enabled or w <= quiet_limit or gate["give_up"]:
+                return w, la
+            if waited >= gate_budget:
+                gate["give_up"] = True
+                return w, la
+            time.sleep(delay)
+            waited += delay
+            delay = min(delay * 2, 120)
+
+    def gated_pass(at_dir: str) -> tuple[dict, float, float, float, float]:
+        attempts = 0
+        while True:
+            wb, lb = await_quiet()
+            t = timed_pass(at_dir)
+            wa, la = quiet_probe()
+            attempts += 1
+            ok = (
+                not gate_enabled
+                or gate["give_up"]
+                or (wb <= quiet_limit and wa <= quiet_limit)
+            )
+            if ok or attempts >= 2:
+                if not ok:
+                    gate["give_up"] = True
+                return t, wb, lb, wa, la
+            gate["discarded_passes"].append(
+                {
+                    "dir": at_dir,
+                    "total": round(sum(t.values()), 3),
+                    "canary_before": wb,
+                    "canary_after": wa,
+                    "loadavg": [lb, la],
+                }
+            )
+
+    pass1, wb1, lb1, wa1, la1 = gated_pass(sf_dir)
+    pass2, wb2, lb2, wa2, la2 = gated_pass(sf_dir)
+    canary_walls.extend([wb1, wa1, wb2, wa2])
+    loadavgs.extend([lb1, la1, lb2, la2])
+    canary_pass = [
+        min(canary_walls[0], canary_walls[1]),
+        min(canary_walls[2], canary_walls[3]),
+    ]
+    canary = min(canary_walls)
+    timings = {q: min(pass1[q], pass2[q]) for q in pass1}
+    total = round(sum(timings.values()), 3)
     pass_totals = [
         round(sum(pass1.values()), 3),
         round(sum(pass2.values()), 3),
@@ -351,6 +419,7 @@ def main() -> None:
         "canary_walls": canary_walls,
         "loadavg": loadavgs,
         "total_normalized": total_normalized,
+        "quiet_gate_ok": bool(gate_enabled and not gate["give_up"]),
         "queries_file": "BENCH_SCALING.json",
     }
     scaling: dict = {
@@ -415,6 +484,7 @@ def main() -> None:
                 " / 137 queries)",
                 "normalized_pass_totals": normalized_pass_totals,
                 "total_normalized": total_normalized,
+                "quiet_gate": gate,
             },
         }
     }

@@ -1479,6 +1479,73 @@ def test_pairs_both_levers_warns(spark):
         jaccard_pairs(docs, 0.5, top_k_per_doc=2, max_df=5).collect()
 
 
+def test_pairs_hubs_without_bound_warns(spark):
+    """ADVICE r13: ``hubs`` only shapes the bounded hub-subgraph
+    candidate route; passing it without ``top_k_per_doc`` silently did
+    nothing. Must warn loudly, mirroring the max_df-with-top_k case."""
+    import pytest as _pt
+
+    from trading212_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    with _pt.warns(UserWarning, match="hubs=9 is ignored"):
+        jaccard_pairs(docs, 0.5, hubs=9).collect()
+    with _pt.warns(UserWarning, match="hubs=9 is ignored"):
+        containment_pairs(docs, 0.5, hubs=9).collect()
+
+
+def test_decontamination_sink_expiry(tmp_path):
+    """VERDICT r13 item 5: expire_superseded_sinks must recognize the
+    decontamination layout (shingles/ + bloom/ + _meta.json) with the
+    same highest-version-wins rule, refuse non-sink directories, and
+    never let versions of DIFFERENT layouts compete within one name
+    family (pure-fs test — no Spark needed)."""
+    import os
+
+    from trading212_etl_spark.operators.dedup import expire_superseded_sinks
+
+    root = tmp_path / "sinks"
+    root.mkdir()
+
+    def mk_decon(name):
+        d = root / name
+        (d / "shingles").mkdir(parents=True)
+        (d / "bloom").mkdir()
+        (d / "_meta.json").write_text('{"n": 3, "bits_log2": 16, "k": 2}')
+        return d
+
+    def mk_sig(name):
+        d = root / name
+        (d / "signatures").mkdir(parents=True)
+        (d / "bands").mkdir()
+        return d
+
+    stale = mk_decon("decon_bench_b16k2_v1")
+    live = mk_decon("decon_bench_b16k2_v2")
+    # decoy: versioned name but NOT a recognized sink layout
+    decoy = root / "experiments_v1"
+    decoy.mkdir()
+    (decoy / "shingles").mkdir()  # partial layout — no bloom/_meta
+    # cross-layout family: a signature sink must not be superseded by
+    # a higher-versioned decontamination sink of the same prefix
+    sig_low = mk_sig("mixed_family_v1")
+    decon_high = mk_decon("mixed_family_v2")
+
+    removed = expire_superseded_sinks(str(root))
+    assert removed == [str(stale)]
+    assert live.is_dir() and decoy.is_dir()
+    assert sig_low.is_dir() and decon_high.is_dir()
+    # meta survives on the kept version
+    assert os.path.isfile(live / "_meta.json")
+
+
 def test_sink_absorb_compact_expire(spark, sf_dir, tmp_path):
     """VERDICT r11 item 6 — the signature sink's maintenance story:
     (a) absorbing ingest batches appends state equivalent to having

@@ -9,13 +9,21 @@ at 5x data density (tools/gen_scale.py corpus), i.e. no entry hides an
 assumption that only holds at the driver SFs.
 
 Usage:
-    python tools/sweep_sf.py <sf_dir> <out.jsonl> [start [end]]
-    python tools/sweep_sf.py <sf_dir> <out.jsonl> <name> [name ...]
+    python tools/sweep_sf.py [--unbounded] <sf_dir> <out.jsonl> [start [end]]
+    python tools/sweep_sf.py [--unbounded] <sf_dir> <out.jsonl> <name> [name ...]
 
 start/end slice the registry order so the sweep can run in chunks that
 fit under a shell timeout; passing entry NAMES instead probes just
 those entries (the bucket-skew protocol uses this to sweep the banded
 LSH/IVF families against .scale/*_bskew corpora).
+
+The harness SETS ``SPARK_GRAFT_PAIRS_TOP_K=8`` itself unless the env
+var is already exported or ``--unbounded`` is passed (VERDICT r13
+item 4): the 5 exact-pair consumers' true answers are quadratic in a
+replicated corpus' copy count, and the one r13 launch that forgot the
+lever ran two unbounded quadratics in parallel and drained /tmp
+20G→0.8G. Bounded is the documented sweep deployment mode;
+``--unbounded`` is the loud opt-out for oracle-semantics probes.
 """
 
 from __future__ import annotations
@@ -28,13 +36,34 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from trading212_etl_spark.registry import QUERIES, pin_oracle_confs  # noqa: E402
-from trading212_etl_spark.session import get_session  # noqa: E402
-
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    out_path = sys.argv[2]
+    argv = list(sys.argv[1:])
+    unbounded = "--unbounded" in argv
+    if unbounded:
+        argv.remove("--unbounded")
+    if unbounded:
+        os.environ.pop("SPARK_GRAFT_PAIRS_TOP_K", None)
+        print("sweep mode: UNBOUNDED exact-pair semantics (--unbounded)",
+              flush=True)
+    elif "SPARK_GRAFT_PAIRS_TOP_K" not in os.environ:
+        os.environ["SPARK_GRAFT_PAIRS_TOP_K"] = "8"
+        print("sweep mode: SPARK_GRAFT_PAIRS_TOP_K=8 (harness default; "
+              "pass --unbounded for exact-pair oracle semantics)",
+              flush=True)
+    else:
+        print("sweep mode: SPARK_GRAFT_PAIRS_TOP_K="
+              f"{os.environ['SPARK_GRAFT_PAIRS_TOP_K']} (inherited)",
+              flush=True)
+    # import AFTER the lever is pinned — registry modules read the env
+    # var at query-build time, but keeping the order strict means a
+    # future import-time read cannot silently bypass the default
+    from trading212_etl_spark.registry import QUERIES, pin_oracle_confs
+    from trading212_etl_spark.session import get_session
+
+    sf_dir = argv[0]
+    out_path = argv[1]
+    sys.argv = [sys.argv[0]] + argv  # keep the positional parsing below
     if len(sys.argv) > 3 and not sys.argv[3].isdigit():
         names = sys.argv[3:]
         unknown = [n for n in names if n not in QUERIES]

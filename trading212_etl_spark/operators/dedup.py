@@ -334,6 +334,7 @@ def jaccard_pairs(
             docs, n, id_col, tokens_col, top_k_per_doc, hubs=hubs
         )
     else:
+        _warn_hubs_without_bound(hubs)
         common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     out = (
@@ -344,6 +345,22 @@ def jaccard_pairs(
     if top_k_per_doc is not None:
         out = _top_k_per_doc(out, top_k_per_doc, "jaccard")
     return out
+
+
+def _warn_hubs_without_bound(hubs: int | None) -> None:
+    """``hubs`` only shapes the bounded hub-subgraph candidate route;
+    the exact route enumerates every shingle co-occurrence and has no
+    hub cap to widen. Stay loud about the ignored lever, mirroring the
+    max_df-with-top_k warning (ADVICE r13)."""
+    if hubs is not None:
+        import warnings
+
+        warnings.warn(
+            f"hubs={hubs} is ignored without top_k_per_doc — only the "
+            "bounded candidate route consumes it; set top_k_per_doc or "
+            "unset hubs to silence this",
+            stacklevel=3,
+        )
 
 
 def _explode_nonempty(df, keep: list, array_col: str, alias: str):
@@ -457,6 +474,7 @@ def containment_pairs(
             docs, n, id_col, tokens_col, top_k_per_doc, hubs=hubs
         )
     else:
+        _warn_hubs_without_bound(hubs)
         common = _common_shingle_counts(docs, n, id_col, tokens_col, max_df)
     c_ab = F.round(F.col("n_common") / F.col("size_a"), 4)
     c_ba = F.round(F.col("n_common") / F.col("size_b"), 4)
@@ -1046,9 +1064,9 @@ def write_decontamination_sink(
     never probe with mismatched hash parameters. Version the PATH
     exactly like signature sinks (``..._v<N>``, bumped on any
     reference or parameter change); :func:`expire_superseded_sinks`
-    does not match this layout — stale decontamination sinks are
-    retired by the same naming convention but a separate lifecycle
-    rule (they lack the signatures/bands marker by design)."""
+    recognizes this layout too (shingles/ + bloom/ + _meta.json
+    marker, VERDICT r13 item 5) and retires all but the highest
+    version under the same highest-version-wins rule."""
     import json
     import os
 
@@ -1061,7 +1079,13 @@ def write_decontamination_sink(
     )
     bench = freeze_partitions(bench)
     bench.write.mode("overwrite").parquet(f"{path}/shingles")
-    bloom_build(bench, "shingle", bits_log2, k).write.mode(
+    # build the bloom from the just-written shingle parquet, not the
+    # logical subtree — otherwise the full reference shingle/distinct
+    # pipeline executes twice, the dominant cost this sink exists to
+    # amortize (ADVICE r13; same write-then-read-back pattern as
+    # write_signature_sink)
+    bench_back = benchmark.sparkSession.read.parquet(f"{path}/shingles")
+    bloom_build(bench_back, "shingle", bits_log2, k).write.mode(
         "overwrite"
     ).parquet(f"{path}/bloom")
     with open(os.path.join(path, "_meta.json"), "w") as fh:
@@ -1269,30 +1293,48 @@ def expire_superseded_sinks(parent_dir: str) -> list[str]:
 
     Groups ``<parent_dir>``'s immediate subdirectories by their
     ``v<N>``-stripped prefix and removes all but the highest version
-    in each group. Only directories that actually ARE signature sinks
-    (contain both ``signatures/`` and ``bands/`` subdirs) are
-    considered — a name-pattern match alone would irreversibly delete
-    an unrelated ``experiments_v1``-style directory (ADVICE r12).
-    Returns the removed paths. Driver-side fs ops — the local/test
-    form of the object-store lifecycle rule a cluster deployment
-    would use."""
+    in each group. Only directories that actually ARE sinks of a
+    recognized layout are considered — a name-pattern match alone
+    would irreversibly delete an unrelated ``experiments_v1``-style
+    directory (ADVICE r12). Two layouts qualify (VERDICT r13 item 5):
+    signature sinks (``signatures/`` + ``bands/`` subdirs,
+    :func:`write_signature_sink`) and decontamination sinks
+    (``shingles/`` + ``bloom/`` subdirs + ``_meta.json``,
+    :func:`write_decontamination_sink`). Versions compete only within
+    the same layout: a hypothetical ``foo_v1`` signature sink never
+    supersedes a ``foo_v2`` decontamination sink. Returns the removed
+    paths. Driver-side fs ops — the local/test form of the
+    object-store lifecycle rule a cluster deployment would use."""
     import os
     import re
     import shutil
 
-    groups: dict[str, list[tuple[int, str]]] = {}
+    def _layout(d: str) -> str | None:
+        if os.path.isdir(os.path.join(d, "signatures")) and os.path.isdir(
+            os.path.join(d, "bands")
+        ):
+            return "signature"
+        if (
+            os.path.isdir(os.path.join(d, "shingles"))
+            and os.path.isdir(os.path.join(d, "bloom"))
+            and os.path.isfile(os.path.join(d, "_meta.json"))
+        ):
+            return "decontamination"
+        return None
+
+    groups: dict[tuple[str, str], list[tuple[int, str]]] = {}
     for name in sorted(os.listdir(parent_dir)):
         full = os.path.join(parent_dir, name)
         if not os.path.isdir(full):
             continue
-        if not (
-            os.path.isdir(os.path.join(full, "signatures"))
-            and os.path.isdir(os.path.join(full, "bands"))
-        ):
+        layout = _layout(full)
+        if layout is None:
             continue
         m = re.fullmatch(r"(.+v)(\d+)", name)
         if m:
-            groups.setdefault(m.group(1), []).append((int(m.group(2)), full))
+            groups.setdefault((layout, m.group(1)), []).append(
+                (int(m.group(2)), full)
+            )
     removed = []
     for versions in groups.values():
         for _, stale in sorted(versions)[:-1]:

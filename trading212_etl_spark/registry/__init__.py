@@ -51,81 +51,75 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r13 window (exactly 50): executes the r12 verdict's task 3 —
-# continue the steady-state freshness rotation. After r12 the
-# last-green histogram is {r6: 25, r8: 45, r9: 49, r10: 46, r11: 45,
-# r12: 50}; this window takes the ENTIRE r6 band (group 1 — after r13
-# no surviving proof is older than r8), the entries whose plans
-# changed in r13 (group 2, the growth rule — these displace r8
-# re-samples first), and the stalest r8 rows in their r8-file
-# registration order (group 3), leading with the verdict's mandatory
-# pick streaming_stream_stream_join (task 1's hardened drive AND the
-# stalest+flakiest streaming proof).
+# r14 window (exactly 50): executes the r13 verdict's task 2 —
+# continue the steady-state freshness rotation. After r13 the
+# last-green histogram is {r8: 23, r9: 49, r10: 46, r11: 43, r12: 50,
+# r13: 50}; this window takes the ENTIRE r8 band (group 1 — after r14
+# no surviving proof is older than r9), the entries whose drive/plan
+# code changed in r14 (group 2, the growth rule — these displace r9
+# re-samples first), and the stalest r9 rows in their r9-file
+# registration order (group 3).
 _DRIVER_WINDOW = [
-    # --- r13 window (exactly 50) ---
-    # (1) ALL 25 entries whose last hash-green driver row is r6.
-    "events_power_analysis_mde",
-    "events_twap_hourly",
-    "events_anomaly_zscore",
-    "events_funnel_windowed",
-    "events_heatmap_dow_hour",
-    "events_ewma_smoothed",
-    "events_gap_percentiles",
-    "events_watermark_lateness_audit",
-    "events_funnel_conversion_ppm",
-    "events_error_rate_sli",
-    "clean_mad_outliers",
-    "dq_freshness_skew",
-    "customer_order_count_distribution",
-    "sample_weighted",
-    "multimodal_audio_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_image_meta",
-    "text_bm25_topk",
-    "embedding_pq_assign",
-    "similarity_topk_pq_adc",
-    "privacy_k_anonymity",
-    "embedding_drift_split",
-    "text_wordpiece_encode",
-    "events_concurrency_peak",
-    # (2) plan/code changed in r13 — the growth rule:
-    #     pipeline_curate_corpus_lsh gained its md5-mode full SQL
-    #     oracle (VERDICT r12 item 2 — first-ever driver hash check);
-    #     embedding_near_dup_lsh's operator was rebuilt single-branch
-    #     (VERDICT r12 item 3) and dedup_semantic_clusters consumes
-    #     the same operator.
-    "pipeline_curate_corpus_lsh",
-    "embedding_near_dup_lsh",
-    "dedup_semantic_clusters",
-    # (3) streaming_stream_stream_join — the verdict's mandatory pick
-    #     (hardened availableNow drive from task 1; its r8 proof was
-    #     both the stalest streaming row and the flaky one) — then the
-    #     21 stalest r8 rows in r8-file registration order. The 3
-    #     growth-rule slots above displaced the next 3 r8 re-samples,
-    #     which stay r8-green, within the freshness bar.
+    # --- r14 window (exactly 50) ---
+    # (1) ALL 23 entries whose last hash-green driver row is r8, in
+    #     r8-file registration order.
+    "text_bpe_merges",
+    "sample_preference_pairs",
+    "agg_heavy_hitters",
+    "stats_qty_price_independence",
+    "events_user_lifecycle_weekly",
+    "events_cuped_adjustment",
+    "orders_benford_first_digit",
+    "sample_temperature_mixture",
+    "orders_seasonal_dow_index",
+    "text_lang_id",
+    "flagship_pipeline",
+    "similarity_topk_lsh",
+    "events_funnel",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "events_attribution_linear",
+    "dedup_substring_spans",
+    "sample_importance_dsir",
+    "similarity_hard_negatives",
+    "similarity_matryoshka_recall",
+    "orders_cusum_changepoint",
+    "source_json_malformed",
+    "multimodal_perceptual_dhash",
+    # (2) drive/plan code changed in r14 — the growth rule:
+    #     streaming_stream_stream_join's drive gained the
+    #     progress-buffer-capped late-drop audit (ADVICE r13 item 1:
+    #     raised numRecentProgressUpdates + loud truncation assert).
     "streaming_stream_stream_join",
-    "events_bounce_rate_daily",
-    "events_type_lift_matrix",
-    "features_user_behavior_profile",
-    "text_bigram_coherence",
-    "embedding_knn_outlier",
-    "dedup_rate_by_source",
-    "sample_curriculum_order",
-    "text_rake_keyphrases",
-    "pipeline_release_gate",
-    "streaming_error_rate_sli",
-    "events_time_to_convert",
-    "supplier_service_scorecard",
-    "orders_reorder_interval",
-    "events_burn_rate_alert",
-    "parts_abc_classification",
-    "orders_revenue_bridge_monthly",
-    "orders_gap_burstiness",
-    "profile_correlation_matrix",
-    "stats_discount_qty_ols",
-    "orders_seasonal_decomposition",
-    "orders_forecast_seasonal_naive",
+    # (3) the 26 stalest r9 rows in r9-file registration order (the
+    #     growth-rule slot above displaced the 27th r9 re-sample,
+    #     which stays r9-green, within the freshness bar).
+    "portfolio_fifo_pnl",
+    "portfolio_open_lots",
+    "portfolio_max_drawdown",
+    "portfolio_sharpe_monthly",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_having_top_parts",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_salted_skew",
+    "dedup_boilerplate_lines",
+    "dedup_decontaminate",
+    "dedup_exact",
+    "events_json_props",
+    "explode_unnest",
+    "join_broadcast_enrich",
+    "join_multiway_star",
+    "join_outer_coalesce",
+    "join_range_interval",
+    "join_semi_anti",
+    "profile_columns",
+    "profile_histogram",
+    "sink_bucketed_colocated_join",
+    "sink_partitioned_parquet",
+    "source_csv_roundtrip",
 ]
 
 

@@ -514,6 +514,20 @@ def run_stream_stream_join(
 
         out_dir = _scratch(events_dir, "stream_stream_pairs")
     shutil.rmtree(out_dir, ignore_errors=True)
+    # the late-drop audit below reads q.recentProgress, which retains
+    # only the last numRecentProgressUpdates entries (default 100) — a
+    # drive splitting into more micro-batches would silently
+    # under-count drops and let the zero-late assertion pass wrongly
+    # (ADVICE r13). Raise the per-query buffer for this drive and
+    # assert the batch count stayed under it, so a truncated audit
+    # fails loudly instead of lying.
+    _progress_cap = 10_000
+    _prev_cap = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(_progress_cap)
+    )
     ev = _events_stream(spark, events_dir)
     joined = stream_stream_attribution_join(
         ev.filter(F.col("event_type") == "click"),
@@ -541,8 +555,21 @@ def run_stream_stream_join(
         q.awaitTermination()
     finally:
         q.stop()
+        if _prev_cap is None:
+            spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", _prev_cap
+            )
+    progress = list(q.recentProgress)
+    if len(progress) >= _progress_cap:
+        raise RuntimeError(
+            f"stream-stream drive produced >= {_progress_cap} progress "
+            "entries — the late-drop audit buffer truncated and the "
+            "zero-late assertion below would under-count; raise the cap"
+        )
     diag = {"batches": [], "late_rows_dropped": 0}
-    for p in q.recentProgress:
+    for p in progress:
         prog = p if isinstance(p, dict) else json.loads(p.json)
         dropped = sum(
             op.get("numRowsDroppedByWatermark", 0)
