@@ -663,6 +663,15 @@ def minhash_lsh_pairs(
         .withColumn("__hub", F.min("id").over(wb))
         .filter(F.col("__n") > 1)
     )
+    # hits feeds TWO consumers (the small-bucket collect_set grouping
+    # and the over-cap star path), and the whole signature+banding+
+    # window chain sits below it: without a pin each consumer re-runs
+    # the K-hash MinHash scan from the cached shingles (r14 plan
+    # audit: the sig→band→window chain appeared twice). Persisting
+    # AFTER the window keeps the (band_idx, band_hash) partitioning —
+    # the groupBy below still adds no exchange — and the cached frame
+    # is bands-per-doc rows of (id, band key, count, hub), not text.
+    hits = freeze_partitions(hits)
     if audit is not None:
         over = hits.agg(
             F.count_distinct(
@@ -1631,6 +1640,15 @@ def simhash_near_pairs(
         )
         .filter(F.col("__n") > 1)
     )
+    # hits feeds THREE consumers (both sides of the small-bucket
+    # self-join and the star path); unlike the MinHash twin there is
+    # no cached shingle frame below it, so each consumer re-ran the
+    # ENTIRE scan→tokenize→sketch→band→window chain (r14 plan audit:
+    # three copies, from the raw parquet scan up). Pin it once — the
+    # cached rows are 4 band rows per colliding doc of five fixed
+    # columns, and the (band_idx, band_bits) partitioning survives
+    # the cache so the join below adds no extra exchange.
+    hits = freeze_partitions(hits)
     small = hits.filter(F.col("__n") <= max_bucket).select(
         "doc_id", "simhash", "band_idx", "band_bits"
     )

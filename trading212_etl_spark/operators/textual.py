@@ -317,14 +317,25 @@ def unigram_lm_score(docs: DataFrame) -> DataFrame:
     for the score. The corpus never shuffles as text — only (doc_id,
     term, tf) triples and the small vocabulary move.
     """
-    tf = (
+    from ..partitioning import freeze_partitions
+
+    # tf feeds THREE consumers (the vocabulary build, the corpus
+    # total, and the score join); without a pin each one re-ran the
+    # regex tokenizer + the (doc, term) aggregate from the raw scan
+    # (r14 plan audit: three copies of the explode→tf chain). Same
+    # pin bm25_topk has carried since r6.
+    tf = freeze_partitions(
         _with_tokens(docs, "doc_id")
         .select("doc_id", F.explode("__toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
-    totals = vocab.agg(F.sum("ctf").alias("total_tokens"))
+    # Σ ctf over the vocabulary == Σ tf over the tf frame — computing
+    # the total from cached tf is a partial-agg scan with no term-
+    # keyed exchange (the prior vocab.agg re-ran the vocabulary
+    # shuffle a second time just to sum it).
+    totals = tf.agg(F.sum("tf").alias("total_tokens"))
     scored = tf.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(totals))
     return (
         scored.select(
@@ -539,11 +550,25 @@ def bm25_topk(
     tf = freeze_partitions(
         tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
+    # dl is recomputed from cached tf per consumer (corpus scalars +
+    # score join); r14 A/B'd pinning it and REVERTED: the extra
+    # InMemoryRelation re-exchanged dl for the score join and the
+    # 125x wall regressed (A/B min 58.5 s pinned vs 42.2 s
+    # recomputed) — a one-exchange aggregate off the tf cache is
+    # cheaper than materializing it.
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.sum("dl").cast("decimal(38,0)").alias("s_tot"),
         F.count("*").cast("decimal(38,0)").alias("n_docs"),
     )
+    # df aggregates the FULL vocabulary, then cuts to query terms for
+    # the broadcast. r14 A/B'd the guide-§2.3 rewrite (semi-join tf
+    # onto the broadcast term list BEFORE the df aggregate) and
+    # REVERTED it too: map-side partial aggregation already reduces
+    # the term exchange to ~vocabulary-sized bytes, while the
+    # broadcast probe touched every cached tf row and the 125x wall
+    # regressed 42.2 -> 58.5-60.8 s (min over 5 runs/arm, noisy-host
+    # interleaved protocol, BENCH_SCALING bm25_rewrites_r14).
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms],

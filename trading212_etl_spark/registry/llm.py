@@ -1893,7 +1893,11 @@ def q_text_bigram_coherence(spark, sf_dir):
         pairs.groupBy("doc_id", "pair").agg(F.count("*").alias("pf"))
     )
     cv = pf.groupBy("pair").agg(F.sum("pf").alias("cpf"))
-    tot = cv.agg(F.sum("cpf").alias("total_pairs"))
+    # Σ cpf == Σ pf: summing the cached pf frame directly is a
+    # partial-agg scan with no pair-keyed exchange — the prior
+    # cv.agg re-executed the vocabulary shuffle a second time just
+    # to total it (r14 plan audit).
+    tot = pf.agg(F.sum("pf").alias("total_pairs"))
     # NO broadcast hint on the pair vocabulary: unlike the unigram
     # term vocab, bigram vocabularies grow toward quadratic in the
     # term count — AQE broadcasts when it fits and degrades to a
