@@ -460,20 +460,30 @@ def q_events_concurrency_peak(spark, sf_dir):
     sess = sessionize(_t(spark, sf_dir, "events"), 30).select(
         "user_id", "session_seq", "session_start", "session_end"
     )
-    sweep = sess.select(
-        "user_id",
-        "session_seq",
-        F.col("session_start").alias("ts"),
-        F.lit(1).alias("delta"),
-        F.lit(0).alias("ekey"),
-    ).unionByName(
-        sess.select(
-            "user_id",
-            "session_seq",
-            F.col("session_end").alias("ts"),
-            F.lit(-1).alias("delta"),
-            F.lit(1).alias("ekey"),
+    # Endpoint fan-out as ONE generator pass, not a self-union: the
+    # union's two branches were two independent consumers of sess, so
+    # the whole sessionize chain (scan -> lag window -> running-sum
+    # window -> session aggregate) executed twice (r14 plan audit:
+    # 6 parquet scans / 16 Window nodes; after: 3 / 8). explode over a
+    # 2-element literal-struct array emits exactly the same rows in
+    # one pass; size(CreateArray) folds, so no InferFiltersFromGenerate
+    # residue can reach the scan (cf. operators/dedup._explode_nonempty).
+    ep = F.explode(
+        F.array(
+            F.struct(
+                F.col("session_start").alias("ts"),
+                F.lit(1).alias("delta"),
+                F.lit(0).alias("ekey"),
+            ),
+            F.struct(
+                F.col("session_end").alias("ts"),
+                F.lit(-1).alias("delta"),
+                F.lit(1).alias("ekey"),
+            ),
         )
+    ).alias("__ep")
+    sweep = sess.select("user_id", "session_seq", ep).select(
+        "user_id", "session_seq", "__ep.ts", "__ep.delta", "__ep.ekey"
     )
     run = ordered_prefix(
         sweep,

@@ -1706,16 +1706,24 @@ def q_events_attribution_linear(spark, sf_dir):
     p = e.where(F.col("event_type") == "purchase").select(
         "chs", F.size("chs").alias("k")
     )
-    credited = p.where(F.col("k") > 0).select(
-        F.explode("chs").alias("channel"),
-        F.expr("1000000 DIV k").alias("ppm"),
-    )
-    direct = p.where(F.col("k") == 0).select(
-        F.lit("direct").alias("channel"), F.lit(1000000).alias("ppm")
+    # ONE pass over p, not a credited/direct self-union: the union's
+    # two branches were independent consumers of p, so the collect_set
+    # prefix window over the full event stream executed twice (r14
+    # plan audit). A purchase with no prior touches explodes a
+    # 1-element literal 'direct' array instead — identical rows,
+    # single window execution.
+    contrib = p.select(
+        F.explode(
+            F.when(F.col("k") > 0, F.col("chs")).otherwise(
+                F.array(F.lit("direct"))
+            )
+        ).alias("channel"),
+        F.when(F.col("k") > 0, F.expr("1000000 DIV k"))
+        .otherwise(F.lit(1000000))
+        .alias("ppm"),
     )
     return (
-        credited.unionByName(direct)
-        .groupBy("channel")
+        contrib.groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_credited"),
             F.sum("ppm").cast("bigint").alias("credit_ppm_total"),
