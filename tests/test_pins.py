@@ -10,6 +10,8 @@ from trading212_etl_spark import registry
 from trading212_etl_spark.partitioning import (
     _LIVE_PINS,
     freeze_partitions,
+    freeze_when_heavy,
+    is_heavy,
     pinned_scope,
     release_pins,
 )
@@ -54,3 +56,35 @@ def test_pinned_scope_releases_only_inner_pins(spark):
     assert len(_LIVE_PINS) == 1 and _LIVE_PINS[0] is outer
     assert release_pins(blocking=True) == 1
     assert _cache_empty(spark)
+
+
+def test_freeze_when_heavy_is_scale_adaptive(spark):
+    """The r14 adaptive pin: below the Catalyst-size threshold the
+    frame passes through UNPINNED (idle cores hide multi-consumer
+    duplication at bench SF; the pin would only add cache overhead),
+    above it — forced here via the conf override — it pins exactly
+    like freeze_partitions. The threshold must come from
+    spark.trading212.freeze.auto_bytes so deployments can tune it."""
+    spark.catalog.clearCache()
+    release_pins()
+    tiny = spark.range(10).repartition(2)
+    conf_key = "spark.trading212.freeze.auto_bytes"
+    old = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.unset(conf_key)
+        assert not is_heavy(tiny)
+        out = freeze_when_heavy(tiny)
+        assert not out.storageLevel.useMemory and len(_LIVE_PINS) == 0
+        spark.conf.set(conf_key, "0")  # force the at-scale branch
+        assert is_heavy(tiny)
+        pinned = freeze_when_heavy(tiny)
+        assert pinned.storageLevel.useMemory and len(_LIVE_PINS) == 1
+        pinned.count()
+        assert not _cache_empty(spark)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+        release_pins(blocking=True)
+        assert _cache_empty(spark)

@@ -710,12 +710,15 @@ def test_fifo_pnl_plan_shape(spark):
     pair join at all.  The former account-equi + range-residual hash
     join probed O(buys x sells) per key and ground a 30%-hot-key
     straggler for 4+ minutes in the skew sweep; any Join node here is
-    a regression.  Whole chain stays JVM-side."""
+    a regression.  Whole chain stays JVM-side.  r14 removed the
+    buy/sell self-UNION spine too (each branch re-ran the scan and the
+    per-account ordered window): conditional running sums over one
+    pass emit the identical spine rows, so no Union either."""
     p = plan(spark, "portfolio_fifo_pnl")
     assert "NestedLoop" not in p
     assert_no_join_node(p)  # no pair join of the buy/sell interval sets
     assert ") Window" in p  # the single carry/lead window pass
-    assert "Union" in p  # breakpoint spine = buy-starts U sell-starts
+    assert "Union" not in p  # r14: one-pass spine, no self-union
     assert "BatchEvalPython" not in p
 
 

@@ -139,11 +139,15 @@ def test_fifo_fuzz_matches_sequential_simulator(spark):
 
 
 def test_fifo_plan_is_single_window_merge_not_a_join(spark):
-    """The r7 shape: FIFO matching is a sorted merge over ONE keyed
-    window (carry last buy/sell lot + lead), with NO pair join at all —
-    the former account-equi + range-residual hash join probed
-    O(buys x sells) per key and ground a 30%-hot-key straggler for
-    4+ minutes (skew sweep)."""
+    """The r7 shape, tightened in r14: FIFO matching is a sorted merge
+    over ONE keyed window (carry last buy/sell lot + lead), with NO
+    pair join at all — the former account-equi + range-residual hash
+    join probed O(buys x sells) per key and ground a 30%-hot-key
+    straggler for 4+ minutes (skew sweep). r14 additionally removed
+    the buy/sell self-UNION spine (each branch re-ran the scan and the
+    per-account ordered window): a conditional running sum over one
+    pass emits the identical spine rows, so the plan now has no Union
+    either."""
     rows = [
         (1, 1, 1, "buy", 10, Decimal("5.00")),
         (1, 2, 2, "sell", 5, Decimal("8.00")),
@@ -156,7 +160,7 @@ def test_fifo_plan_is_single_window_merge_not_a_join(spark):
     assert "NestedLoop" not in p
     assert "Join" not in p  # no pair join of the two interval sets
     assert ") Window" in p  # the single carry/lead window pass
-    assert "Union" in p  # breakpoint spine = buy-starts U sell-starts
+    assert "Union" not in p  # r14: one-pass spine, no self-union
 
 
 def _simulate_open(rows):

@@ -1774,6 +1774,20 @@ def substring_span_pairs(
         win.withColumn("__n", F.count(F.lit(1)).over(wdf))
         .withColumn("__hub", F.min("id").over(wdf))
     )
+    # win feeds BOTH self-join sides, and the sides differ (a carries
+    # the hub filter) so no exchange reuse applies: each side re-ran
+    # the scan -> tokenize -> positional-window explode -> hot-window
+    # count/hub window chain (r14 scan_dup_audit: documents scanned
+    # twice). Persisting AFTER the window keeps the h partitioning,
+    # which is also the join key, so the equi-join below adds no
+    # extra exchange on the cached side. SCALE-ADAPTIVE pin
+    # (freeze_when_heavy): at bench SF the duplicated chains run
+    # concurrently on idle cores and the pin only adds cache overhead
+    # (sf0.1 A/B: 3.2 s pinned vs 2.2 s not), at 125× the pin halves
+    # the wall (127 vs 257 s — BENCH_SCALING heavy_pins_r14).
+    from ..partitioning import freeze_when_heavy
+
+    win = freeze_when_heavy(win)
     # distinct-named projections: no self-join disambiguation
     # heuristics (the preference-pairs lesson)
     a = win.filter(

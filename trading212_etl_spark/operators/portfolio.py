@@ -47,22 +47,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cumulative_units(
-    fills: DataFrame, account: str, ts: str, tiebreak: str, qty: str
-) -> DataFrame:
-    """Attach the half-open unit interval [u_lo, u_hi) each fill owns
-    on its side's cumulative-quantity axis, in (ts, tiebreak) fill
-    order within the account."""
-    w = (
-        Window.partitionBy(account)
-        .orderBy(ts, tiebreak)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return fills.withColumn("u_hi", F.sum(qty).over(w)).withColumn(
-        "u_lo", F.col("u_hi") - F.col(qty)
-    )
-
-
 def fifo_realized_pnl(
     fills: DataFrame,
     *,
@@ -83,31 +67,37 @@ def fifo_realized_pnl(
     Output: (account, matched_qty BIGINT, realized_pnl DOUBLE cast
     from an exact decimal sum, n_matches BIGINT).
     """
-    b = _cumulative_units(
-        fills.where(F.col(side) == "buy"), account, ts, tiebreak, qty
-    ).select(
+    # ONE window pass builds both sides' spine rows (r14): the
+    # previous per-side filter -> cumulative-units window -> union ran
+    # the fills scan AND the per-account ordered window twice (the two
+    # branches are disjoint row sets, so no exchange reuse applies —
+    # r14 scan_dup_audit). A conditional running sum over the SAME
+    # (account, ts, tiebreak) order gives each row its own side's
+    # cumulative interval (rows of the other side contribute null,
+    # which sum skips), and each fill emits exactly one spine row with
+    # the other side's struct null — identical rows to the union, half
+    # the scans and window sorts.
+    w_run = (
+        Window.partitionBy(account)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_buy = F.col(side) == "buy"
+    is_sell = F.col(side) == "sell"
+    cum_b = F.sum(F.when(is_buy, F.col(qty))).over(w_run)
+    cum_s = F.sum(F.when(is_sell, F.col(qty))).over(w_run)
+    spine = fills.where(F.col(side).isin("buy", "sell")).select(
         F.col(account).alias("__acct"),
-        F.col("u_lo").alias("__pos"),
-        F.lit(0).alias("__side"),
-        F.struct(
-            F.col("u_hi").alias("b_hi"), F.col(price).alias("b_px")
+        (F.when(is_buy, cum_b).otherwise(cum_s) - F.col(qty)).alias("__pos"),
+        F.when(is_buy, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(
+            is_buy,
+            F.struct(cum_b.alias("b_hi"), F.col(price).alias("b_px")),
         ).alias("__b"),
-    )
-    s = _cumulative_units(
-        fills.where(F.col(side) == "sell"), account, ts, tiebreak, qty
-    ).select(
-        F.col(account).alias("__acct"),
-        F.col("u_lo").alias("__pos"),
-        F.lit(1).alias("__side"),
-        F.struct(
-            F.col("u_hi").alias("s_hi"), F.col(price).alias("s_px")
+        F.when(
+            is_sell,
+            F.struct(cum_s.alias("s_hi"), F.col(price).alias("s_px")),
         ).alias("__s"),
-    )
-    spine = b.withColumn(
-        "__s", F.lit(None).cast(s.schema["__s"].dataType)
-    ).unionByName(
-        s.withColumn("__b", F.lit(None).cast(b.schema["__b"].dataType)),
-        allowMissingColumns=False,
     )
     # One ordered pass per account: at unit position p the active buy
     # lot is the last buy-start <= p (contiguous intervals), same for
@@ -168,31 +158,52 @@ def fifo_open_lots(
     consumes buy units [0, min(B, S)) where B/S are the account's
     total bought/sold quantities, so the open inventory is exactly
     the buy units in [min(B, S), B). Each buy lot's open quantity is
-    its interval's overlap with that tail — one window pass for the
-    lot intervals, one tiny per-account totals aggregate joined back
-    (same key, so it rides the window's exchange), one aggregate.
+    its interval's overlap with that tail — one window pass computes
+    both the lot intervals (running conditional sum) and the account
+    totals (whole-partition frame) on a single exchange, then one
+    aggregate.
 
     Output: (account, open_qty BIGINT, open_cost DOUBLE — exact
     decimal cast, avg_cost_micro BIGINT = floor(cost/qty * 1e6)).
     Accounts with nothing open are omitted.
     """
-    lots = _cumulative_units(
-        fills.where(F.col(side) == "buy"), account, ts, tiebreak, qty
+    # ONE pass (r14): the buys-only window and the full-frame totals
+    # aggregate each scanned fills (r14 scan_dup_audit: 2 scans) and
+    # met again in a join. Both are windows over the SAME account
+    # partitioning — the running conditional sum gives each buy row
+    # its interval, the unordered whole-partition frame gives the
+    # account totals — so one exchange carries everything and the
+    # totals join disappears.
+    w_run = (
+        Window.partitionBy(account)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    totals = fills.groupBy(account).agg(
-        F.sum(F.when(F.col(side) == "buy", F.col(qty)).otherwise(0)).alias(
-            "_bought"
-        ),
-        F.sum(F.when(F.col(side) == "sell", F.col(qty)).otherwise(0)).alias(
-            "_sold"
-        ),
+    w_all = Window.partitionBy(account)
+    is_buy = F.col(side) == "buy"
+    lots = (
+        fills.withColumn(
+            "u_hi", F.sum(F.when(is_buy, F.col(qty))).over(w_run)
+        )
+        .withColumn(
+            "_bought",
+            F.sum(F.when(is_buy, F.col(qty)).otherwise(0)).over(w_all),
+        )
+        .withColumn(
+            "_sold",
+            F.sum(
+                F.when(F.col(side) == "sell", F.col(qty)).otherwise(0)
+            ).over(w_all),
+        )
+        .where(is_buy)
+        .withColumn("u_lo", F.col("u_hi") - F.col(qty))
     )
     cutoff = F.least("_bought", "_sold")
     open_qty = F.greatest(
         F.lit(0), F.col("u_hi") - F.greatest(F.col("u_lo"), cutoff)
     )
     agged = (
-        lots.join(totals, on=account)
+        lots
         .select(
             F.col(account),
             open_qty.alias("_oq"),

@@ -281,12 +281,45 @@ def dsir_importance_weights(
             % n_buckets
         ).alias("__b"),
     )
-    raw = bt.groupBy("__b").agg(F.count(F.lit(1)).alias("__r_cnt"))
-    tgt = (
-        bt.where(F.col("__is_target"))
-        .groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__t_cnt"))
-    )
+    # SCALE-ADAPTIVE shape (r14, guide §1.2/§2.1): raw/tgt/dc are
+    # three independent consumers of bt, so the tokenize + md5-bucket
+    # chain re-runs per aggregate (r14 scan_dup_audit: documents
+    # scanned 3×). On an idle bench-SF cluster those three chains run
+    # CONCURRENTLY and the duplication costs ~no wall — pinning there
+    # measured ~1.9× SLOWER (cache materialization serializes the
+    # chain). Once the input is big enough to saturate cores, every
+    # pass is paid in full: aggregate to per-(doc, target, bucket)
+    # counts FIRST — the only token-level pass — pin that (bounded by
+    # docs × n_buckets rows, not one row per token), and derive both
+    # bucket histograms from it (Σ per-doc counts ≡ token-row count;
+    # __is_target is doc-constant so the target filter commutes with
+    # the doc-level grouping). 125× A/B: 0.94× pinned
+    # (BENCH_SCALING heavy_pins_r14); at 100 TB the saving is two
+    # full tokenize passes.
+    from ..partitioning import freeze_partitions, is_heavy
+
+    if is_heavy(bt):
+        dc = freeze_partitions(
+            bt.groupBy(id_col, *keep, "__is_target", "__b").agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+        )
+        raw = dc.groupBy("__b").agg(F.sum("__cnt").alias("__r_cnt"))
+        tgt = (
+            dc.where(F.col("__is_target"))
+            .groupBy("__b")
+            .agg(F.sum("__cnt").alias("__t_cnt"))
+        )
+    else:
+        raw = bt.groupBy("__b").agg(F.count(F.lit(1)).alias("__r_cnt"))
+        tgt = (
+            bt.where(F.col("__is_target"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__t_cnt"))
+        )
+        dc = bt.groupBy(id_col, *keep, "__b").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
     wj = raw.join(tgt, "__b", "left").select(
         "__b",
         "__r_cnt",
@@ -311,9 +344,6 @@ def dsir_importance_weights(
         )
         .cast("bigint")
         .alias("__lw_milli"),
-    )
-    dc = bt.groupBy(id_col, *keep, "__b").agg(
-        F.count(F.lit(1)).alias("__cnt")
     )
     return (
         dc.join(F.broadcast(wts), "__b")

@@ -257,6 +257,58 @@ def freeze_partitions(df: DataFrame) -> DataFrame:
     return _track_pin(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
+# Catalyst input estimate above which freeze_when_heavy pins. 16 MB
+# splits the driver-bench corpora (sf0.1 documents ≈ 0.6 MB, events
+# ≈ 2 MB) from the at-scale ones (125× documents ≈ 97 MB, events
+# ≈ 152 MB) with two orders of magnitude of slack on either side.
+_FREEZE_AUTO_BYTES = 16 << 20
+
+
+def freeze_when_heavy(df: DataFrame) -> DataFrame:
+    """``freeze_partitions``, applied only when the frame's Catalyst
+    size estimate clears a threshold — the scale-adaptive pin for
+    multi-consumer subtrees whose duplication is FREE on an idle
+    cluster but ~linear CPU on a saturated one.
+
+    Rationale (r14, guide §1.2/§2.1): sibling consumers of an
+    unpinned frame re-execute its subtree as INDEPENDENT stages, and
+    a scheduler with idle cores runs them concurrently — at bench SF
+    the duplicated work costs almost no wall while the pin's cache
+    materialization serializes the chain and adds real overhead
+    (measured: the DSIR 3-consumer tokenize chain was ~1.9× slower
+    pinned at sf0.1, but 0.94× at 125×; substring-span's 2-consumer
+    window chain 0.50× at 125×). Once cores saturate — 125× locally,
+    always at 100 TB — every duplicated pass is paid in full, and the
+    pin wins. The decision input is the Catalyst ``sizeInBytes``
+    estimate (derived from leaf file sizes — deterministic per
+    corpus), so the same code self-tunes from laptop to cluster;
+    ``spark.trading212.freeze.auto_bytes`` overrides the threshold
+    (set 0 to force pinning, e.g. for plan dumps of the at-scale
+    shape).
+    """
+    return freeze_partitions(df) if is_heavy(df) else df
+
+
+def is_heavy(df: DataFrame) -> bool:
+    """True when ``df``'s Catalyst size estimate clears the
+    ``freeze_when_heavy`` threshold — exposed for operators that
+    switch between a light shape and a pinned at-scale shape (DSIR)
+    rather than merely toggling one pin."""
+    spark = df.sparkSession
+    thr = int(
+        spark.conf.get(
+            "spark.trading212.freeze.auto_bytes", str(_FREEZE_AUTO_BYTES)
+        )
+    )
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 — no estimate: assume heavy (scale-safe)
+        size = thr
+    return size >= thr
+
+
 def with_salt(df: DataFrame, n_buckets: int, col_name: str = "__salt") -> DataFrame:
     """Attach a uniform salt column in [0, n_buckets). Deterministic
     per row is NOT required (salt only spreads rows); monotonically_
