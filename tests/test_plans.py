@@ -162,8 +162,9 @@ NESTED_LOOP_BY_DESIGN = {
     "orders_basket_affinity",
     # 1-row broadcast of the [p01, p99] cut points onto the orders scan
     "clean_winsorize_prices",
-    # 1-row broadcast of the MAD fence onto the day-level residuals
-    "orders_anomalous_days",
+    # (orders_anomalous_days left this list in r14: the MAD fence is
+    # now a whole-frame window over the day-bounded residuals, so its
+    # plan has no nested loop at all)
     # 1-row broadcast of the daily-revenue median onto the day frame
     "orders_runs_test_daily",
     # r6: 1-row broadcast scalar (grand total / frontier / binding

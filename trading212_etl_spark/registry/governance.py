@@ -738,22 +738,37 @@ def q_entity_resolution_customers(spark, sf_dir):
     from ..operators.quality import entity_pairs_blocked
 
     c = _t(spark, sf_dir, "customer")
-    base = c.select(
-        (F.col("c_custkey") * 4).alias("ent_id"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").alias("nation"),
-    )
-    v1 = c.where(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") * 4 + 1).alias("ent_id"),
-        F.regexp_replace("c_name", "Customer", "Custmer").alias("name"),
-        F.col("c_nationkey").alias("nation"),
-    )
-    v2 = c.where(F.col("c_custkey") % 6 == 0).select(
-        (F.col("c_custkey") * 4 + 2).alias("ent_id"),
-        F.regexp_replace("c_name", "Customer", "Cstomer").alias("name"),
-        F.col("c_nationkey").alias("nation"),
-    )
-    ents = base.unionByName(v1).unionByName(v2)
+    # ONE pass, not a 3-branch self-union (r14, guide §2.1): the union
+    # ran the customer scan once per variant branch, and ents feeds TWO
+    # consumers (the blocking/pairs subtree and the final left join), so
+    # the plan audit counted customer scanned 6x. A conditional
+    # literal-struct array explode emits the identical variant rows in
+    # one scan per consumer (the events_attribution_linear pattern).
+    _ck = F.col("c_custkey")
+
+    def _variant(off, repl):
+        return F.struct(
+            (_ck * 4 + off).alias("ent_id"),
+            (
+                F.regexp_replace("c_name", "Customer", repl)
+                if repl
+                else F.col("c_name")
+            ).alias("name"),
+            F.col("c_nationkey").alias("nation"),
+        )
+
+    ents = c.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    _variant(0, None),
+                    F.when(_ck % 3 == 0, _variant(1, "Custmer")),
+                    F.when(_ck % 6 == 0, _variant(2, "Cstomer")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__e")
+    ).select("__e.ent_id", "__e.name", "__e.nation")
     keyed = ents.withColumn(
         "bkey", F.regexp_extract("name", "([0-9]+)$", 1)
     )

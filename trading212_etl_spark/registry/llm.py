@@ -1742,38 +1742,47 @@ def q_sample_preference_pairs(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
     )
-    a = r.select(
-        "source",
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("quality_bp").alias("chosen_bp"),
-        "rn",
-        "n",
-    ).where(F.col("rn") <= F.expr("n DIV 2"))
-    # rename the right side's join columns OUTRIGHT: ``a.source ==
-    # b.source`` over two projections of the same frame resolves to
-    # one attribute id ("trivially true equals predicate" warning,
-    # r6 verdict item 2) and only works via Spark's fragile self-join
-    # disambiguation heuristic. Distinct names need no heuristic.
-    b = r.select(
-        F.col("source").alias("source_b"),
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("quality_bp").alias("rejected_bp"),
-        F.col("rn").alias("rn_b"),
+    # pair-index groupBy, not a rank self-join (r14, guide §2.1/§2.3):
+    # the former a/b self-join on (source, rn_b = rn + n DIV 2) made r
+    # two plan consumers, so the tokenize + quality + double-window
+    # chain executed once per side (plans/r14/sample_preference_pairs
+    # audit: documents scanned 2x). Rank rn pairs with rank rn + n/2,
+    # so both members of a pair share the index pid = rn when chosen
+    # (rn <= n/2), rn - n/2 when rejected — each rank maps to at most
+    # one pid per role, so a (source, pid) group holds at most one
+    # chosen and one rejected row, and the max-of-conditional-struct
+    # aggregate reassembles exactly the join's rows. The odd leftover
+    # rank (rn = n, n odd) lands on a pid with no chosen partner and is
+    # dropped by the null filter, matching the inner join. One chain,
+    # one extra small-row exchange, no join.
+    half = F.expr("n DIV 2")
+    chosen = F.col("rn") <= half
+    g = (
+        r.withColumn(
+            "__pid", F.when(chosen, F.col("rn")).otherwise(F.col("rn") - half)
+        )
+        .groupBy("source", "__pid")
+        .agg(
+            F.max(
+                F.when(chosen, F.struct("quality_bp", "doc_id"))
+            ).alias("__c"),
+            F.max(
+                F.when(~chosen, F.struct("quality_bp", "doc_id"))
+            ).alias("__r"),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("source") == F.col("source_b"))
-            & (F.col("rn_b") == F.col("rn") + F.expr("n DIV 2")),
-        )
-        .where(F.col("chosen_bp") > F.col("rejected_bp"))
+        g.where(F.col("__c").isNotNull() & F.col("__r").isNotNull())
+        .where(F.col("__c.quality_bp") > F.col("__r.quality_bp"))
         .select(
             "source",
-            "chosen_doc_id",
-            "rejected_doc_id",
-            "chosen_bp",
-            "rejected_bp",
-            (F.col("chosen_bp") - F.col("rejected_bp")).alias("margin_bp"),
+            F.col("__c.doc_id").alias("chosen_doc_id"),
+            F.col("__r.doc_id").alias("rejected_doc_id"),
+            F.col("__c.quality_bp").alias("chosen_bp"),
+            F.col("__r.quality_bp").alias("rejected_bp"),
+            (
+                F.col("__c.quality_bp") - F.col("__r.quality_bp")
+            ).alias("margin_bp"),
         )
     )
 
@@ -2425,48 +2434,48 @@ def q_similarity_matryoshka_recall(spark, sf_dir):
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
     )
-    pairs = c.crossJoin(F.broadcast(q)).where(
+    # ONE cross-join pass scores BOTH resolutions (r14, guide §2.1/§3):
+    # the former per-resolution topk ran the N x |q| cross join (and the
+    # 64-dim cosine kernel) TWICE and met again in a SortMergeJoin on
+    # (query_id, corpus_id) — plans/r14/similarity_matryoshka_recall
+    # showed 4 embeddings scans and 2 BroadcastNestedLoopJoins. Both
+    # rank windows share the query_id partition, so one exchange carries
+    # them; a pair is in the prefix top-10 iff rn_p <= 10, so the rank
+    # predicate replaces the join (LEFT-join-count ≡ count of fr rows
+    # whose (query_id, corpus_id) also satisfies rn_p <= 10 — same pair
+    # universe, so membership is exactly the rank bound; DuckDB-oracle
+    # hash-identical at sf0.01 + sf0.1).
+    scored = c.crossJoin(F.broadcast(q)).where(
         F.col("corpus_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cs_f"),
+        F.round(
+            cosine(
+                F.slice(F.col("q_emb"), 1, 16),
+                F.slice(F.col("c_emb"), 1, 16),
+            ),
+            4,
+        ).alias("cs_p"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cs").desc(), F.col("corpus_id").asc()
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cs_f").desc(), F.col("corpus_id").asc()
     )
-
-    def topk(scored):
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 10)
-            .select("query_id", "corpus_id")
-        )
-
-    fr = topk(
-        pairs.select(
-            "query_id",
-            "corpus_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cs"),
-        )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cs_p").desc(), F.col("corpus_id").asc()
     )
-    pr = topk(
-        pairs.select(
-            "query_id",
-            "corpus_id",
-            F.round(
-                cosine(
-                    F.slice(F.col("q_emb"), 1, 16),
-                    F.slice(F.col("c_emb"), 1, 16),
-                ),
-                4,
-            ).alias("cs"),
-        )
-    ).withColumn("__hit", F.lit(1))
     return (
-        fr.join(pr, ["query_id", "corpus_id"], "left")
+        scored.withColumn("rn_p", F.row_number().over(wp))
+        .withColumn("rn_f", F.row_number().over(wf))
+        .where(F.col("rn_f") <= 10)
         .groupBy("query_id")
         .agg(
-            F.count("__hit").alias("n_overlap"),
-            F.expr("CAST(count(__hit) * 1000000 DIV 10 AS BIGINT)").alias(
-                "recall_ppm"
-            ),
+            F.count(F.when(F.col("rn_p") <= 10, 1)).alias("n_overlap"),
+            F.expr(
+                "CAST(count(CASE WHEN rn_p <= 10 THEN 1 END)"
+                " * 1000000 DIV 10 AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
 

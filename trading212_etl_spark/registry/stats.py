@@ -462,16 +462,30 @@ def q_orders_anomalous_days(spark, sf_dir):
             ),
         )
     )
-    fence = det.agg(
-        F.expr("percentile(abs(residual_cents), 0.5)").alias("mad")
+    # whole-frame window instead of agg + crossJoin (r14, guide §2.1):
+    # det has one row per DAY, so its cardinality is date-range-bounded
+    # (~thousands of rows at ANY data scale) and a single-partition
+    # window over it is safe — while the former fence aggregate was a
+    # SECOND consumer of det that re-ran the full orders scan + day
+    # aggregate + two window passes (plans/r14/orders_anomalous_days:
+    # the identical 13-node chain under both BroadcastNestedLoopJoin
+    # branches). Same exact percentile over the same rows, same float
+    # fence expression — oracle hash-identical. scalar_bucket keeps
+    # the partition spec non-empty (one partition for every row at
+    # every scale) so WindowExec's no-partition warning stays out of
+    # the bench tail.
+    from ..partitioning import scalar_bucket
+
+    mad = F.expr("percentile(abs(residual_cents), 0.5)").over(
+        Window.partitionBy(scalar_bucket("day"))
     )
-    return det.crossJoin(F.broadcast(fence)).select(
+    return det.select(
         "day",
         "rev_cents",
         "residual_cents",
-        (
-            F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
-        ).alias("is_anomaly"),
+        (F.abs(F.col("residual_cents")) > 3 * 1.4826 * mad).alias(
+            "is_anomaly"
+        ),
     )
 
 
