@@ -162,11 +162,10 @@ NESTED_LOOP_BY_DESIGN = {
     "orders_basket_affinity",
     # 1-row broadcast of the [p01, p99] cut points onto the orders scan
     "clean_winsorize_prices",
-    # (orders_anomalous_days left this list in r14: the MAD fence is
-    # now a whole-frame window over the day-bounded residuals, so its
-    # plan has no nested loop at all)
-    # 1-row broadcast of the daily-revenue median onto the day frame
-    "orders_runs_test_daily",
+    # (orders_anomalous_days, orders_runs_test_daily and
+    # orders_seasonal_decomposition left this list in r14: their MAD
+    # fence / median scalars are now whole-frame windows over the
+    # day-bounded frames, so their plans have no nested loop at all)
     # r6: 1-row broadcast scalar (grand total / frontier / binding
     # constraint) cross-joined onto a bounded aggregate frame.
     # (agg_heavy_hitters / stats_qty_price_independence moved to
@@ -179,8 +178,6 @@ NESTED_LOOP_BY_DESIGN = {
     "sample_temperature_mixture",
     # r6: three 1-row audit aggregates cross-joined into one gate row
     "pipeline_release_gate",
-    # r6: 1-row MAD fence broadcast onto the decomposed day frame
-    "orders_seasonal_decomposition",
     # r6: 1-row session-total broadcast onto the pair-count frame
     "events_type_lift_matrix",
     # r6: 1-row corpus-stats broadcast onto the tf frame

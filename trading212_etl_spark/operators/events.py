@@ -187,21 +187,26 @@ def retention_cohorts(events: DataFrame, bucket: str = "week") -> DataFrame:
     (cohort), counted per subsequent activity bucket offset — the
     standard growth-analytics triangle.
 
-    Two aggregates, both shuffling only (user, bucket)-level rows:
-    first-activity per user (one groupBy), then distinct users per
-    (cohort, offset)."""
+    One events pass, shuffling only (user, bucket)-level rows: the
+    cohort is ``min(bucket) OVER (PARTITION BY user_id)`` on the
+    distinct activity frame — ``date_trunc`` is monotonic, so the
+    minimum bucket IS the truncated first activity, and every user in
+    the frame has a first bucket, so the former
+    first-activity-aggregate + join-back (which scanned events a
+    second time and at dimension scale shuffled both join sides)
+    filters nothing (r14, guide §2.1/§2.3). Per-user window
+    partitions hold at most one row per calendar bucket — bounded by
+    the date range, never by volume."""
     b = F.date_trunc(bucket, F.col("ts"))
-    firsts = events.groupBy("user_id").agg(
-        F.date_trunc(bucket, F.min("ts")).alias("cohort")
-    )
     active = events.select("user_id", b.alias("bucket")).distinct()
-    joined = active.join(firsts, "user_id")
+    cohort = F.min("bucket").over(Window.partitionBy("user_id"))
     offset = F.floor(
         (F.unix_timestamp("bucket") - F.unix_timestamp("cohort"))
         / (7 * 86400 if bucket == "week" else 86400)
     ).cast("int")
     return (
-        joined.select("user_id", "cohort", offset.alias("offset"))
+        active.withColumn("cohort", cohort)
+        .select("user_id", "cohort", offset.alias("offset"))
         # DATE, not the timestamp date_trunc returns: DuckDB's
         # date_trunc('week'/'day') yields DATE, and the driver's value
         # canonicalization distinguishes '2024-01-01' from

@@ -928,16 +928,26 @@ def q_events_dau_wau(spark, sf_dir):
         .select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
     )
+    # DAU rides the SAME aggregate (r14, guide §2.1): the i=0
+    # contribution rows of a window day are exactly that day's
+    # distinct (user, day) pairs, so counting them IS the DAU — the
+    # former separate dau aggregate re-ran the events scan + distinct
+    # and met wau in a join. ``dau > 0`` keeps the old inner-join
+    # semantics (days reached only via the trailing window are not
+    # reported).
     contrib = seen.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
         "day",
         "user_id",
-    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
-    wau = contrib.groupBy("day").agg(
-        F.count_distinct("user_id").alias("wau")
     )
-    dau = seen.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return dau.join(wau, on="day")
+    return (
+        contrib.groupBy(F.date_add("day", F.col("i")).alias("day"))
+        .agg(
+            F.count(F.when(F.col("i") == 0, 1)).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+        .where(F.col("dau") > 0)
+    )
 
 
 @register(
@@ -1151,31 +1161,43 @@ def q_orders_cohort_ltv(spark, sf_dir):
     """Cohort lifetime value: customers are cohorted by the month of
     their first order; each cohort reports active customers and
     revenue per month offset — the retention/LTV triangle every
-    growth dashboard draws. The cohort frame is a self-aggregation of
-    orders joined back on o_custkey: both sides hash-partition on the
-    same key, so Catalyst reuses one exchange and the join adds no
-    second shuffle of the fact table. Revenue sums in DECIMAL(18,2)
-    (exact, order-free) and is cast to DOUBLE only at the boundary;
-    the month offset is pure integer calendar arithmetic, identical
-    in both engines."""
+    growth dashboard draws. ONE orders pass (r14, guide §2.1/§2.3):
+    pre-aggregate to customer-month revenue first (map-side combine
+    shrinks the fact to dimension-bounded rows before any exchange),
+    take the cohort as ``min(order_month) OVER (PARTITION BY
+    o_custkey)`` on that frame, and roll up. The former shape
+    aggregated first-order months separately and joined back onto the
+    raw fact — two orders scans, and at dimension scale (per-customer
+    frame too big to broadcast) a shuffle of the FULL fact for the
+    sort-merge join; now nothing fact-sized is ever shuffled.
+    Equivalence: distinct customers per (cohort, offset) = row count
+    of the customer-month frame there (within a group, month =
+    cohort + offset, so a customer cannot repeat); decimal partial
+    sums re-sum exactly (associative); min-of-months = truncated
+    first order date. Revenue stays DECIMAL until the DOUBLE
+    boundary; the month offset is pure integer calendar arithmetic,
+    identical in both engines."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
-    firsts = o.groupBy("o_custkey").agg(
-        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    monthly = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("order_month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev")
     )
-    joined = o.join(firsts, "o_custkey")
+    cohort = F.min("order_month").over(Window.partitionBy("o_custkey"))
     month_offset = (
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        (F.year("order_month") * 12 + F.month("order_month"))
         - (F.year("cohort_month") * 12 + F.month("cohort_month"))
     ).cast("bigint")
-    return joined.groupBy(
-        "cohort_month", month_offset.alias("month_offset")
-    ).agg(
-        F.count_distinct("o_custkey").alias("active_customers"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("revenue"),
+    return (
+        monthly.withColumn("cohort_month", cohort)
+        .groupBy("cohort_month", month_offset.alias("month_offset"))
+        .agg(
+            F.count(F.lit(1)).alias("active_customers"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
     )
 
 

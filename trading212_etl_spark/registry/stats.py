@@ -951,16 +951,20 @@ def q_orders_runs_test(spark, sf_dir):
         .cast("bigint")
         .alias("rev_cents")
     )
-    med = daily.agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_cents)"
-        ).alias("med")
-    )
-    s = F.when(F.col("rev_cents") > F.col("med"), 1).otherwise(0)
-    signs = daily.crossJoin(F.broadcast(med)).select(
-        "day_idx", s.alias("s")
-    )
-    w = Window.partitionBy(bounded_bucket("day_idx")).orderBy("day_idx")
+    # whole-frame window instead of agg + broadcast crossJoin (r14,
+    # guide §2.1, the orders_anomalous_days pattern): daily is one row
+    # per DAY — calendar-bounded at any volume — and the former median
+    # aggregate was a SECOND consumer of it that re-ran the orders
+    # scan + day aggregate. The median window shares the
+    # bounded_bucket(day_idx) partition with the lag window, so both
+    # ride ONE exchange. Same percentile_disc over the same rows.
+    wp = Window.partitionBy(bounded_bucket("day_idx"))
+    med = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_cents)"
+    ).over(wp)
+    s = F.when(F.col("rev_cents") > med, 1).otherwise(0)
+    signs = daily.select("day_idx", s.alias("s"))
+    w = wp.orderBy("day_idx")
     signs = signs.select("s", F.lag("s").over(w).alias("prev_s"))
     return signs.agg(
         F.sum("s").cast("bigint").alias("n_above"),
@@ -1540,22 +1544,32 @@ def q_events_stickiness(spark, sf_dir):
         .select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
     )
+    # DAU rides the SAME aggregate (r14, guide §2.1, the
+    # events_dau_wau pattern): the i=0 contribution rows of a window
+    # day are exactly that day's distinct (user, day) pairs, so
+    # counting them IS the DAU — the former separate dau aggregate
+    # re-ran the events scan + distinct and met mau in a join.
+    # ``dau > 0`` keeps the old inner-join semantics.
     contrib = seen.select(
         F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
         "day",
         "user_id",
-    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
-    mau = contrib.groupBy("day").agg(
-        F.count_distinct("user_id").alias("mau")
     )
-    dau = seen.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return dau.join(mau, on="day").select(
-        "day",
-        "dau",
-        "mau",
-        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
-            "stickiness_ppm"
-        ),
+    return (
+        contrib.groupBy(F.date_add("day", F.col("i")).alias("day"))
+        .agg(
+            F.count(F.when(F.col("i") == 0, 1)).alias("dau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+        .where(F.col("dau") > 0)
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
     )
 
 
@@ -1918,14 +1932,18 @@ def q_orders_seasonal_decomposition(spark, sf_dir):
     both adjustments — so a quiet-but-normal Sunday no longer trips
     the detector the trend-only entry would. All components stay
     integer cents; the single float is the shared MAD fence
-    expression. Windows: the trend frame rides the bounded_bucket
-    day-index spec (orders_anomalous_days's fix), the seasonal term
-    is a 7-group aggregate broadcast back, the fence a 1-row
-    broadcast."""
+    expression. Windows all the way down (r14, guide §2.1): the trend
+    frame rides the bounded_bucket day-index spec
+    (orders_anomalous_days's fix), the seasonal term is a per-DOW
+    window over the detrended day frame (7 partitions, day-bounded
+    rows), and the fence a whole-frame percentile window — one
+    single-scan chain instead of two cached branches + a broadcast
+    join + a 1-row cross join. Same integer DIV per DOW group, same
+    percentile over the same residual rows; the day frame is
+    calendar-bounded at any volume, so every window partition is
+    safe."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from ..partitioning import freeze_partitions
 
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
@@ -1941,8 +1959,7 @@ def q_orders_seasonal_decomposition(spark, sf_dir):
         .orderBy("day_idx")
         .rangeBetween(-3, 3)
     )
-    # pinned: det feeds the seasonal aggregate AND the residual join
-    det = freeze_partitions(
+    det = (
         daily.withColumn("__ms", F.sum("rev_cents").over(w))
         .withColumn("__mn", F.count(F.lit(1)).over(w))
         .select(
@@ -1952,35 +1969,44 @@ def q_orders_seasonal_decomposition(spark, sf_dir):
             F.expr("__ms DIV __mn").alias("trend_cents"),
         )
     )
-    seas = det.groupBy((F.col("day_idx") % 7).alias("dow7")).agg(
-        F.expr(
-            "CAST(sum(rev_cents - trend_cents) AS BIGINT) DIV count(*)"
-        ).alias("seasonal_cents")
+    # per-DOW seasonal index as a window over det (7 partitions of
+    # day-bounded rows) — the former groupBy + broadcast join made det
+    # a two-consumer frame that needed a pin
+    wd = Window.partitionBy((F.col("day_idx") % 7).alias("dow7"))
+    resid = (
+        det.withColumn(
+            "__ds", F.sum(F.col("rev_cents") - F.col("trend_cents")).over(wd)
+        )
+        .withColumn("__dn", F.count(F.lit(1)).over(wd))
+        .select(
+            "day",
+            "rev_cents",
+            "trend_cents",
+            F.expr("CAST(__ds AS BIGINT) DIV __dn").alias("seasonal_cents"),
+            (
+                F.col("rev_cents")
+                - F.col("trend_cents")
+                - F.expr("CAST(__ds AS BIGINT) DIV __dn")
+            ).alias("residual_cents"),
+        )
     )
-    resid = det.join(
-        F.broadcast(seas), det.day_idx % 7 == F.col("dow7")
-    ).select(
-        "day",
-        "rev_cents",
-        "trend_cents",
-        "seasonal_cents",
-        (
-            F.col("rev_cents") - F.col("trend_cents") - F.col("seasonal_cents")
-        ).alias("residual_cents"),
+    # whole-frame MAD fence window (the orders_anomalous_days
+    # pattern) — the former 1-row aggregate + crossJoin made resid a
+    # two-consumer frame that needed a second pin
+    from ..partitioning import scalar_bucket
+
+    mad = F.expr("percentile(abs(residual_cents), 0.5)").over(
+        Window.partitionBy(scalar_bucket("day"))
     )
-    resid = freeze_partitions(resid)
-    fence = resid.agg(
-        F.expr("percentile(abs(residual_cents), 0.5)").alias("mad")
-    )
-    return resid.crossJoin(F.broadcast(fence)).select(
+    return resid.select(
         "day",
         "rev_cents",
         "trend_cents",
         "seasonal_cents",
         "residual_cents",
-        (
-            F.abs(F.col("residual_cents")) > 3 * 1.4826 * F.col("mad")
-        ).alias("is_anomaly"),
+        (F.abs(F.col("residual_cents")) > 3 * 1.4826 * mad).alias(
+            "is_anomaly"
+        ),
     )
 
 
