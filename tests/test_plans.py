@@ -965,3 +965,39 @@ def test_incremental_snapshot_joins_persisted_sink(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 2, p[:2000]
     assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", p, re.M)) >= 1, p[:2000]
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p[:2000]
+
+
+def test_rake_single_scan_no_token_level_joinback(spark):
+    """r14 one-pass RAKE shape: one documents scan feeding one pinned
+    token frame; plen rides a (doc, run) count window (no words =
+    runs JOIN phrases token-level join-back), and the phrase string
+    joins the RUN-LEVEL score frame — two physical joins total (the
+    vocabulary score lookup + the run-level phrase attach). A third
+    join or a second parquet scan means the r13 double join-back
+    crept back in."""
+    p = plan(spark, "text_rake_keyphrases")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:2000]
+    n_joins = len(
+        re.findall(
+            r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+            p,
+            re.M,
+        )
+    )
+    assert n_joins == 2, f"expected 2 joins (wscore + phrase attach), got {n_joins}"
+    # the plen window (full-frame count over doc_id, run_id) must exist
+    assert re.search(r"count\(1\) windowspecdefinition\(doc_id", p), p[:2000]
+
+
+def test_type_lift_basket_single_scan_no_self_join(spark):
+    """r14 basket shape: one events scan, session baskets via
+    collect_set riding the sessionize windows' user_id exchange, and
+    NO (user, session)-keyed self-join — the only equi-joins left are
+    the two broadcast type-count lookups (the 1-row session total is
+    the allowlisted nested loop)."""
+    p = plan(spark, "events_type_lift_matrix")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:2000]
+    assert "collect_set(event_type" in p, p[:2000]
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0, p[:2000]
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M))
+    assert n_bhj == 2, f"expected 2 broadcast type-count lookups, got {n_bhj}"

@@ -615,34 +615,51 @@ def q_events_type_lift_matrix(spark, sf_dir):
     pair — do checkout and search co-occur in the same session more
     than chance? Lift = P(a,b)/(P(a)P(b)) kept as the exact integer
     surrogate ``floor(1000·n_pair·n_sessions/(n_a·n_b))`` (log-free
-    PMI equivalent, same ordering — the ln-avoidance policy). The
-    pair join runs per (user, session) — bounded by the distinct
-    types in one session (≤ type-vocabulary), never a corpus cross
-    join; type counts and the 1-row session total broadcast back.
-    Sessions are the shared 30-minute gap rule."""
+    PMI equivalent, same ordering — the ln-avoidance policy). Type
+    counts and the 1-row session total broadcast back; the pair
+    blowup is bounded by the distinct types in one session
+    (≤ type-vocabulary), never a corpus cross join. Sessions are the
+    shared 30-minute gap rule.
+
+    r14 basket shape (guide §2.1/§2.4 — the graph_triangle_count
+    pattern): one ``collect_set`` per (user, session) rides the
+    sessionize windows' hash(user_id) exchange (subset rule — NO new
+    exchange, and the set subsumes the old 3-column ``distinct``),
+    then session count, per-type counts, and ordered pairs all derive
+    from the pinned session-level basket frame — replacing the r13
+    shape's event-level distinct plus a (user, session)-keyed
+    self-join whose BOTH sides re-exchanged the distinct frame. The
+    explode emits exactly the a<b pairs the join produced; proven
+    hash-identical against the oracle at sf0.01 and sf0.1, A/B walls
+    in BENCH_SCALING.json rake_lift_one_pass_r14 (sf0.1 within noise
+    — idle-cluster sibling stages mask the duplication — kept on the
+    125× evidence: the basket frame is session-sized where the old
+    self-join re-exchanged the event-level frame twice)."""
     from pyspark.sql import functions as F
 
     from ..operators.events import label_sessions
     from ..partitioning import freeze_partitions
 
-    st = freeze_partitions(
+    baskets = freeze_partitions(
         label_sessions(_t(spark, sf_dir, "events"), 30)
-        .select("user_id", "session_seq", "event_type")
-        .distinct()
+        .groupBy("user_id", "session_seq")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
     )
-    n = st.select("user_id", "session_seq").distinct().agg(
-        F.count(F.lit(1)).alias("n_sessions")
-    )
-    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
-    a = st.select(
-        "user_id", "session_seq", F.col("event_type").alias("type_a")
-    )
-    b = st.select(
-        "user_id", "session_seq", F.col("event_type").alias("type_b")
-    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_sessions"))
+    tc = baskets.select(F.explode("types").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_t"))
     pairs = (
-        a.join(b, ["user_id", "session_seq"])
-        .where(F.col("type_a") < F.col("type_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) ->"
+                    " transform(slice(types, i + 2, size(types)),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )

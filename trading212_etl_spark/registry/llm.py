@@ -2116,10 +2116,26 @@ def q_text_rake_keyphrases(spark, sf_dir):
     phrase scores the sum of its members' scores (with multiplicity).
     Top-3 phrases per document, duplicate phrase strings deduped
     before ranking so ties are well-defined. Shuffles: one doc-keyed
-    islands window, one (doc, run) phrase aggregate, a
-    vocabulary-sized word-score aggregate joined back (no broadcast
-    hint — word vocab scales with the corpus), and the per-doc top-k
-    window. All scoring integer-exact."""
+    islands window, a vocabulary-sized word-score aggregate joined
+    back (no broadcast hint — word vocab scales with the corpus), and
+    the per-doc top-k window. All scoring integer-exact.
+
+    r14 shape (guide §2.1/§2.3/§2.4): ``plen`` attaches to every
+    token row as a COUNT WINDOW over (doc_id, run_id) — its
+    ClusteredDistribution is satisfied by the islands window's
+    existing hash(doc_id) partitioning (subset rule), so it costs a
+    local sort and NO new exchange — which deletes the r13 shape's
+    ``words = runs ⋈ phrases`` token-level join-back outright. The
+    phrase string is still built ONCE per run by the (doc, run)
+    aggregate (an r14 A/B of the tempting alternative — a full-frame
+    ``collect_list`` window projecting the phrase onto every token
+    row — measured 1.12× SLOWER at 125×: the projection is O(run²)
+    per run and the pinned frame widens by a phrase string per
+    token), and now joins a RUN-LEVEL score frame instead of the
+    token-level one, so phrase strings never cross the w-exchange
+    (guide §2.3: shuffle fewer bytes). Proven hash-identical against
+    the oracle at sf0.01 and sf0.1; A/B walls in BENCH_SCALING.json
+    rake_lift_one_pass_r14."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -2138,39 +2154,39 @@ def q_text_rake_keyphrases(spark, sf_dir):
         ).alias("is_stop"),
     )
     wdoc = Window.partitionBy("doc_id").orderBy("i")
+    wrun = Window.partitionBy("doc_id", "run_id")
     runs = (
         tok.where(~F.col("is_stop"))
         .withColumn("run_id", F.col("i") - F.row_number().over(wdoc))
         .select("doc_id", "run_id", "i", "w")
+        .withColumn("plen", F.count(F.lit(1)).over(wrun))
     )
     from ..partitioning import freeze_partitions
 
-    # pinned: runs feeds phrases, the word-degree join, and the
-    # phrase-score join
+    # pinned: the token-level frame feeds the word-degree aggregate,
+    # the phrase aggregate, and the score join
     runs = freeze_partitions(runs)
-    phrases = runs.groupBy("doc_id", "run_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("i", "w"))
-                ),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count(F.lit(1)).alias("plen"),
-    )
-    words = runs.join(phrases, ["doc_id", "run_id"]).select("w", "plen")
-    wscore = words.groupBy("w").agg(
+    wscore = runs.groupBy("w").agg(
         F.expr("CAST(sum(plen) * 1000 DIV count(*) AS BIGINT)").alias(
             "s_milli"
         )
     )
-    pscore = (
-        phrases.join(runs, ["doc_id", "run_id"])
-        .join(wscore, "w")
-        .groupBy("doc_id", "run_id", "phrase")
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    tokscore = (
+        runs.join(wscore, "w")
+        .groupBy("doc_id", "run_id")
         .agg(F.sum("s_milli").cast("bigint").alias("score_milli"))
+    )
+    pscore = phrases.join(tokscore, ["doc_id", "run_id"]).select(
+        "doc_id", "run_id", "phrase", "score_milli"
     )
     distinct_p = pscore.select("doc_id", "phrase", "score_milli").distinct()
     wrank = Window.partitionBy("doc_id").orderBy(
