@@ -761,7 +761,15 @@ def q_tpch_q21(spark, sf_dir):
     ship-vs-order-date (no commit/receipt dates). The late set is
     computed ONCE and drives both the probe and the anti side — at
     scale it is orderkey+suppkey pairs only. Top-20 via
-    TakeOrderedAndProject with a deterministic name tie-break."""
+    TakeOrderedAndProject with a deterministic name tie-break.
+
+    Do NOT rewrite the EXISTS/NOT-EXISTS pair as per-order distinct-
+    supplier counts (window + aggregate): measured r14 (BENCH_SCALING
+    q21_rewrite_rejected_r14) that shape is 1.27× slower at sf0.1 and
+    1.86× at 125× — the left-semi early-outs per order while a
+    count_distinct aggregates every order's full supplier set on the
+    same shuffle key, and the anti side's small late frame is already
+    exchange-reused."""
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem")
