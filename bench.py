@@ -4,13 +4,14 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The final stdout line is kept COMPACT (<200 chars): the driver keeps
-only a bounded tail of stdout, and a ~100-query per-query dict is ~8 KB
-— it truncated mid-object in r2 and r3 (BENCH_r0{2,3}.json
+The final stdout line is kept COMPACT (well under 1 KB): the driver
+keeps only a bounded tail of stdout, and a ~100-query per-query dict is
+~8 KB — it truncated mid-object in r2 and r3 (BENCH_r0{2,3}.json
 "parsed": null). The summary therefore carries the aggregate numbers
-plus a small "queries" sample, and the FULL per-query timing dict (both
-scale factors + superlinearity flags) lives in BENCH_SCALING.json,
-which survives the round as a side artifact.
+plus a small "queries" sample (the flagship + the five largest walls,
+VERDICT r14 item 8), and the FULL per-query timing dict (both scale
+factors + superlinearity flags) lives in BENCH_SCALING.json, which
+survives the round as a side artifact.
 
 Each query is forced end-to-end with the ``noop`` sink (full physical
 execution, zero collect/serialize overhead on the driver), which is
@@ -405,14 +406,20 @@ def main() -> None:
         except ValueError:
             return base
 
-    # Compact driver-facing summary (<200 chars, see module docstring).
-    # "queries" keeps the contract key but holds only the flagship —
+    # Compact driver-facing summary (bounded, see module docstring).
+    # "queries" keeps the contract key; it holds the flagship (the
+    # historical sample — never removed or renamed) plus the five
+    # largest walls of this run (VERDICT r14 item 8: a single-entry
+    # sample gave the round-over-round diff only one common query) —
     # the full dict is in BENCH_SCALING.json["primary"]["queries"].
+    sample = {"flagship_pipeline": timings.get("flagship_pipeline")}
+    for q in sorted(timings, key=lambda k: timings[k], reverse=True)[:5]:
+        sample.setdefault(q, timings[q])
     result: dict = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {"flagship_pipeline": timings.get("flagship_pipeline")},
+        "queries": sample,
         "n_queries": len(timings),
         "sf": parse_sf(sf_dir),
         "canary": canary,
@@ -571,6 +578,22 @@ def main() -> None:
             "queries": t3,
             "wall_ratio_vs_primary": ratios3,
             "superlinear": sorted(q for q, r in ratios3.items() if r >= 5.0),
+        }
+
+    # Clobber guard (VERDICT r14 item 7): every bench invocation used
+    # to overwrite the committed "primary"/"secondary"/"tertiary"
+    # blocks — the driver's own re-runs (e.g. the 8-core scaling run)
+    # silently clobbered the builder's quiet-host primary in the
+    # working tree. An OFFICIAL run now opts in explicitly with
+    # SPARK_GRAFT_BENCH_PRIMARY=1; any other invocation records the
+    # same blocks under "last_run" (a scratch key, overwritten per
+    # run) and the merge below preserves the committed primaries.
+    # Stdout contract (the one-line JSON) is unchanged either way.
+    if os.environ.get("SPARK_GRAFT_BENCH_PRIMARY") != "1":
+        scaling["last_run"] = {
+            k: scaling.pop(k)
+            for k in ("primary", "secondary", "tertiary")
+            if k in scaling
         }
 
     side = os.path.join(

@@ -641,6 +641,38 @@ def test_connected_components_cut_under_any_policy(spark):
     assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (8, 7)}
 
 
+def test_connected_components_frontier_both_broadcast_arms(spark):
+    """r15 frontier rewrite: each round joins edges against the
+    CHANGED labels only, broadcasting the frontier when it is under
+    spark.trading212.cc.broadcast_rows. A path graph of diameter 5
+    needs several propagation rounds with a shrinking frontier — the
+    labels must still converge to the exact closure in BOTH regimes
+    (rows=0 forces the shuffle-join arm, the default forces the
+    broadcast arm at this size), and exhausting max_iter must stay a
+    loud failure."""
+    import pytest
+
+    from trading212_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (5, 6), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    want = {(i, 1) for i in range(1, 7)} | {(10, 10), (11, 10)}
+    for rows in ("0", "1000000"):
+        spark.conf.set("spark.trading212.cc.broadcast_rows", rows)
+        try:
+            got = {
+                (r.doc_id, r.component)
+                for r in connected_components(pairs).collect()
+            }
+            assert got == want, rows
+            with pytest.raises(RuntimeError, match="did not converge"):
+                connected_components(pairs, max_iter=1)
+        finally:
+            spark.conf.unset("spark.trading212.cc.broadcast_rows")
+
+
 def test_model_quality_filter_zero_shuffle_no_python(spark):
     """The hashing-trick classifier application must be a pure
     projection: no exchange (it is a per-row score) and no Python in
@@ -977,12 +1009,12 @@ def test_rake_single_scan_no_token_level_joinback(spark):
     crept back in."""
     p = plan(spark, "text_rake_keyphrases")
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:2000]
+    # ADVICE r14: count with the full physical-join-node family (the
+    # module-level _JOIN_NODE pattern) — the rake plan has no
+    # allowlisted nested-loop join, so a regression that plans as
+    # BroadcastNestedLoopJoin/CartesianProduct must fail this too.
     n_joins = len(
-        re.findall(
-            r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
-            p,
-            re.M,
-        )
+        re.findall(r"^\(\d+\) " + _JOIN_NODE.pattern, p, re.M)
     )
     assert n_joins == 2, f"expected 2 joins (wscore + phrase attach), got {n_joins}"
     # the plen window (full-frame count over doc_id, run_id) must exist

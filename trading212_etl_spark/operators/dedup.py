@@ -227,9 +227,17 @@ def _candidate_common_counts(
     dial measured in BENCH_SCALING.json (bounded_pair_recall)."""
     import warnings
 
+    # __hsh: hashed shingle sets for the verify payload — same lever
+    # and collision class as minhash_lsh_pairs' verify (r15, guide
+    # §2.3/§8): the candidate-scoring joins ship each side's shingle
+    # set across an exchange, and 8-byte hashes shuffle ~3-4× fewer
+    # bytes than the strings while array_intersect sizes are unchanged
+    # modulo a 64-bit collision within one pair's sets.
     sh = freeze_partitions(
         _shingle_sets(docs, n, id_col, tokens_col).withColumn(
             "set_size", F.size("shingles")
+        ).withColumn(
+            "__hsh", F.transform("shingles", lambda s: F.xxhash64(s))
         )
     )
     if hubs is None:
@@ -249,12 +257,12 @@ def _candidate_common_counts(
     cand = _hub_candidate_pairs(sh.select("id", "shingles"), hubs)
     a = sh.select(
         F.col("id").alias("doc_a"),
-        F.col("shingles").alias("__sh_a"),
+        F.col("__hsh").alias("__sh_a"),
         F.col("set_size").alias("size_a"),
     )
     b = sh.select(
         F.col("id").alias("doc_b"),
-        F.col("shingles").alias("__sh_b"),
+        F.col("__hsh").alias("__sh_b"),
         F.col("set_size").alias("size_b"),
     )
     return (
@@ -640,8 +648,21 @@ def minhash_lsh_pairs(
     # sides), so exchange reuse can't kick in — materialize once
     # instead of tokenizing+shingling the corpus three times (measured
     # 3.6x wall on the full op). At cluster scale: persist/checkpoint.
+    # __hsh: the shingle set as xxhash64 longs, computed once at cache
+    # fill — the VERIFY payload (r15, guide §2.3/§8): the verify joins
+    # ship each candidate's shingle set across two exchanges, and at
+    # 125× the 23.4M md5-banding candidates made that 143.6 s of the
+    # 209 s op, dominated by string-array shuffle bytes + UTF8String
+    # intersects. 8-byte hashes cut the array bytes ~3-4× and make
+    # array_intersect compare longs; |∩| is unchanged modulo a 64-bit
+    # collision *within one candidate pair's sets* (~2^-64·|A|·|B|) —
+    # the same accepted class as _common_shingle_counts' hashed join
+    # key. Signatures still read the string shingles (oracle-pinned
+    # md5/xxhash64 seeding).
     sh = freeze_partitions(
-        _shingle_sets(docs, shingle_n, id_col, tokens_col)
+        _shingle_sets(docs, shingle_n, id_col, tokens_col).withColumn(
+            "__hsh", F.transform("shingles", lambda s: F.xxhash64(s))
+        )
     )
     sig = _signature_frame(sh, num_hashes, hash_fn)
     banded = _band_frame(sig, num_hashes, bands, hash_fn)
@@ -706,8 +727,8 @@ def minhash_lsh_pairs(
     cand = small_pairs.unionByName(star_pairs).distinct()
     if not verify:
         return cand
-    a = sh.select(F.col("id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(F.col("id").alias("doc_a"), F.col("__hsh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("__hsh").alias("sh_b"))
     pairs = cand.join(a, "doc_a").join(b, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
@@ -747,11 +768,56 @@ def connected_components(
 
     Only nodes that appear in a pair are labeled (isolated docs are
     their own trivial component and never enter the graph).
+
+    Two r15 levers on top (guide §2.4 remove shuffles, §1.2 algorithm
+    first; measured in BENCH_SCALING.json ``cc_frontier_r15``):
+
+    - **one-pass symmetric edges**: the old ``fwd.union(swap(fwd))``
+      had TWO plan branches over the un-materialized ``pairs``
+      subtree, so the whole pair-generation plan (LSH banding +
+      verify, or the hub-candidate route) EXECUTED TWICE inside the
+      edges checkpoint — measured 58.5 s/execution at 125×, i.e. the
+      union alone doubled the dominant term. An ``explode`` of the
+      2-element struct array emits both directions in ONE pass (the
+      r14 batch-2 literal-struct pattern; ``size(CreateArray)`` folds
+      so no InferFiltersFromGenerate residue).
+    - **frontier (delta) propagation**: a node's label can only drop
+      when a NEIGHBOR'S label dropped last round, so each round joins
+      the edge list against the CHANGED labels only, not all labels.
+      Correctness is the standard delta invariant: every node's label
+      already incorporates each neighbor's value as of that
+      neighbor's last change (the seeded init covers never-changed
+      neighbors, whose label IS their node id), labels decrease
+      monotonically, and every decrease re-enters the frontier — so
+      an empty frontier is exactly the old fixpoint. The frontier
+      after round 1 is typically a tiny fraction of the graph
+      (measured at 125×: 68 500 nodes → 495 → 2 → 0), and a small
+      frontier broadcast (rows-thresholded, conf
+      ``spark.trading212.cc.broadcast_rows``) turns the per-round
+      full-edge shuffle join into a broadcast probe over the
+      checkpointed edges — no fact-sized exchange after round 1.
+      Convergence is a count over the just-checkpointed rows (the
+      same join-free check as before, now also feeding the broadcast
+      decision).
     """
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = materialize(fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ))
+    spark = pairs.sparkSession
+    bcast_rows = int(
+        spark.conf.get("spark.trading212.cc.broadcast_rows", "1000000")
+    )
+    edges = materialize(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst")
+    )
     labels = materialize(
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -760,9 +826,16 @@ def connected_components(
             F.least("src", "__mn").alias("label"),
         )
     )
+    # Seeded init IS round 1's answer, so its frontier is every node
+    # whose label differs from its id — a cheap scan of the checkpoint.
+    delta = labels.select("node", "label").filter(F.col("node") != F.col("label"))
+    n_delta = delta.count()
     for _ in range(max_iter):
+        if n_delta == 0:
+            break
+        dside = F.broadcast(delta) if n_delta <= bcast_rows else delta
         neigh = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(dside, edges.dst == dside.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
@@ -775,11 +848,10 @@ def connected_components(
                 (nlabel < labels.label).alias("__changed"),
             )
         )
-        changed = new.filter(F.col("__changed")).limit(1).count()
+        delta = new.filter(F.col("__changed")).select("node", "label")
+        n_delta = delta.count()
         labels = new.select("node", "label")
-        if changed == 0:
-            break
-    else:
+    if n_delta != 0:
         # Exhausting max_iter means labels are NOT the transitive
         # closure (some node still sits > max_iter hops from its
         # component minimum — the long-chain near-dup pathology).
