@@ -351,6 +351,7 @@ def ordered_prefix(
     rn_name: str | None = None,
     exclusive: bool = False,
     num_parts: int | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Distributed ORDER BY scan: global ``row_number`` and/or running
     sums over a total order WITHOUT a single-partition WindowExec.
@@ -413,6 +414,27 @@ def ordered_prefix(
     )
     from pyspark.sql import Window
 
+    # r15 (VERDICT r14 item 9, measured): repartitionByRange SAMPLES
+    # its child to pick range bounds, so the input plan executes
+    # twice — sample job then shuffle pass, SEQUENTIALLY (the
+    # idle-core concurrency that makes sibling-stage duplication
+    # nearly free at bench SF does not apply here: the sample job
+    # must finish before the exchange can start). ``pin_input``
+    # (per-call-site OPT-IN) caches the input so the second execution
+    # is a cache read. It must stay opt-in because the win is decided
+    # by compute-per-output-byte, which no Catalyst size estimate
+    # sees: measured at 125× (tools/probe_ordered_prefix.py +
+    # probe_isolated A/B vs the pre-change tree, min-of-2) the pin is
+    # 1.87× FASTER on sample_curriculum_order (expensive tokenize
+    # chain, 625k-row output: 90.4 → 48.3 s) but 1.8-2.3× SLOWER on
+    # the cheap fact-aggregate inputs whose Catalyst estimate is just
+    # as "heavy" (orders_pareto_8020 5.3 → 9.4, drift_value_ks 2.2 →
+    # 4.6, orders_gini 4.1 → 7.7 — cache encode/store of a wide
+    # aggregate costs more than recomputing it). freeze_when_heavy's
+    # size threshold still gates the opted-in pin so bench-SF plans
+    # stay byte-identical.
+    if pin_input:
+        df = freeze_when_heavy(df)
     # The pid column MUST be frozen into data before the plan branches:
     # spark_partition_id() is non-deterministic, and the running scan
     # and the per-partition totals below are two separate consumers —

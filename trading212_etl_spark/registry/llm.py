@@ -2044,10 +2044,16 @@ def q_sample_curriculum_order(spark, sf_dir):
         "doc_id",
         quality_bp_col(F.col("__toks"), F.col("text")).alias("quality_bp"),
     )
+    # pin_input (r15): the range sampler re-executes the tokenize+
+    # quality chain for its bounds pass — caching the 2-column score
+    # frame halves the entry at scale (125×: 90.4 → 48.3 s, tools/
+    # probe_ordered_prefix.py); the freeze_when_heavy threshold skips
+    # the pin at bench SF so the sf0.1 plan is unchanged.
     ranked = ordered_prefix(
         q,
         [F.col("quality_bp").desc(), F.col("doc_id")],
         rn_name="curriculum_rank",
+        pin_input=True,
     )
     return ranked.select(
         "doc_id",

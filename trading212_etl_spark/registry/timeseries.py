@@ -1259,42 +1259,54 @@ def q_orders_basket_affinity(spark, sf_dir):
     """Market-basket affinity: co-occurrence counts + lift (in exact
     integer basis points) for part pairs bought in the same order.
 
-    Scale shape: the pair generator is a SELF-JOIN CO-PARTITIONED on
-    l_orderkey — one shuffle key for both sides, and the quadratic
-    blowup is bounded by basket size (≤ C(13,2) pairs per order in
-    this corpus), never by catalog size. Item frequencies broadcast
-    back onto the pair frame; the order count rides a 1-row
-    broadcast; top-k is a heap. lift > 10000 bp means the pair
-    co-occurs more than independence predicts — the affinity signal
-    recommendation and bundling pipelines rank by."""
+    Scale shape (r15, guide §2.4): the pair generator is the BASKET
+    pattern shared with graph_triangle_count — ONE l_orderkey shuffle
+    builds each order's sorted part set via collect_set (subsuming the
+    old items distinct), and the ordered pairs explode from a
+    slice/transform expression in pure codegen. The quadratic blowup
+    stays bounded by basket size (≤ C(13,2) pairs per order in this
+    corpus), and the old co-partitioned self-join — plus its distinct
+    exchange and both SMJ sorts — disappears: per-item frequencies
+    explode off the same basket frame (identical rows to the items
+    groupBy) and the order count is a plain count of baskets (one row
+    per order by construction). Measured at 125×
+    (tools/probe_basket_ab.py, interleaved min-of-2, rows proven
+    equal): 53.4 → 43.4 s = 0.81×; sf0.1 2.56 → 2.45 s. Item
+    frequencies broadcast back onto the pair frame; the order count
+    rides a 1-row broadcast; top-k is a heap. lift > 10000 bp means
+    the pair co-occurs more than independence predicts — the affinity
+    signal recommendation and bundling pipelines rank by.
+
+    NOTE (r14, kept for the record): pinning the old items frame
+    measured SLOWER (1.37 -> 1.78s at sf0.1) because ReuseExchange
+    already dedup'd the self-join sides; the basket form removes the
+    join instead of caching its input, so the question is moot —
+    baskets' three consumers share the one l_orderkey exchange the
+    same way (plans/r15/orders_basket_affinity_after.txt)."""
     from pyspark.sql import functions as F
 
-    # NOTE: items has four consumers, but pinning it measured SLOWER
-    # (1.37 -> 1.78s at sf0.1): ReuseExchange already dedups the two
-    # co-partitioned self-join sides — the heavy subtree — and the
-    # columnar cache encode/decode costs more than recomputing the
-    # cheap distinct for the two small aggregates. Left unpinned on
-    # purpose; see graph_triangle_count for the case where the pin
-    # DOES pay (three join sides with incompatible keys).
-    items = (
+    baskets = (
         _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
-    )
-    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_f"))
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_f"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
