@@ -51,75 +51,76 @@ from . import (  # noqa: E402,F401  (import order IS registration order)
 # window; remaining untested entries queue in original order for the
 # next rotation. Reordering is a pure dict rebuild — no query changes.
 #
-# r14 window (exactly 50): executes the r13 verdict's task 2 —
-# continue the steady-state freshness rotation. After r13 the
-# last-green histogram is {r8: 23, r9: 49, r10: 46, r11: 43, r12: 50,
-# r13: 50}; this window takes the ENTIRE r8 band (group 1 — after r14
-# no surviving proof is older than r9), the entries whose drive/plan
-# code changed in r14 (group 2, the growth rule — these displace r9
-# re-samples first), and the stalest r9 rows in their r9-file
-# registration order (group 3).
+# r15 window (exactly 50): continues the steady-state freshness
+# rotation (VERDICT r14 item 10). After r14 the last-green histogram
+# is {r9: 23, r10: 46, r11: 43, r12: 50, r13: 49, r14: 50}; this
+# window takes the ENTIRE r9 band (group 1 — after r15 no surviving
+# proof is older than r10), the entries whose query code changed in
+# r15 plus the two r14 rewrites ADVICE r14 asked to land in the
+# primary correctness artifact (group 2, the growth rule), and the
+# stalest r10 rows in their r10-file registration order (group 3).
 _DRIVER_WINDOW = [
-    # --- r14 window (exactly 50) ---
-    # (1) ALL 23 entries whose last hash-green driver row is r8, in
-    #     r8-file registration order.
-    "text_bpe_merges",
-    "sample_preference_pairs",
-    "agg_heavy_hitters",
-    "stats_qty_price_independence",
-    "events_user_lifecycle_weekly",
-    "events_cuped_adjustment",
-    "orders_benford_first_digit",
-    "sample_temperature_mixture",
-    "orders_seasonal_dow_index",
-    "text_lang_id",
-    "flagship_pipeline",
-    "similarity_topk_lsh",
-    "events_funnel",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "events_attribution_linear",
-    "dedup_substring_spans",
-    "sample_importance_dsir",
-    "similarity_hard_negatives",
-    "similarity_matryoshka_recall",
-    "orders_cusum_changepoint",
-    "source_json_malformed",
-    "multimodal_perceptual_dhash",
-    # (2) drive/plan code changed in r14 — the growth rule:
-    #     streaming_stream_stream_join's drive gained the
-    #     progress-buffer-capped late-drop audit (ADVICE r13 item 1:
-    #     raised numRecentProgressUpdates + loud truncation assert).
-    "streaming_stream_stream_join",
-    # (3) the 26 stalest r9 rows in r9-file registration order (the
-    #     growth-rule slot above displaced the 27th r9 re-sample,
-    #     which stays r9-green, within the freshness bar).
-    "portfolio_fifo_pnl",
-    "portfolio_open_lots",
-    "portfolio_max_drawdown",
-    "portfolio_sharpe_monthly",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_having_top_parts",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_salted_skew",
-    "dedup_boilerplate_lines",
-    "dedup_decontaminate",
-    "dedup_exact",
-    "events_json_props",
-    "explode_unnest",
-    "join_broadcast_enrich",
-    "join_multiway_star",
-    "join_outer_coalesce",
-    "join_range_interval",
-    "join_semi_anti",
-    "profile_columns",
-    "profile_histogram",
-    "sink_bucketed_colocated_join",
-    "sink_partitioned_parquet",
-    "source_csv_roundtrip",
+    # --- r15 window (exactly 50) ---
+    # (1) ALL 23 entries whose last hash-green driver row is r9, in
+    #     r9-file registration order.
+    "source_json_flatten",
+    "source_orc_roundtrip",
+    "streaming_foreachbatch_ingest",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q3_shipping_priority",
+    "unpivot_melt",
+    "window_analytic_battery",
+    "window_keep_first",
+    "window_lag_lead_running",
+    "window_topn_per_group",
+    "flagship_pipeline_decimal",
+    "merge_upsert_orders",
+    "scd2_customer_history",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_sessionize_30m",
+    "subquery_correlated",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "embedding_kmeans_step",
+    "sample_pack_sequences",
+    "join_point_in_time",
+    # (2) growth rule — query code changed in r15 (CC frontier +
+    #     one-pass edges, hashed verify payloads, basket explode,
+    #     curriculum pin_input), plus the two r14 one-pass rewrites
+    #     whose hash-identical claim ADVICE r14 wanted backed by the
+    #     primary correctness artifact.
+    "dedup_connected_components",
+    "sample_leakage_safe_split",
+    "dedup_semantic_clusters",
+    "entity_resolution_customers",
+    "pipeline_curate_corpus",
+    "pipeline_curate_corpus_lsh",
+    "dedup_minhash_lsh",
+    "dedup_containment_pairs",
+    "orders_basket_affinity",
+    "sample_curriculum_order",
+    "events_type_lift_matrix",
+    "text_rake_keyphrases",
+    # (3) the 15 stalest r10 rows in r10-file registration order
+    #     (group 2 grew to 12 slots, displacing r10 re-samples first —
+    #     the displaced rows stay r10-green, next in line for r16).
+    "embedding_near_dup",
+    "events_gapfill_hourly",
+    "events_ohlc_daily",
+    "events_sliding_2h_1h",
+    "events_tumbling_1h",
+    "join_asof_backward",
+    "sample_domain_mixture",
+    "sample_hash_split",
+    "sample_stratified",
+    "string_funcs",
+    "string_funcs_extended",
+    "text_quality_score",
+    "text_redact",
+    "text_tfidf_topk",
+    "text_token_stats",
 ]
 
 

@@ -1280,9 +1280,11 @@ def q_orders_basket_affinity(spark, sf_dir):
     NOTE (r14, kept for the record): pinning the old items frame
     measured SLOWER (1.37 -> 1.78s at sf0.1) because ReuseExchange
     already dedup'd the self-join sides; the basket form removes the
-    join instead of caching its input, so the question is moot —
-    baskets' three consumers share the one l_orderkey exchange the
-    same way (plans/r15/orders_basket_affinity_after.txt)."""
+    join instead of caching its input. The three basket consumers
+    each re-run the cheap scan + basket aggregate (no shared exchange
+    in the plan — plans/r15/orders_basket_affinity_after.txt), which
+    the interleaved A/B shows still beats the join shape; a pin here
+    would repeat the r14 items-pin mistake."""
     from pyspark.sql import functions as F
 
     baskets = (
